@@ -1,0 +1,28 @@
+"""QUBO construction + on-device batched simulated annealing.
+
+TPU-native replacement for the reference's pyqubo/cpp_pyqubo (C++ QUBO
+compiler) + neal (C++ simulated annealer) stack
+(``DegreeOptimizer.py:227-237``, ``KAN_w_cumulative_polynomials.py:148-168``).
+"""
+
+from qkan_implementation_tpu.anneal.qubo import (
+    QuboModel,
+    degree_selection_qubo,
+    qubo_energy,
+    decode_degrees,
+)
+from qkan_implementation_tpu.anneal.sa import (
+    simulated_annealing,
+    default_beta_range,
+    solve_qubo,
+)
+
+__all__ = [
+    "QuboModel",
+    "degree_selection_qubo",
+    "qubo_energy",
+    "decode_degrees",
+    "simulated_annealing",
+    "default_beta_range",
+    "solve_qubo",
+]

@@ -1,0 +1,11 @@
+"""Block-encoding circuit builders (FABLE)."""
+
+from qkan_implementation_tpu.encoding.fable import (
+    fable,
+    fable_alpha,
+    gray_code,
+    gray_permutation,
+    sfwht,
+)
+
+__all__ = ["fable", "fable_alpha", "gray_code", "gray_permutation", "sfwht"]

@@ -1,0 +1,111 @@
+"""The fused QKAN layer forward: DILATE/CHEB -> MUL -> LCU -> SUM.
+
+TPU-native re-design of ``QKAN_Steps_original/{MulStep,LCUStep,SUMStep,
+QKANLayer}.py``.  The reference materializes NK x NK dense diagonal matrices
+at every step and loops in Python (``QKANLayer.py:124-135``); here the whole
+layer collapses to a handful of fused elementwise ops and one reduction --
+O(d*N*K) work, jit/vmap/grad-compatible, with a batched variant for data
+parallelism.
+
+Semantics contract (pinned by golden tests against the reference):
+
+  dilated_d[j]  = T_d(x[j // K])                      j in [0, N*K)
+  weighted_d[j] = dilated_d[j] * w_d[j]               (MulStep.py:41-72)
+  lcu[j]        = sum_d weighted_d[j] / (D+1)         (LCUStep.py:34-36)
+  out[k]        = sum_{i<N} lcu[i + k*N] / N          (SUMStep.py:28-30,
+                                                       Fortran-order reshape)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis, dilate
+
+
+def weighted_chebyshev_diag(
+    x: jax.Array, weights: jax.Array, K: int, degree: int
+) -> jax.Array:
+    """Diagonal of one weighted Chebyshev term: T_degree dilated * w_degree.
+
+    ``x``: [N]; ``weights``: [N*K] with |w| <= 1.  Equivalent of
+    ``MulStep.get_weighted_polynomial_matrix`` (reference ``MulStep.py:41-72``)
+    without the dense diag.
+    """
+    basis = chebyshev_basis(x, degree)  # [N, degree+1]
+    return dilate(basis[..., degree], K) * weights
+
+
+def lcu_combine_diag(x: jax.Array, weights: jax.Array, K: int) -> jax.Array:
+    """Diagonal of the LCU-combined matrix: uniform 1/(D+1) average.
+
+    ``x``: [N]; ``weights``: [D+1, N*K].  Equivalent of
+    ``LCUStep.get_combined_matrix`` (reference ``LCUStep.py:18-36``).
+    """
+    max_degree = weights.shape[0] - 1
+    basis = chebyshev_basis(x, max_degree)  # [N, D+1]
+    dilated = dilate(basis.T, K)  # [D+1, N*K]
+    return jnp.mean(dilated * weights, axis=0)
+
+
+def sum_step(lcu_diag: jax.Array, N: int, K: int) -> jax.Array:
+    """SUM step: Fortran-order (N, K) reshape, mean over the N inputs.
+
+    out[k] = (1/N) * sum_i lcu_diag[i + k*N].  The C-order reshape to (K, N)
+    is the transpose of the reference's Fortran-order (N, K) reshape
+    (``SUMStep.py:28-30``), so summing its last axis reproduces the exact
+    semantics -- pinned by golden tests (easy to get wrong, SURVEY.md section 7).
+    """
+    return jnp.sum(lcu_diag.reshape(K, N), axis=-1) / N
+
+
+def qkan_layer_forward(
+    x: jax.Array, weights: jax.Array, N: int, K: int
+) -> jax.Array:
+    """Full QKAN layer forward: [N] inputs -> [K] outputs.
+
+    ``weights``: [max_degree+1, N*K], |w| <= 1.  Equivalent of
+    ``QKANLayer.forward`` (reference ``QKANLayer.py:77-135``) as one fused
+    jit-able computation.
+    """
+    lcu = lcu_combine_diag(x, weights, K)
+    return sum_step(lcu, N, K)
+
+
+def qkan_layer_forward_batched(
+    x: jax.Array, weights: jax.Array, N: int, K: int
+) -> jax.Array:
+    """Batched layer forward: [B, N] -> [B, K], vmapped over the batch.
+
+    The data-parallel path the reference lacks (its ``QKANLayer.forward`` was
+    written for 1-D vectors; ``DegreeOptimizer.predict`` feeding it a batch is
+    a documented reference bug, SURVEY.md section 7).
+    """
+    return jax.vmap(lambda xi: qkan_layer_forward(xi, weights, N, K))(x)
+
+
+def qkan_intermediates(
+    x: jax.Array, weights: jax.Array, N: int, K: int
+) -> dict:
+    """Expose every stage of the pipeline for debugging.
+
+    Diagonal-vector analog of ``QKANLayer.get_intermediate_matrices``
+    (reference ``QKANLayer.py:30-75``): returns diagonals rather than dense
+    matrices.  ``reshaped`` uses the same Fortran-order (N, K) layout.
+    """
+    max_degree = weights.shape[0] - 1
+    basis = chebyshev_basis(x, max_degree)  # [N, D+1]
+    dilated = dilate(basis.T, K)  # [D+1, N*K]
+    weighted = dilated * weights
+    lcu = jnp.mean(weighted, axis=0)
+    reshaped = lcu.reshape(K, N).T  # Fortran-order (N, K)
+    final = jnp.sum(reshaped, axis=0) / N
+    return {
+        "input": x,
+        "cheb": {d: dilated[d] for d in range(max_degree + 1)},
+        "weighted": {d: weighted[d] for d in range(max_degree + 1)},
+        "lcu": lcu,
+        "reshaped": reshaped,
+        "final": final,
+    }

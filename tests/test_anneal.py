@@ -1,0 +1,151 @@
+"""Tests for QUBO assembly + the on-device simulated annealer.
+
+The correctness bar: on the degree-selection QUBOs the reference solves with
+neal (``DegreeOptimizer.py:211-237``), the annealer must find the exact
+optimum (verifiable by brute force / block-wise argmin).
+"""
+
+import numpy as np
+import pytest
+
+from qkan_implementation_tpu.anneal import (
+    QuboModel,
+    decode_degrees,
+    default_beta_range,
+    degree_selection_qubo,
+    simulated_annealing,
+    solve_qubo,
+)
+
+
+def brute_force_min(model: QuboModel):
+    n = model.num_variables
+    best_e, best_s = np.inf, None
+    for bits in range(2**n):
+        s = np.array([(bits >> i) & 1 for i in range(n)], dtype=np.float64)
+        e = model.energy(s)
+        if e < best_e:
+            best_e, best_s = e, s
+    return best_s, best_e
+
+
+def test_energy_convention():
+    # E = offset + h.s + sum_{i<j} J_ij s_i s_j
+    h = np.array([1.0, -2.0])
+    J = np.array([[0.0, 3.0], [3.0, 0.0]])
+    m = QuboModel(h=h, J=J, offset=0.5)
+    assert m.energy(np.array([0, 0])) == 0.5
+    assert m.energy(np.array([1, 0])) == 1.5
+    assert m.energy(np.array([1, 1])) == 0.5 + 1 - 2 + 3
+    # batch
+    np.testing.assert_allclose(
+        m.energy(np.array([[0, 0], [1, 1]])), [0.5, 2.5]
+    )
+
+
+def test_degree_qubo_matches_symbolic_expansion():
+    # Expand H = sum_i [ -imp_d q_id + cw d^2 q_id ] + 10 (sum_d q_id - 1)^2
+    # by brute force over a small instance and compare energies.
+    scores = np.array([0.9, 0.3, 0.25])
+    model = degree_selection_qubo(scores, num_functions=2, complexity_weight=0.1)
+
+    def reference_energy(q):  # q shape [2, 3]
+        H = 0.0
+        imp = [scores[0], scores[1] - scores[0], scores[2] - scores[1]]
+        for i in range(2):
+            for d in range(3):
+                H += -1.0 * imp[d] * q[i, d]
+                H += 0.1 * d**2 * q[i, d]
+            H += 10.0 * (q[i].sum() - 1) ** 2
+        return H
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        q = rng.integers(0, 2, (2, 3)).astype(np.float64)
+        np.testing.assert_allclose(
+            model.energy(q.reshape(-1)), reference_energy(q), atol=1e-10
+        )
+
+
+def test_definitive_qubo():
+    scores = np.array([0.5, 0.1, 0.4])
+    model = degree_selection_qubo(
+        scores, num_functions=1, definitive_degree=1
+    )
+    s_good = np.array([0.0, 1.0, 0.0])
+    s_bad = np.array([1.0, 0.0, 0.0])
+    assert model.energy(s_good) < model.energy(s_bad)
+
+
+def test_annealer_finds_brute_force_optimum_small():
+    scores = np.array([0.9, 0.3, 0.25])
+    model = degree_selection_qubo(scores, num_functions=2, complexity_weight=0.1)
+    expected_s, expected_e = brute_force_min(model)
+
+    sample, energy = solve_qubo(model, num_reads=64, num_sweeps=200, seed=1)
+    np.testing.assert_allclose(energy, expected_e, atol=1e-5)
+    np.testing.assert_array_equal(sample, expected_s)
+
+
+def test_annealer_on_random_qubo():
+    rng = np.random.default_rng(3)
+    n = 10
+    J = rng.normal(size=(n, n))
+    J = (J + J.T) / 2
+    np.fill_diagonal(J, 0.0)
+    h = rng.normal(size=n)
+    model = QuboModel(h=h, J=J, offset=0.0)
+    _, expected_e = brute_force_min(model)
+    _, energy = solve_qubo(model, num_reads=256, num_sweeps=300, seed=2)
+    np.testing.assert_allclose(energy, expected_e, atol=1e-4)
+
+
+def test_larger_degree_qubo_is_one_hot_and_optimal():
+    # 8 functions x degrees 0..3: per-function blocks are independent, so the
+    # exact optimum is the blockwise one-hot argmin.
+    scores = np.array([0.8, 0.35, 0.3, 0.29])
+    nf, dp1 = 8, 4
+    model = degree_selection_qubo(scores, num_functions=nf, complexity_weight=0.1)
+
+    # exact blockwise optimum
+    imp = np.array([scores[0], *(scores[1:] - scores[:-1])])
+    lin = -imp + 0.1 * np.arange(dp1) ** 2
+    best_d = int(np.argmin(lin))
+
+    sample, energy = solve_qubo(
+        model, num_reads=128, num_sweeps=500, seed=4, one_hot_block_size=dp1
+    )
+    q = sample.reshape(nf, dp1)
+    assert np.all(q.sum(axis=1) == 1), "one-hot constraint violated"
+    assert np.all(q[:, best_d] == 1)
+
+    expected_e = nf * (lin[best_d])  # one-hot terms cancel offset
+    np.testing.assert_allclose(energy, expected_e, atol=1e-4)
+
+
+def test_decode_degrees_layout():
+    # function index out*input_dim + in (reference DegreeOptimizer.py:242-254)
+    input_dim, output_dim, max_degree = 2, 2, 2
+    sample = np.zeros((4, 3))
+    sample[0, 1] = 1  # out0,in0 -> degree 1
+    sample[1, 2] = 1  # out0,in1 -> degree 2
+    sample[2, 0] = 1  # out1,in0 -> degree 0
+    sample[3, 1] = 1  # out1,in1 -> degree 1
+    degrees = decode_degrees(sample.reshape(-1), input_dim, output_dim, max_degree)
+    assert degrees == [[1, 2], [0, 1]]
+
+
+def test_beta_range_sane():
+    scores = np.array([0.9, 0.3])
+    model = degree_selection_qubo(scores, num_functions=3)
+    hot, cold = default_beta_range(model)
+    assert 0 < hot < cold
+
+
+def test_reproducible_with_seed():
+    scores = np.array([0.9, 0.3, 0.25])
+    model = degree_selection_qubo(scores, num_functions=2)
+    s1, e1 = simulated_annealing(model, num_reads=16, num_sweeps=50, seed=7)
+    s2, e2 = simulated_annealing(model, num_reads=16, num_sweeps=50, seed=7)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(e1, e2)
