@@ -54,6 +54,7 @@ def degree_selection_qubo(
     complexity_weight: float = 0.1,
     definitive_degree: int | None = None,
     one_hot_penalty: float = ONE_HOT_PENALTY,
+    objective: str = "reference",
 ) -> QuboModel:
     """Assemble the degree-selection QUBO of the reference optimizers.
 
@@ -68,6 +69,17 @@ def degree_selection_qubo(
 
     ``scores`` is the per-degree MSE array [D+1] (shared across functions,
     exactly as the reference applies layer-level scores to every edge).
+
+    ``objective``:
+      - ``'reference'`` replicates the reference reward exactly.  NOTE: that
+        reward is degenerate -- ``improvement[0] = scores[0]`` (the raw MSE)
+        makes degree 0 the QUBO optimum whenever MSE is positive, so the
+        reference's structure search effectively always picks degree 0 in
+        the FixedKAN path (its own MSE < 0.1 test bars pass only because the
+        target variance is below 0.1).  Kept as the default for behavioral
+        parity.
+      - ``'penalized_mse'`` selects argmin_d scores[d] + cw*d^2 -- the
+        evident intent, and the mode that makes degree search useful.
     """
     scores = np.asarray(scores, dtype=np.float64)
     dp1 = scores.shape[0]
@@ -77,15 +89,19 @@ def degree_selection_qubo(
     J = np.zeros((n, n))
     offset = 0.0
 
+    degrees = np.arange(dp1, dtype=np.float64)
     if definitive_degree is not None:
         lin = np.full(dp1, DEFINITIVE_BONUS)
         lin[definitive_degree] = -DEFINITIVE_BONUS
-    else:
+    elif objective == "reference":
         improvement = np.empty(dp1)
         improvement[0] = scores[0]
         improvement[1:] = scores[1:] - scores[:-1]
-        degrees = np.arange(dp1, dtype=np.float64)
         lin = -improvement + complexity_weight * degrees**2
+    elif objective == "penalized_mse":
+        lin = scores + complexity_weight * degrees**2
+    else:
+        raise ValueError(f"Unknown objective {objective!r}")
 
     for i in range(num_functions):
         sl = slice(i * dp1, (i + 1) * dp1)

@@ -1,0 +1,424 @@
+"""FixedKAN: cumulative-Chebyshev KAN with QUBO-selected degrees, in JAX.
+
+TPU-native rebuild of ``KAN_w_cumulative_polynomials.py`` (reference
+``:13-598``).  Parameters are a pytree (list of per-layer dicts), the forward
+pass is one fused einsum per layer, degree search is a vmappable lstsq sweep
++ the on-device annealer, and -- beyond the reference, which trains only the
+per-neuron ``horizontal_weight`` scalars (``:309-333``) -- the whole model is
+differentiable end-to-end with ``jax.grad``.
+
+Reference semantics replicated exactly (pinned by tests):
+
+- every layer's neurons are fit against the *same* target ``y`` (reference
+  ``FixedKAN.optimize:335-353`` passes y_data to every layer), so each
+  layer maps [B, in] -> [B, target_dim];
+- the fit-time transform is computed on the raw layer input while the
+  forward pass applies ``tanh`` first (reference ``KANLayer.optimize_degrees
+  :133`` vs ``KANNeuron.forward:79``) -- an inconsistency the reference's
+  accuracy numbers bake in; ``consistent_tanh=True`` in the config fixes it;
+- Chebyshev evaluation is unclipped polynomial recurrence, like
+  ``torch.special.chebyshev_polynomial_t``;
+- degree selection solves the same QUBO (improvement reward, cw*d^2 penalty,
+  one-hot penalty 10) with num_reads annealing chains.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
+from qkan_implementation_tpu.anneal import (
+    degree_selection_qubo,
+    solve_qubo,
+)
+
+
+@dataclass
+class FixedKANConfig:
+    """Configuration for the fixed-architecture KAN.
+
+    Mirror of the reference ``FixedKANConfig``
+    (KAN_w_cumulative_polynomials.py:13-18) plus build-specific options.
+    """
+
+    network_shape: List[int]
+    max_degree: int
+    complexity_weight: float = 0.1
+    # -- build extensions (default to reference-faithful behavior) ----------
+    consistent_tanh: bool = False  # fit on tanh(x) like the forward pass does
+    degree_objective: str = "reference"  # or 'penalized_mse' (see anneal.qubo)
+    lstsq_method: str = "svd"  # 'svd' (robust) | 'normal' (fast MXU path)
+    lstsq_ridge: float = 1e-8  # ridge for the normal-equations path
+
+
+def _lstsq(X: jax.Array, y: jax.Array, method: str, ridge: float) -> jax.Array:
+    """Least-squares solve, [B, F] x [B, T] -> [F, T].
+
+    'svd' matches torch.linalg.lstsq / np.linalg.lstsq min-norm semantics
+    (reference KANLayer._optimize_coefficients_classical:190-193); 'normal'
+    solves the ridge-regularized normal equations with Cholesky -- pure MXU
+    matmuls, the fast path on TPU.
+    """
+    if method == "svd":
+        return jnp.linalg.lstsq(X, y)[0]
+    if method == "normal":
+        f = X.shape[1]
+        gram = X.T @ X
+        scale = jnp.trace(gram) / f + 1e-30
+        gram = gram + (ridge * scale) * jnp.eye(f, dtype=X.dtype)
+        return jax.scipy.linalg.solve(gram, X.T @ y, assume_a="pos")
+    raise ValueError(f"Unknown lstsq method {method!r}")
+
+
+def kan_layer_apply(layer_params: dict, x: jax.Array, max_degree: int) -> jax.Array:
+    """Apply one KAN layer: [B, in] -> [B, target_dim].
+
+    y = sum_o hw_o * (cumulative_transform(tanh(x))[<=d_o] @ C_o), the fused
+    form of the reference's per-neuron loop (KANLayer.forward:180-188,
+    KANNeuron.forward:72-82).
+    """
+    t = jnp.tanh(x)
+    basis = chebyshev_basis(t, max_degree, clip=False)  # [B, in, D+1]
+    degs = layer_params["degrees"]  # [out]
+    mask = (
+        jnp.arange(max_degree + 1)[None, :] <= degs[:, None]
+    )  # [out, D+1]
+    coeffs = layer_params["coefficients"]  # [out, in, D+1, T]
+    hw = layer_params["horizontal_weights"]  # [out]
+    weighted = coeffs * mask[:, None, :, None] * hw[:, None, None, None]
+    return jnp.einsum("bid,oidt->bt", basis, weighted)
+
+
+def kan_apply(params: list, x: jax.Array, max_degree: int) -> jax.Array:
+    """Full forward pass through all layers (FixedKAN.forward:369-374)."""
+    current = x
+    for layer_params in params:
+        current = kan_layer_apply(layer_params, current, max_degree)
+    return current
+
+
+class FixedKAN:
+    """Stateful convenience wrapper around the pure param-pytree functions."""
+
+    def __init__(self, config: FixedKANConfig):
+        self.config = config
+        self.params: Optional[list] = None
+        self._apply = jax.jit(
+            partial(kan_apply, max_degree=config.max_degree),
+        )
+
+    # -- structure optimization ------------------------------------------
+    def _evaluate_layer_degrees(self, x_fit: jax.Array, y: jax.Array):
+        """Per-cumulative-degree lstsq + MSE scores.
+
+        Equivalent of the (neuron x degree) loop in
+        KANLayer.optimize_degrees (reference :127-146); since every neuron
+        shares the same transform and target, one solve per degree suffices.
+        Returns (scores [D+1], coeffs list of [in*(d+1), T]).
+        """
+        cfg = self.config
+        basis = chebyshev_basis(x_fit, cfg.max_degree, clip=False)
+        b = basis.shape[0]
+        scores, coeffs = [], []
+        for d in range(cfg.max_degree + 1):
+            X_d = basis[:, :, : d + 1].reshape(b, -1)
+            c = _lstsq(X_d, y, cfg.lstsq_method, cfg.lstsq_ridge)
+            pred = X_d @ c
+            scores.append(float(jnp.mean((y - pred) ** 2)))
+            coeffs.append(c)
+        return np.array(scores), coeffs
+
+    def optimize(
+        self,
+        x_data,
+        y_data,
+        num_reads: int = 1000,
+        num_sweeps: int = 1000,
+        seed: int = 0,
+        solver: str = "anneal",
+    ) -> None:
+        """QUBO degree selection, layer by layer (FixedKAN.optimize:335-353).
+
+        ``solver``: 'anneal' runs the batched on-device annealer with one-hot
+        polish (the neal-equivalent path); 'exact' takes the blockwise
+        optimum directly (the QUBO is per-neuron separable).
+        """
+        cfg = self.config
+        x = jnp.asarray(x_data)
+        y = jnp.asarray(y_data)
+        if y.ndim == 1:
+            y = y[:, None]
+
+        params = []
+        current = x
+        dp1 = cfg.max_degree + 1
+        for layer_idx in range(len(cfg.network_shape) - 1):
+            out_dim = cfg.network_shape[layer_idx + 1]
+            x_fit = jnp.tanh(current) if cfg.consistent_tanh else current
+            scores, coeffs = self._evaluate_layer_degrees(x_fit, y)
+
+            model = degree_selection_qubo(
+                scores,
+                num_functions=out_dim,
+                complexity_weight=cfg.complexity_weight,
+                objective=cfg.degree_objective,
+            )
+            if solver == "anneal":
+                sample, _ = solve_qubo(
+                    model,
+                    num_reads=num_reads,
+                    num_sweeps=num_sweeps,
+                    seed=seed + layer_idx,
+                    one_hot_block_size=dp1,
+                )
+            elif solver == "exact":
+                lin = model.h[:dp1] + 0.0  # blocks are identical
+                choice = int(np.argmin(lin))
+                sample = np.zeros(out_dim * dp1)
+                sample[choice::dp1] = 1.0
+            else:
+                raise ValueError(f"Unknown solver {solver!r}")
+
+            q = sample.reshape(out_dim, dp1)
+            degrees = np.argmax(q, axis=1).astype(np.int32)
+
+            in_dim = current.shape[1]
+            t_dim = y.shape[1]
+            C = np.zeros((out_dim, in_dim, dp1, t_dim), dtype=np.asarray(y).dtype)
+            for o in range(out_dim):
+                d = int(degrees[o])
+                c = np.asarray(coeffs[d]).reshape(in_dim, d + 1, t_dim)
+                C[o, :, : d + 1, :] = c
+            layer_params = {
+                "degrees": jnp.asarray(degrees),
+                "coefficients": jnp.asarray(C),
+                "horizontal_weights": jnp.ones(out_dim, dtype=C.dtype),
+            }
+            params.append(layer_params)
+            current = kan_layer_apply(layer_params, current, cfg.max_degree)
+
+        self.params = params
+
+    def calculate_layer_complexity_weight(self, layer_idx: int, degree: int) -> float:
+        """Depth-dependent parabolic complexity weight.
+
+        Port of FixedKAN._calculate_layer_complexity_weight (reference
+        :354-368).  NOTE: like the reference, the degree optimizer does not
+        consume this (optimize_degrees uses the flat complexity_weight); it
+        is exposed for API parity and experimentation.
+        """
+        num_layers = len(self.config.network_shape) - 1
+        layer_pos = layer_idx / (num_layers - 1) if num_layers > 1 else 0.0
+        layer_scale = 4 * (layer_pos - 0.5) ** 2
+        degree_penalty = degree * (1 + np.log(degree + 1))
+        return self.config.complexity_weight * layer_scale * degree_penalty
+
+    # -- inference --------------------------------------------------------
+    def __call__(self, x) -> jax.Array:
+        if self.params is None:
+            raise RuntimeError("Neuron degree not set. Run optimization first.")
+        return self._apply(self.params, jnp.asarray(x))
+
+    forward = __call__
+
+    # -- gradient training ------------------------------------------------
+    def train(
+        self,
+        x_data,
+        y_data,
+        epochs: int = 10,
+        batch_size: int = 64,
+        learning_rate: float = 0.01,
+        loss: str = "cross_entropy",
+        trainable: str = "all",
+        seed: int = 0,
+        verbose: bool = False,
+    ) -> list:
+        """Gradient training with Adam.
+
+        ``trainable='horizontal'`` reproduces the reference's
+        ``train_horizontal_weights`` (only the per-neuron scalars move,
+        reference :309-333); ``'all'`` differentiates through every
+        coefficient -- the upgrade the pytree design buys.
+        Returns per-epoch average losses.
+        """
+        import optax
+
+        if self.params is None:
+            raise RuntimeError("Run optimization first.")
+        x = jnp.asarray(x_data)
+        y = jnp.asarray(y_data)
+        max_degree = self.config.max_degree
+
+        if loss == "cross_entropy":
+            if y.ndim == 1:
+                y1h = jax.nn.one_hot(y.astype(jnp.int32), self.config.network_shape[-1])
+            else:
+                y1h = y
+
+            def loss_fn(params, xb, yb):
+                logits = kan_apply(params, xb, max_degree)
+                return jnp.mean(
+                    optax.softmax_cross_entropy(logits, yb)
+                )
+
+            y_train = y1h
+        elif loss == "mse":
+            y_train = y if y.ndim > 1 else y[:, None]
+
+            def loss_fn(params, xb, yb):
+                pred = kan_apply(params, xb, max_degree)
+                return jnp.mean((pred - yb) ** 2)
+        else:
+            raise ValueError(f"Unknown loss {loss!r}")
+
+        # The integer 'degrees' leaves are structural, not differentiable:
+        # hold them out of the optimized pytree and close over them.
+        degrees = [lp["degrees"] for lp in self.params]
+
+        def rebuild(train_params):
+            return [
+                dict(tp, degrees=d) for tp, d in zip(train_params, degrees)
+            ]
+
+        full_loss = loss_fn
+
+        def loss_on_trainable(train_params, xb, yb):
+            return full_loss(rebuild(train_params), xb, yb)
+
+        if trainable == "horizontal":
+            train_labels = [
+                {"coefficients": False, "horizontal_weights": True}
+                for _ in self.params
+            ]
+        elif trainable == "all":
+            train_labels = [
+                {"coefficients": True, "horizontal_weights": True}
+                for _ in self.params
+            ]
+        else:
+            raise ValueError(f"Unknown trainable {trainable!r}")
+
+        tx = optax.multi_transform(
+            {True: optax.adam(learning_rate), False: optax.set_to_zero()},
+            train_labels,
+        )
+        params = [
+            {k: v for k, v in lp.items() if k != "degrees"} for lp in self.params
+        ]
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, xb, yb):
+            l, grads = jax.value_and_grad(loss_on_trainable)(params, xb, yb)
+            updates, opt_state = tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, l
+        n = x.shape[0]
+        steps = max(1, n // batch_size)
+        rng = np.random.default_rng(seed)
+        losses = []
+        for epoch in range(epochs):
+            perm = rng.permutation(n)
+            total = 0.0
+            for s in range(steps):
+                idx = perm[s * batch_size : (s + 1) * batch_size]
+                params, opt_state, l = step(params, opt_state, x[idx], y_train[idx])
+                total += float(l)
+            losses.append(total / steps)
+            if verbose:
+                print(f"Epoch {epoch+1}/{epochs}, avg Loss: {losses[-1]:.4f}")
+        self.params = rebuild(params)
+        return losses
+
+    def train_horizontal_weights(
+        self, x_data, y_data, epochs: int, learning_rate: float = 0.01, **kw
+    ) -> list:
+        """Reference-parity trainer: Adam + cross-entropy on the horizontal
+        weights only (FixedKAN.train_horizontal_weights:309-333)."""
+        return self.train(
+            x_data,
+            y_data,
+            epochs=epochs,
+            learning_rate=learning_rate,
+            loss="cross_entropy",
+            trainable="horizontal",
+            **kw,
+        )
+
+    # -- analysis ---------------------------------------------------------
+    def analyze_network(self, x_data) -> dict:
+        """Per-layer neuron contributions (FixedKAN.analyze_network:376-435)."""
+        if self.params is None:
+            raise RuntimeError("Run optimization first.")
+        cfg = self.config
+        x = jnp.asarray(x_data)
+        analysis = {}
+        current = x
+        for layer_idx, lp in enumerate(self.params):
+            t = jnp.tanh(current)
+            basis = chebyshev_basis(t, cfg.max_degree, clip=False)
+            mask = (
+                jnp.arange(cfg.max_degree + 1)[None, :] <= lp["degrees"][:, None]
+            )
+            weighted = (
+                lp["coefficients"]
+                * mask[:, None, :, None]
+                * lp["horizontal_weights"][:, None, None, None]
+            )
+            neuron_outputs = jnp.einsum("bid,oidt->obt", basis, weighted)
+            combined = neuron_outputs.sum(axis=0)
+            analysis[f"layer_{layer_idx}"] = {
+                "neuron_outputs": neuron_outputs,
+                "degrees": [int(d) for d in np.asarray(lp["degrees"])],
+                "combined_output": combined,
+                "input_dim": int(current.shape[1]),
+            }
+            current = combined
+        return analysis
+
+    # -- checkpointing ----------------------------------------------------
+    def save_model(self, filepath: str) -> None:
+        """Save config + params (FixedKAN.save_model:574-576 equivalent).
+
+        Format: .npz with a JSON config entry and flat per-layer arrays --
+        config-in-checkpoint semantics so load needs no external state.
+        """
+        if self.params is None:
+            raise RuntimeError("Run optimization first.")
+        arrays = {"config_json": np.frombuffer(
+            json.dumps(asdict(self.config)).encode(), dtype=np.uint8
+        )}
+        for i, lp in enumerate(self.params):
+            for k, v in lp.items():
+                arrays[f"layer{i}/{k}"] = np.asarray(v)
+        np.savez(filepath, **arrays)
+
+    @classmethod
+    def load_model(cls, filepath: str) -> "FixedKAN":
+        """Rebuild a model from a checkpoint (FixedKAN.load_model:578-598)."""
+        data = np.load(filepath if str(filepath).endswith(".npz") else filepath + ".npz")
+        cfg_dict = json.loads(bytes(data["config_json"]).decode())
+        model = cls(FixedKANConfig(**cfg_dict))
+        params = []
+        i = 0
+        while f"layer{i}/degrees" in data:
+            params.append(
+                {
+                    "degrees": jnp.asarray(data[f"layer{i}/degrees"]),
+                    "coefficients": jnp.asarray(data[f"layer{i}/coefficients"]),
+                    "horizontal_weights": jnp.asarray(
+                        data[f"layer{i}/horizontal_weights"]
+                    ),
+                }
+            )
+            i += 1
+        model.params = params
+        return model

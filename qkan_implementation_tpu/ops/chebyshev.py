@@ -66,17 +66,23 @@ def transform_diagonal(x: jax.Array, degree: int) -> jax.Array:
     return chebyshev_t(x, degree)
 
 
-def chebyshev_basis(x: jax.Array, max_degree: int) -> jax.Array:
+def chebyshev_basis(x: jax.Array, max_degree: int, clip: bool = True) -> jax.Array:
     """All T_0..T_max_degree stacked on a trailing axis: shape x.shape + (D+1,).
 
     Uses the three-term recurrence T_{d+1} = 2x T_d - T_{d-1}, which is exact
     on [-1, 1] and, unlike cos/arccos, has bounded gradients at x = +/-1 --
     this is the differentiable path used by the KAN models (the reference uses
     ``torch.special.chebyshev_polynomial_t``, KAN_w_cumulative_polynomials.py:66).
+
+    ``clip=True`` matches the quantum pipeline's [-1, 1] clamp
+    (ChebyshevStep.py:29); ``clip=False`` matches torch's unclipped polynomial
+    evaluation used by the KAN models, which may receive values outside the
+    interval.
     """
     if max_degree < 0:
         raise ValueError("Degree must be positive integer.")
-    x = jnp.clip(x, -1.0, 1.0)
+    if clip:
+        x = jnp.clip(x, -1.0, 1.0)
     cols = [jnp.ones_like(x)]
     if max_degree >= 1:
         cols.append(x)
@@ -85,15 +91,16 @@ def chebyshev_basis(x: jax.Array, max_degree: int) -> jax.Array:
     return jnp.stack(cols, axis=-1)
 
 
-def cumulative_transform(x: jax.Array, max_degree: int) -> jax.Array:
+def cumulative_transform(x: jax.Array, max_degree: int, clip: bool = False) -> jax.Array:
     """Cumulative per-dimension Chebyshev features, flattened.
 
     Input ``x``: [batch, input_dim].  Output: [batch, input_dim * (D+1)] laid
     out as [T_0(x_0)..T_D(x_0), T_0(x_1)..T_D(x_1), ...] -- i.e. all degrees
     of dim 0 first, matching ``KANNeuron._compute_cumulative_transform``
-    (reference ``KAN_w_cumulative_polynomials.py:56-70``).
+    (reference ``KAN_w_cumulative_polynomials.py:56-70``).  Unclipped by
+    default, like torch's polynomial evaluation.
     """
-    basis = chebyshev_basis(x, max_degree)  # [batch, in, D+1]
+    basis = chebyshev_basis(x, max_degree, clip=clip)  # [batch, in, D+1]
     b, n, dp1 = basis.shape
     return basis.reshape(b, n * dp1)
 

@@ -1,0 +1,67 @@
+"""MLP baseline trainer tests (reference train_utils.py:10-133 behavior)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.models import MLPConfig, mlp_apply, mlp_predict, train_mlp
+from qkan_implementation_tpu.models.mlp import init_mlp
+
+
+def make_data(n=256, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, (n, 4))
+    y = 0.5 * x[:, 0] - 0.2 * x[:, 1] ** 2 + 0.1 * x[:, 2] * x[:, 3]
+    w = rng.uniform(0.5, 1.5, n)
+    return x, y, w
+
+
+def test_forward_shapes_and_batchnorm_modes():
+    config = MLPConfig(input_dim=4, hidden_dims=[8, 8])
+    params, state = init_mlp(config, seed=0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(32, 4)))
+    out_train, new_state = mlp_apply(params, state, x, train=True)
+    assert out_train.shape == (32, 1)
+    # running stats moved toward batch stats
+    assert not np.allclose(np.asarray(new_state["mean"]), 0.0)
+    out_eval, same_state = mlp_apply(params, state, x, train=False)
+    assert same_state is state
+
+
+def test_training_reduces_validation_mse():
+    x, y, w = make_data(512)
+    xv, yv, wv = make_data(128, seed=1)
+    config = MLPConfig(
+        input_dim=4, hidden_dims=[16, 16], learning_rate=1e-2, batch_size=64,
+        n_epochs=30,
+    )
+    scores, compr2, model = train_mlp(
+        config, x, y, weights=w, x_val=xv, y_val=yv, w_val=wv, seed=0
+    )
+    assert len(scores) == len(compr2)
+    assert scores[-1] < scores[0]
+    # best-state restore: final model at least as good as the best epoch
+    pred = mlp_predict(model, xv)
+    final_mse = float(np.mean((np.asarray(pred).ravel() - yv) ** 2))
+    np.testing.assert_allclose(final_mse, min(scores), rtol=1e-6)
+
+
+def test_early_stopping_caps_epochs():
+    x, y, w = make_data(64)
+    # validation on pure noise: val MSE will not improve for long
+    rng = np.random.default_rng(2)
+    xv = rng.uniform(-1, 1, (32, 4))
+    yv = rng.normal(size=32) * 100.0
+    config = MLPConfig(
+        input_dim=4, hidden_dims=[4], learning_rate=1e-5, batch_size=32,
+        n_epochs=200,
+    )
+    scores, _, _ = train_mlp(config, x, y, x_val=xv, y_val=yv, seed=0)
+    assert len(scores) < 200, "early stopping never triggered"
+
+
+def test_unweighted_training_runs():
+    x, y, _ = make_data(128)
+    config = MLPConfig(input_dim=4, hidden_dims=[8], n_epochs=3, batch_size=32)
+    scores, compr2, model = train_mlp(config, x, y)
+    assert scores == [] and compr2 == []  # no validation set
+    assert mlp_predict(model, x).shape == (128, 1)
