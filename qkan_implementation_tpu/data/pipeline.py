@@ -1,0 +1,122 @@
+"""Market-data pipeline: parquet load, quantile normalization, date split.
+
+Rebuild of ``Testing and Visualization Framework/data_pipeline.py`` (reference
+``:9-87``) on pandas/pyarrow instead of polars:
+
+- ``fill_null(3)`` -> fillna(3) (the reference's sentinel for missing market
+  features, data_pipeline.py:18);
+- tail(n_rows) then sort by date (:26-27);
+- quantile normalization to [-1, 1]: center = (q95+q05)/2, scale =
+  (q95-q05)/2 with std/1.0 fallbacks, values beyond the quantiles clamped to
+  exactly +/-1 (:37-65) -- this feeds the Chebyshev domain;
+- date-based train/val split by ``train_ratio`` over unique dates (:66-87).
+
+Also provides a synthetic Jane-Street-shaped parquet generator so the
+experiment harness runs end-to-end without the (non-redistributable) Kaggle
+data.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+
+
+class DataPipeline:
+    def __init__(self, config, logger: logging.Logger | None = None):
+        self.config = config
+        self.logger = logger or logging.getLogger(__name__)
+
+    def load_and_preprocess_data(
+        self,
+    ) -> Tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+        """Load + normalize + split.  Returns (train_df, train_target,
+        train_weight, val_df, val_target, val_weight)."""
+        cfg = self.config
+        cols = [cfg.date_col, cfg.target_col, cfg.weight_col, *cfg.feature_cols]
+        df = pd.read_parquet(cfg.data_path, columns=cols)
+        df = df.fillna(3)
+        df = df.tail(cfg.n_rows).sort_values(cfg.date_col).reset_index(drop=True)
+        df = self._normalize_features(df)
+        return self._train_val_split(df)
+
+    def _normalize_features(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Quantile clamp normalization of features + target to [-1, 1]."""
+        cfg = self.config
+        out = {cfg.date_col: df[cfg.date_col], cfg.weight_col: df[cfg.weight_col]}
+        for col in [*cfg.feature_cols, cfg.target_col]:
+            vals = df[col].to_numpy(dtype=np.float64)
+            q05, q95 = np.quantile(vals, [0.05, 0.95])
+            std = vals.std()
+            center = (q95 + q05) / 2
+            if abs(q95 - q05) > 1e-10:
+                scale = (q95 - q05) / 2
+            elif std > 1e-10:
+                scale = std
+            else:
+                scale = 1.0
+            norm = np.where(
+                vals > q95,
+                1.0,
+                np.where(vals < q05, -1.0, (vals - center) / scale),
+            )
+            out[f"{col}_normalized"] = norm
+        return pd.DataFrame(out)
+
+    def _train_val_split(self, df: pd.DataFrame):
+        cfg = self.config
+        unique_dates = np.sort(df[cfg.date_col].unique())
+        split_idx = int(len(unique_dates) * cfg.train_ratio)
+        train_dates = unique_dates[:split_idx]
+        train_mask = df[cfg.date_col].isin(train_dates).to_numpy()
+        val_mask = ~train_mask
+
+        feat_cols = [f"{c}_normalized" for c in cfg.feature_cols]
+        tgt_col = [f"{cfg.target_col}_normalized"]
+        train = df[train_mask]
+        val = df[val_mask]
+        return (
+            train[feat_cols],
+            train[tgt_col],
+            train[[cfg.weight_col]],
+            val[feat_cols],
+            val[tgt_col],
+            val[[cfg.weight_col]],
+        )
+
+
+def generate_market_parquet(
+    path: str,
+    n_rows: int = 5000,
+    n_features: int = 79,
+    n_dates: int = 50,
+    seed: int = 0,
+    target_col: str = "responder_6",
+) -> str:
+    """Write a synthetic Jane-Street-shaped parquet for tests/demos.
+
+    Columns: date_id, weight, feature_00..feature_NN, responder_6.  The
+    target has genuine (noisy, nonlinear) dependence on the first features
+    so degree search has something to find; ~2% of feature values are null
+    to exercise the fillna path.
+    """
+    rng = np.random.default_rng(seed)
+    dates = np.sort(rng.integers(0, n_dates, n_rows))
+    feats = rng.normal(size=(n_rows, n_features))
+    target = (
+        0.6 * feats[:, 0]
+        + 0.4 * (feats[:, 1] ** 2 - 1)
+        - 0.3 * feats[:, 2]
+        + 0.2 * rng.normal(size=n_rows)
+    )
+    data = {"date_id": dates, "weight": rng.uniform(0.5, 2.0, n_rows)}
+    for i in range(n_features):
+        col = feats[:, i].copy()
+        col[rng.uniform(size=n_rows) < 0.02] = np.nan
+        data[f"feature_{i:02d}"] = col
+    data[target_col] = target
+    pd.DataFrame(data).to_parquet(path)
+    return path

@@ -1,0 +1,285 @@
+"""DegreeOptimizer: per-edge QUBO degree search over a QKAN layer.
+
+One TPU-native code path subsuming both reference variants --
+``original_degree_optimizer/DegreeOptimizer.py`` (:13-386) and the torch port
+``first_conversion_torch/TorchDegreeOptimizer.py`` (:27-443):
+
+- ``evaluate_degree``: cumulative-degree lstsq sweep with MSE / weighted
+  competition-R^2 scores; transforms are computed once and cached (the
+  reference recomputes the full transform dict per degree inside the loop --
+  ``DegreeOptimizer.py:140`` -- the hot spot of its 3,582 s market run);
+- ``is_degree_definitive`` shortcut with the +/-100 QUBO forcing terms;
+- ``optimize_layer``: QUBO assembly (analytic, replacing pyqubo) + the
+  on-device batched annealer (replacing neal), num_reads=1000 default;
+- ``fit``/``predict``: builds one-hot degree weights for the QKAN layer and
+  predicts via the fused batched forward (the reference's ``predict`` feeds a
+  2-D batch into a 1-D ``QKANLayer.forward``, a documented bug; the torch
+  variant's ``predict`` lstsq-fits against a zero vector -- neither is
+  replicated);
+- ``save_state``/``load_state`` with query-parameter cache validation.
+
+Metrics use the shared ``utils.metrics`` (the reference's inverted
+``1 - ss_tot/ss_res`` R^2 at ``DegreeOptimizer.py:309`` is fixed).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qkan_implementation_tpu.anneal import (
+    decode_degrees,
+    degree_selection_qubo,
+    solve_qubo,
+)
+from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
+from qkan_implementation_tpu.ops.qkan_layer import qkan_layer_forward_batched
+from qkan_implementation_tpu.optim.base import BaseOptimizer, _extract_features
+from qkan_implementation_tpu.utils.metrics import compute_metrics
+
+
+class MetricType(Enum):
+    """Supported metric types (TorchDegreeOptimizer.py:10-17)."""
+
+    MSE = "mse"
+    R2 = "r2"
+    COMP_R2 = "comp_r2"
+
+
+class DegreeOptimizer(BaseOptimizer):
+    def __init__(
+        self,
+        network_shape: List[int],
+        max_degree: int,
+        complexity_weight: float = 0.1,
+        significance_threshold: float = 0.05,
+    ):
+        super().__init__()
+        self.network_shape = network_shape
+        self.num_layers = len(network_shape) - 1
+        self.max_degree = max_degree
+        self.complexity_weight = complexity_weight
+        self.significance_threshold = significance_threshold
+        self.transform_cache: Dict = {}
+        self.degree_scores: Dict = {}
+        self.data_same = True
+        self.optimal_degrees: Optional[List[List[int]]] = None
+        self.feature_means: Optional[np.ndarray] = None
+        self.feature_stds: Optional[np.ndarray] = None
+        self.qkan_weights: Optional[np.ndarray] = None  # [D+1, N*K]
+
+    # -- transforms -------------------------------------------------------
+    def _compute_transforms(self, feature_data: np.ndarray) -> Dict[int, np.ndarray]:
+        """All degree transforms in one fused pass: {d: [n, features]}.
+
+        The reference loops per degree per feature in Python
+        (DegreeOptimizer.py:97-120); here one ``chebyshev_basis`` call over
+        the whole [n, features] block produces every degree at once.
+        """
+        basis = np.asarray(
+            chebyshev_basis(jnp.asarray(feature_data), self.max_degree, clip=True)
+        )  # [n, F, D+1]
+        return {d: basis[:, :, d] for d in range(self.max_degree + 1)}
+
+    def _cached_transforms(self, feature_data: np.ndarray) -> Dict[int, np.ndarray]:
+        key = hash(feature_data.tobytes())
+        if key not in self.transform_cache:
+            self.transform_cache[key] = self._compute_transforms(feature_data)
+        return self.transform_cache[key]
+
+    # -- scoring ----------------------------------------------------------
+    def evaluate_degree(
+        self, x_data, y_data, weights=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-cumulative-degree (MSE, weighted comp-R^2) scores.
+
+        Mirror of DegreeOptimizer.evaluate_degree (reference :122-158), with
+        the transform dict computed once instead of once per degree.
+        """
+        feature_data = _extract_features(x_data).astype(np.float64)
+        y = np.asarray(y_data).reshape(-1, 1).astype(np.float64)
+        cache_key = (feature_data.shape, hash(feature_data.tobytes()))
+        if cache_key in self.degree_scores and self.data_same:
+            return self.degree_scores[cache_key]
+
+        transforms = self._cached_transforms(feature_data)
+        scores = np.zeros(self.max_degree + 1)
+        comp_r2 = np.zeros(self.max_degree + 1)
+        for d in range(self.max_degree + 1):
+            X = np.hstack([transforms[deg] for deg in range(d + 1)])
+            coeffs = np.linalg.lstsq(X, y, rcond=None)[0]
+            y_pred = X @ coeffs
+            metrics = self._compute_metrics(y, y_pred, weights)
+            scores[d] = metrics["mse"]
+            comp_r2[d] = metrics["comp_r2"]
+        self.degree_scores[cache_key] = (scores, comp_r2)
+        return scores, comp_r2
+
+    def is_degree_definitive(self, scores: np.ndarray) -> Tuple[bool, int]:
+        """Definitive-degree shortcut (reference :159-181)."""
+        best_degree = int(np.argmin(scores))
+        best_score = float(scores[best_degree])
+        for d in range(len(scores)):
+            if d != best_degree:
+                score = float(scores[d])
+                relative_improvement = (score - best_score) / (score + 1e-10)
+                if relative_improvement < self.significance_threshold:
+                    return False, best_degree
+        return True, best_degree
+
+    # -- QUBO search ------------------------------------------------------
+    def optimize_layer(
+        self,
+        layer_idx: int,
+        x_data,
+        y_data,
+        weights=None,
+        num_reads: int = 1000,
+        num_sweeps: int = 1000,
+        seed: int = 0,
+    ) -> List[List[int]]:
+        """Optimize degrees for one layer (reference :183-254)."""
+        input_dim = self.network_shape[layer_idx]
+        output_dim = self.network_shape[layer_idx + 1]
+        num_functions = input_dim * output_dim
+
+        scores, _ = self.evaluate_degree(x_data, y_data, weights)
+        is_definitive, definitive_degree = self.is_degree_definitive(scores)
+
+        model = degree_selection_qubo(
+            scores,
+            num_functions=num_functions,
+            complexity_weight=self.complexity_weight,
+            definitive_degree=definitive_degree if is_definitive else None,
+        )
+        sample, _ = solve_qubo(
+            model,
+            num_reads=num_reads,
+            num_sweeps=num_sweeps,
+            seed=seed,
+            one_hot_block_size=self.max_degree + 1,
+        )
+        return decode_degrees(sample, input_dim, output_dim, self.max_degree)
+
+    def optimize_network(
+        self, training_data: Dict[str, np.ndarray], num_reads: int = 1000
+    ) -> List[List[List[int]]]:
+        """Layer-by-layer network optimization (reference :256-275)."""
+        network_degrees = []
+        for layer in range(self.num_layers):
+            network_degrees.append(
+                self.optimize_layer(
+                    layer_idx=layer,
+                    x_data=training_data[f"layer_{layer}_input"],
+                    y_data=training_data[f"layer_{layer}_output"],
+                    num_reads=num_reads,
+                )
+            )
+        return network_degrees
+
+    # -- fit / predict ----------------------------------------------------
+    def fit(self, x_data, y_data, weights=None, **optimize_kwargs) -> None:
+        """Degree search + QKAN weight assembly (reference :42-76)."""
+        self.optimal_degrees = self.optimize_layer(
+            layer_idx=0, x_data=x_data, y_data=y_data, weights=weights,
+            **optimize_kwargs,
+        )
+        feature_data = _extract_features(x_data).astype(np.float64)
+        self.feature_means = feature_data.mean(axis=0)
+        self.feature_stds = feature_data.std(axis=0) + 1e-8
+
+        N = self.network_shape[0]
+        K = self.network_shape[1]
+        weights_arr = np.zeros((self.max_degree + 1, N * K))
+        for d in range(self.max_degree + 1):
+            for out_idx, connections in enumerate(self.optimal_degrees):
+                for in_idx, degree in enumerate(connections):
+                    if degree == d:
+                        # reference weight-index convention (:63-76)
+                        weights_arr[d, out_idx * N + in_idx] = 1.0
+        self.qkan_weights = weights_arr
+
+    def predict(self, x_data) -> np.ndarray:
+        """Normalize by stored stats, run the batched QKAN forward
+        (reference :78-95, with the batching bug fixed)."""
+        if self.qkan_weights is None:
+            raise RuntimeError("Not fitted yet")
+        feature_data = _extract_features(x_data).astype(np.float64)
+        normalized = (feature_data - self.feature_means) / self.feature_stds
+        N, K = self.network_shape[0], self.network_shape[1]
+        out = qkan_layer_forward_batched(
+            jnp.asarray(normalized), jnp.asarray(self.qkan_weights), N, K
+        )
+        return np.asarray(out)
+
+    # -- metrics ----------------------------------------------------------
+    def _compute_metrics(self, y_true, y_pred, weights=None) -> Dict[str, float]:
+        return compute_metrics(y_true, y_pred, weights)
+
+    # -- persistence ------------------------------------------------------
+    def save_state(self, filename: str, query_params: Dict | None = None) -> None:
+        """Save optimizer state incl. QKAN weights + query params
+        (reference :314-345)."""
+        if query_params is None:
+            query_params = {
+                "n_rows": 100000,
+                "columns": ["date_id", "responder_6", "weight"]
+                + [f"feature_{i:02d}" for i in range(79)],
+                "sort_by": "date_id",
+            }
+        qkan_params = None
+        if self.qkan_weights is not None:
+            qkan_params = {
+                "weights": self.qkan_weights.copy(),
+                "feature_means": self.feature_means.copy(),
+                "feature_stds": self.feature_stds.copy(),
+                "optimal_degrees": [list(row) for row in self.optimal_degrees],
+            }
+        state = {
+            "network_shape": self.network_shape,
+            "max_degree": self.max_degree,
+            "complexity_weight": self.complexity_weight,
+            "significance_threshold": self.significance_threshold,
+            "transform_cache": {},  # transforms are cheap to rebuild here
+            "degree_scores": self.degree_scores,
+            "query_params": query_params,
+            "qkan_params": qkan_params,
+        }
+        np.save(filename, np.array(state, dtype=object), allow_pickle=True)
+
+    def load_state(self, filename: str, current_query_params: dict) -> None:
+        """Restore state; reuse caches only if the query matches
+        (reference :346-386)."""
+        if not str(filename).endswith(".npy"):
+            filename = str(filename) + ".npy"
+        state = np.load(filename, allow_pickle=True).item()
+        self.network_shape = state["network_shape"]
+        self.max_degree = state["max_degree"]
+        self.complexity_weight = state["complexity_weight"]
+        self.significance_threshold = state["significance_threshold"]
+
+        if state["qkan_params"] is not None:
+            qp = state["qkan_params"]
+            self.feature_means = qp["feature_means"]
+            self.feature_stds = qp["feature_stds"]
+            self.optimal_degrees = qp["optimal_degrees"]
+            self.qkan_weights = qp["weights"]
+
+        if self._validate_query(state["query_params"], current_query_params):
+            self.degree_scores = state["degree_scores"]
+        else:
+            self.data_same = False
+            self.transform_cache = {}
+            self.degree_scores = {}
+
+    @staticmethod
+    def _validate_query(saved_params: dict, current_query_params: dict) -> bool:
+        return (
+            saved_params["n_rows"] == current_query_params["n_rows"]
+            and saved_params["columns"] == current_query_params["columns"]
+            and saved_params["sort_by"] == current_query_params["sort_by"]
+        )

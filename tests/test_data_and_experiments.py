@@ -1,0 +1,196 @@
+"""Data pipeline + experiment harness end-to-end tests.
+
+Mirrors the reference's L5 harness behavior (Testing and Visualization
+Framework/): quantile normalization semantics, date-based splits, YAML config
+round-trip with 'auto' features, and a full run_experiment on a synthetic
+Jane-Street-shaped parquet.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from qkan_implementation_tpu.data import (
+    DataPipeline,
+    generate_market_parquet,
+    load_mnist,
+    to_one_hot,
+)
+from qkan_implementation_tpu.experiments import (
+    load_config,
+    get_default_features,
+    run_experiment,
+)
+from qkan_implementation_tpu.experiments.config import DataConfig
+
+
+def small_config(tmp_path, n_features=4, n_rows=400):
+    parquet = generate_market_parquet(
+        str(tmp_path / "train.parquet"), n_rows=n_rows, n_features=n_features
+    )
+    return DataConfig(
+        data_path=parquet,
+        n_rows=n_rows,
+        train_ratio=0.8,
+        feature_cols=[f"feature_{i:02d}" for i in range(n_features)],
+        target_col="responder_6",
+        weight_col="weight",
+        date_col="date_id",
+    )
+
+
+def test_normalization_bounds_and_clamping(tmp_path):
+    cfg = small_config(tmp_path)
+    pipeline = DataPipeline(cfg)
+    train_df, train_target, train_w, val_df, val_target, val_w = (
+        pipeline.load_and_preprocess_data()
+    )
+    for df in (train_df, val_df):
+        vals = df.to_numpy()
+        assert np.all(vals >= -1.0) and np.all(vals <= 1.0)
+        # clamping puts mass exactly at the boundaries (5% beyond each quantile)
+        assert np.mean(vals == 1.0) > 0.01
+        assert np.mean(vals == -1.0) > 0.01
+    assert np.all(np.abs(train_target.to_numpy()) <= 1.0)
+
+
+def test_split_is_date_based(tmp_path):
+    cfg = small_config(tmp_path)
+    pipeline = DataPipeline(cfg)
+    df = pd.read_parquet(cfg.data_path).fillna(3)
+    df = df.tail(cfg.n_rows).sort_values(cfg.date_col).reset_index(drop=True)
+    norm = pipeline._normalize_features(df)
+    train_feats, _, _, val_feats, _, _ = pipeline._train_val_split(norm)
+    train_dates = set(norm[cfg.date_col][: len(train_feats)])
+    # dates are disjoint between train and val
+    n_train = len(train_feats)
+    dates = norm[cfg.date_col].to_numpy()
+    assert set(dates[:n_train]).isdisjoint(set(dates[n_train:]))
+    assert len(train_feats) + len(val_feats) == cfg.n_rows
+
+
+def test_constant_feature_fallback(tmp_path):
+    # scale falls back to std then 1.0 when q05 == q95 (data_pipeline.py:57)
+    path = str(tmp_path / "c.parquet")
+    df = pd.DataFrame(
+        {
+            "date_id": np.arange(50),
+            "weight": np.ones(50),
+            "feature_00": np.ones(50) * 7.0,
+            "responder_6": np.linspace(-1, 1, 50),
+        }
+    )
+    df.to_parquet(path)
+    cfg = DataConfig(
+        data_path=path,
+        n_rows=50,
+        train_ratio=0.8,
+        feature_cols=["feature_00"],
+        target_col="responder_6",
+        weight_col="weight",
+        date_col="date_id",
+    )
+    train_df, *_ = DataPipeline(cfg).load_and_preprocess_data()
+    assert np.all(np.isfinite(train_df.to_numpy()))
+
+
+def test_yaml_config_auto_features(tmp_path):
+    cfg_dict = {
+        "name": "t",
+        "data": {
+            "data_path": "x.parquet",
+            "n_rows": 10,
+            "train_ratio": 0.8,
+            "feature_cols": "auto",
+            "target_col": "responder_6",
+            "weight_col": "weight",
+            "date_col": "date_id",
+        },
+        "models": [
+            {"model_type": "qkan", "network_shape": [79, 1], "max_degree": 3}
+        ],
+        "random_seed": 42,
+        "num_trials": 1,
+        "save_path": str(tmp_path),
+        "log_path": str(tmp_path),
+    }
+    path = tmp_path / "cfg.yaml"
+    path.write_text(yaml.safe_dump(cfg_dict))
+    config = load_config(str(path))
+    assert config.data.feature_cols == get_default_features()
+    assert len(config.data.feature_cols) == 79
+    assert config.models[0].max_degree == 3
+
+
+def test_run_experiment_end_to_end(tmp_path):
+    n_features = 4
+    parquet = generate_market_parquet(
+        str(tmp_path / "train.parquet"), n_rows=400, n_features=n_features
+    )
+    cfg_dict = {
+        "name": "mini_experiment",
+        "data": {
+            "data_path": parquet,
+            "n_rows": 400,
+            "train_ratio": 0.8,
+            "feature_cols": [f"feature_{i:02d}" for i in range(n_features)],
+            "target_col": "responder_6",
+            "weight_col": "weight",
+            "date_col": "date_id",
+        },
+        "models": [
+            {
+                "model_type": "qkan",
+                "network_shape": [n_features, 1],
+                "max_degree": 3,
+                "complexity_weight": 0.1,
+                "significance_threshold": 0.05,
+                "num_reads": 32,
+            },
+            {
+                "model_type": "mlp",
+                "network_shape": [n_features, 8, 1],
+                "hidden_dims": [8],
+                "learning_rate": 0.001,
+                "batch_size": 64,
+                "n_epochs": 3,
+            },
+        ],
+        "random_seed": 42,
+        "num_trials": 2,
+        "save_path": str(tmp_path / "results"),
+        "log_path": str(tmp_path / "logs"),
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_dict))
+
+    results = run_experiment(str(cfg_path))
+    # 2 models x 2 trials, returned AFTER the loop (reference returned inside)
+    assert len(results) == 4
+    names = [r.model_name for r in results]
+    assert "qkan_trial_0" in names and "mlp_trial_1" in names
+    for r in results:
+        assert np.isfinite(r.MSE_Score)
+        assert r.train_time > 0
+
+    out = tmp_path / "results"
+    assert (out / "metrics_comparison.png").exists()
+    assert (out / "training_time_comparison.png").exists()
+    assert (out / "degree_distribution.png").exists()
+    assert (out / "results_summary.csv").exists()
+    summary = pd.read_csv(out / "results_summary.csv")
+    assert set(["model", "mse", "r2", "train_time"]).issubset(summary.columns)
+    assert (tmp_path / "logs" / "mini_experiment.log").exists()
+
+
+def test_mnist_fallback_loader():
+    x, y, meta = load_mnist(train=True)
+    xt, yt, _ = load_mnist(train=False)
+    assert x.ndim == 2 and x.shape[1] == meta["image_dim"]
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    assert set(np.unique(y)).issubset(set(range(10)))
+    assert len(x) > len(xt)
+    one_hot = to_one_hot(y[:5], 10)
+    assert one_hot.shape == (5, 10)
+    np.testing.assert_array_equal(one_hot.sum(axis=1), np.ones(5))

@@ -1,0 +1,168 @@
+"""DegreeOptimizer tests.
+
+Mirrors the reference suites: polynomial-degree recovery with MSE < 0.1 and
+monotone scores (Tests_TorchDegreeOptimizer.py:35-76), weighted-vs-unweighted
+divergence (:78-94), fold construction (BaseOptimizer.py:38-99), and
+save/load with query validation (DegreeOptimizer.py:314-386).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from qkan_implementation_tpu.optim import BaseOptimizer, DegreeOptimizer
+
+
+def poly_frame(n=200, degree=3, seed=0, n_features=1):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, (n, n_features))
+    coeffs = [0.0, 0.5, -0.3, 0.8, 0.2][: degree + 1]
+    y = sum(c * x[:, 0] ** d for d, c in enumerate(coeffs))
+    df = pd.DataFrame(
+        x, columns=[f"feature_{i:02d}" for i in range(n_features)]
+    )
+    return df, y.reshape(-1, 1)
+
+
+@pytest.mark.parametrize("true_degree", [2, 3, 4])
+def test_polynomial_fit_quality(true_degree):
+    df, y = poly_frame(degree=true_degree)
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=5)
+    scores, comp_r2 = opt.evaluate_degree(df, y)
+    # scores monotonically non-increasing with cumulative degree
+    assert all(
+        scores[d + 1] <= scores[d] + 1e-9 for d in range(len(scores) - 1)
+    )
+    # by the true degree, fit is essentially exact
+    assert scores[true_degree] < 1e-10
+    assert scores[-1] < 0.1  # the reference bar
+
+
+def test_is_degree_definitive():
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
+    definitive, best = opt.is_degree_definitive(np.array([0.9, 0.5, 1e-8, 1e-8]))
+    assert best == 2 or best == 3
+    assert not definitive  # degrees 2 and 3 are indistinguishable
+    definitive, best = opt.is_degree_definitive(np.array([0.9, 0.5, 0.01, 0.3]))
+    assert definitive and best == 2
+
+
+def test_fit_predict_shapes_and_quality():
+    # N=2 features -> K=1 output; degree-2 target on feature 0
+    rng = np.random.default_rng(1)
+    n = 300
+    x = rng.uniform(-1, 1, (n, 2))
+    y = (2 * x[:, 0] ** 2 - 1).reshape(-1, 1)  # T_2 of feature 0
+    df = pd.DataFrame(x, columns=["feature_00", "feature_01"])
+    opt = DegreeOptimizer(network_shape=[2, 1], max_degree=3)
+    opt.fit(df, y, num_reads=64, num_sweeps=200)
+    assert opt.optimal_degrees is not None
+    assert len(opt.optimal_degrees) == 1 and len(opt.optimal_degrees[0]) == 2
+    preds = opt.predict(df)
+    assert preds.shape == (n, 1)
+    assert np.all(np.isfinite(preds))
+
+
+def test_weighted_changes_scores():
+    # weighted-vs-unweighted evaluation must differ
+    # (Tests_TorchDegreeOptimizer.py:78-94)
+    df, y = poly_frame(degree=3, n=150)
+    rng = np.random.default_rng(2)
+    w = rng.uniform(0.1, 2.0, len(y))
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
+    s_unweighted, _ = opt.evaluate_degree(df, y + 0.1 * rng.normal(size=y.shape))
+    opt2 = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
+    s_weighted, _ = opt2.evaluate_degree(
+        df, y + 0.1 * rng.normal(size=y.shape), weights=w
+    )
+    assert not np.allclose(s_unweighted, s_weighted)
+
+
+def test_transform_caching():
+    df, y = poly_frame()
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
+    opt.evaluate_degree(df, y)
+    assert len(opt.transform_cache) == 1
+    opt.evaluate_degree(df, y)  # second call hits both caches
+    assert len(opt.transform_cache) == 1
+    assert len(opt.degree_scores) == 1
+
+
+def test_expanding_window_folds():
+    dates = np.repeat(np.arange(10), 5)  # 10 unique dates x 5 rows
+    df = pd.DataFrame({"date_id": dates})
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=2)
+    folds = opt._get_expanding_window_folds(df, n_splits=2, initial_ratio=0.6)
+    assert len(folds) == 2
+    train0, val0 = folds[0]
+    # initial train = 6 dates, val = 2 dates
+    assert train0.sum() == 30 and val0.sum() == 10
+    train1, val1 = folds[1]
+    assert train1.sum() == 40 and val1.sum() == 10
+    # expanding: train grows, no overlap between train and its val
+    assert not np.any(train0 & val0)
+
+
+def test_time_based_folds():
+    dates = np.repeat(np.arange(12), 2)
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=2)
+    folds = opt._get_time_based_folds(dates, n_splits=3)
+    assert len(folds) == 3
+    for train, val in folds:
+        assert not np.any(train & val)
+        # time ordering: all val dates after all train dates
+        assert dates[train].max() < dates[val].min()
+
+
+def test_save_load_state_with_query_validation(tmp_path):
+    df, y = poly_frame(degree=2)
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
+    opt.fit(df, y, num_reads=32, num_sweeps=100)
+    preds = opt.predict(df)
+
+    qp = {"n_rows": 10, "columns": ["feature_00"], "sort_by": "date_id"}
+    path = str(tmp_path / "state.npy")
+    opt.save_state(path, query_params=qp)
+
+    # matching query: caches retained
+    opt2 = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
+    opt2.load_state(path, current_query_params=qp)
+    np.testing.assert_allclose(opt2.predict(df), preds, atol=1e-12)
+    assert opt2.degree_scores  # cache reused
+
+    # mismatched query: caches cleared but weights restored
+    opt3 = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
+    opt3.load_state(
+        path, current_query_params={**qp, "n_rows": 999}
+    )
+    assert opt3.degree_scores == {}
+    np.testing.assert_allclose(opt3.predict(df), preds, atol=1e-12)
+
+
+def test_predict_before_fit_raises():
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=2)
+    with pytest.raises(RuntimeError):
+        opt.predict(np.zeros((3, 1)))
+
+
+def test_optimize_network_multi_layer():
+    rng = np.random.default_rng(3)
+    x0 = rng.uniform(-1, 1, (100, 2))
+    y0 = rng.normal(size=(100, 1))
+    x1 = rng.uniform(-1, 1, (100, 3))
+    y1 = rng.normal(size=(100, 1))
+    training_data = {
+        "layer_0_input": pd.DataFrame(
+            x0, columns=["feature_00", "feature_01"]
+        ),
+        "layer_0_output": y0,
+        "layer_1_input": pd.DataFrame(
+            x1, columns=["feature_00", "feature_01", "feature_02"]
+        ),
+        "layer_1_output": y1,
+    }
+    opt = DegreeOptimizer(network_shape=[2, 3, 1], max_degree=2)
+    degrees = opt.optimize_network(training_data, num_reads=32)
+    assert len(degrees) == 2
+    assert len(degrees[0]) == 3 and len(degrees[0][0]) == 2
+    assert len(degrees[1]) == 1 and len(degrees[1][0]) == 3
