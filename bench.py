@@ -1,0 +1,113 @@
+"""Headline benchmark: QKANLayer forward+backward throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (from BASELINE.json): QKANLayer(N=16, K=16, degree=7) fused
+forward+backward, batched.  The baseline is a reference-faithful NumPy
+implementation of the same layer -- dense NK x NK diagonal matrices and the
+per-element Python Chebyshev loop, exactly the algorithm of
+``QKAN_Steps_original/QKANLayer.py:124-135`` / ``ChebyshevStep.py:32-65``
+(forward only; it has no backward at all) -- measured in-process on this
+machine's CPU.  ``vs_baseline`` is our layers/sec over its layers/sec.
+
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def reference_faithful_forward(x, weights, N, K):
+    """The reference's algorithm, reproduced for timing: dense diagonals,
+    per-element Chebyshev via cos/arccos in a Python loop."""
+    max_degree = len(weights) - 1
+    combined = np.zeros((N * K, N * K))
+    for d in range(max_degree + 1):
+        cheb_vals = np.array(
+            [np.cos(d * np.arccos(np.clip(xi, -1, 1))) for xi in x]
+        )
+        dilated = np.diag(np.repeat(cheb_vals, K))
+        weighted = np.diag(np.diag(dilated) * weights[d])
+        combined += weighted / (max_degree + 1)
+    lcu_diag = np.diag(combined)
+    reshaped = lcu_diag.reshape(N, K, order="F")
+    return np.sum(reshaped, axis=0) / N
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qkan_implementation_tpu.ops import qkan_layer_forward_batched
+
+    N = K = 16
+    d = 7
+    B = 8192
+    rng = np.random.default_rng(0)
+    x_np = rng.uniform(-1, 1, (B, N))
+    w_np = rng.uniform(-1, 1, (d + 1, N * K))
+    x = jnp.asarray(x_np, dtype=jnp.float32)
+    w = jnp.asarray(w_np, dtype=jnp.float32)
+
+    def loss(w, x):
+        return jnp.sum(qkan_layer_forward_batched(x, w, N, K) ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss))
+
+    t0 = time.time()
+    v, g = step(w, x)
+    jax.block_until_ready(g)
+    compile_s = time.time() - t0
+    print(f"device={jax.devices()[0]} compile={compile_s:.2f}s", file=sys.stderr)
+
+    # steady state: enough iterations to dominate dispatch overhead
+    iters = 200
+    t0 = time.time()
+    for _ in range(iters):
+        v, g = step(w, x)
+    jax.block_until_ready(g)
+    ours_layers_per_sec = B * iters / (time.time() - t0)
+    print(f"ours: {ours_layers_per_sec:,.0f} fwd+bwd layers/sec", file=sys.stderr)
+
+    # baseline: reference-faithful NumPy forward (single sample at a time)
+    base_iters = 5
+    # correctness cross-check first
+    got = np.asarray(
+        qkan_layer_forward_batched(
+            jnp.asarray(x_np[:1]), jnp.asarray(w_np), N, K
+        )
+    )[0]
+    want = reference_faithful_forward(x_np[0], w_np, N, K)
+    err = float(np.max(np.abs(got - want)))
+    if err > 1e-5:
+        print(f"WARNING: parity check err={err}", file=sys.stderr)
+    t0 = time.time()
+    for i in range(base_iters):
+        reference_faithful_forward(x_np[i % B], w_np, N, K)
+    base_layers_per_sec = base_iters / (time.time() - t0)
+    print(
+        f"reference-faithful numpy: {base_layers_per_sec:,.1f} layers/sec "
+        f"(forward only)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "QKANLayer(N=16,K=16,deg=7) fwd+bwd layers/sec",
+                "value": round(ours_layers_per_sec, 1),
+                "unit": "layers/sec",
+                "vs_baseline": round(ours_layers_per_sec / base_layers_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
