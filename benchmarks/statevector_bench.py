@@ -1,0 +1,95 @@
+"""Statevector gate-throughput benchmark: Pallas vs XLA lowering.
+
+Measures per-gate wall time and effective HBM bandwidth for the FABLE hot
+ops (MSB-targeted uniformly-controlled Ry, Hadamard) at a given qubit count,
+plus a full FABLE block-encoding simulation.  The reference's equivalent
+runtime is Qiskit Aer's C++ gate loop (SURVEY.md section 3.2); run on TPU:
+
+    PYTHONPATH=. python benchmarks/statevector_bench.py --qubits 21
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--qubits", type=int, default=21)
+    parser.add_argument("--iters", type=int, default=100)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from qkan_implementation_tpu.sim.circuit import Gate
+    from qkan_implementation_tpu.sim.pallas_kernels import (
+        TILE,
+        h_gate_pallas,
+        ucry_msb_pallas,
+    )
+    from qkan_implementation_tpu.sim.statevector import apply_gate
+    from qkan_implementation_tpu.utils.profiling import timeit_jit
+
+    q = args.qubits
+    dim = 2**q
+    on_tpu = jax.devices()[0].platform == "tpu"
+    print(f"device={jax.devices()[0]} qubits={q} amplitudes={dim:,}")
+
+    rng = np.random.default_rng(0)
+    psi = jnp.asarray(rng.normal(size=dim), dtype=jnp.float32)
+    psi = psi / jnp.linalg.norm(psi)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, dim // 2), dtype=jnp.float32)
+
+    results = {}
+    if dim // 2 >= TILE:
+        dt = timeit_jit(
+            lambda p: ucry_msb_pallas(p, thetas, interpret=not on_tpu),
+            psi,
+            iters=args.iters,
+        )
+        results["pallas_ucry_ms"] = dt * 1e3
+        results["pallas_ucry_gbps"] = dim * 3 * 4 / dt / 1e9
+
+    gate = Gate("ucry", (q - 1, *range(q - 2, -1, -1)), np.asarray(thetas))
+    dt = timeit_jit(
+        jax.jit(lambda p: apply_gate(p, gate, q)), psi, iters=args.iters
+    )
+    results["xla_ucry_ms"] = dt * 1e3
+
+    h_gate = Gate("h", (q // 2,))
+    dt = timeit_jit(
+        jax.jit(lambda p: apply_gate(p, h_gate, q)), psi, iters=args.iters
+    )
+    results["xla_h_ms"] = dt * 1e3
+    if dim // 2 >= TILE and (2 ** (q // 2)) % 128 == 0:
+        dt = timeit_jit(
+            lambda p: h_gate_pallas(p, q // 2, interpret=not on_tpu),
+            psi,
+            iters=args.iters,
+        )
+        results["pallas_h_ms"] = dt * 1e3
+
+    # Full FABLE simulation (auto backend): circuit has 2n+1 = q qubits when
+    # the encoded block is 2^((q-1)/2).
+    if q % 2 == 1:
+        from qkan_implementation_tpu.encoding import fable
+        from qkan_implementation_tpu.sim import simulate
+
+        n = (q - 1) // 2
+        a = rng.uniform(-1, 1, (2**n, 2**n))
+        circ, _ = fable(a)
+        f = jax.jit(lambda p: simulate(circ, psi0=p))
+        dt = timeit_jit(f, psi, iters=max(args.iters // 5, 5))
+        results["fable_sim_ms"] = dt * 1e3
+        results["fable_gates_per_sec"] = circ.gate_count / dt
+
+    for k, v in results.items():
+        print(f"{k}: {v:,.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -176,7 +176,7 @@ def run_experiment(config_path: str):
     return results
 
 
-if __name__ == "__main__":
+def _cli():
     import argparse
 
     parser = argparse.ArgumentParser()
@@ -185,3 +185,7 @@ if __name__ == "__main__":
     )
     args = parser.parse_args()
     run_experiment(args.config_path)
+
+
+if __name__ == "__main__":
+    _cli()

@@ -1,0 +1,153 @@
+"""Quantum-verified QKAN forward: the layer computed *through* the simulator.
+
+The reference's quantum path is forward-only and test-only: FABLE circuits
+are built per step and checked against Aer (``QKAN_Steps_original/*`` test
+classes).  Here the whole path is a first-class, differentiable computation:
+the FABLE rotation angles are traced jnp values, the statevector engine
+consumes them, and gradients flow through ``arccos`` -> gate application ->
+amplitude extraction (BASELINE.json north star: "differentiable through the
+simulator").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.ops.qkan_layer import lcu_combine_diag, sum_step
+from qkan_implementation_tpu.sim.circuit import Circuit
+from qkan_implementation_tpu.sim.statevector import simulate
+
+
+def _next_pow2_exp(n: int) -> int:
+    return max(1, int(np.ceil(np.log2(max(n, 1)))))
+
+
+def fable_diag_traced(diag: jax.Array):
+    """FABLE block encoding of a diagonal matrix with *traced* angles.
+
+    ``diag``: length-2^n vector (jnp, may be a tracer).  Returns
+    (circuit, alpha) where the circuit's ucry parameters are jnp values, so
+    the whole simulation is differentiable w.r.t. ``diag``.  The |a| <= 1
+    subnormalization uses a smooth-safe clip; alpha is returned as a traced
+    scalar.
+    """
+    size = diag.shape[-1]
+    n = int(np.log2(size))
+    if 2**n != size:
+        raise ValueError("diag length must be a power of two")
+
+    alpha = jnp.maximum(1.0, jnp.max(jnp.abs(diag)) * (1.0 + 1e-8))
+    scaled = diag / alpha
+
+    # Row-major flat index of diagonal entries: i*size + i; off-diagonal
+    # entries are zero -> theta = pi (constant).
+    flat = jnp.full((size * size,), jnp.pi, dtype=scaled.dtype)
+    idx = jnp.arange(size) * size + jnp.arange(size)
+    thetas = 2.0 * jnp.arccos(jnp.clip(scaled, -1.0, 1.0))
+    flat = flat.at[idx].set(thetas)
+
+    circ = Circuit(2 * n + 1)
+    anc = 2 * n
+    for qubit in range(n, 2 * n):
+        circ.h(qubit)
+    circ.ucry(flat, tuple(range(2 * n - 1, -1, -1)), anc)
+    for j in range(n):
+        circ.swap(j, n + j)
+    for qubit in range(n, 2 * n):
+        circ.h(qubit)
+    return circ, alpha
+
+
+def quantum_extract_diag(diag: jax.Array) -> jax.Array:
+    """Round-trip a diagonal through its block encoding on the simulator.
+
+    Returns the diagonal as recovered from circuit amplitudes:
+    out[j] = <j| U |j> * alpha * 2^n.  Numerically equal to ``diag`` (to
+    simulation precision) but computed through the full quantum pipeline --
+    and differentiable w.r.t. ``diag``.
+    """
+    size = diag.shape[-1]
+    n = int(np.log2(size))
+    circ, alpha = fable_diag_traced(diag)
+    dim = 2 ** (2 * n + 1)
+
+    basis = jnp.eye(size, dim, dtype=diag.dtype)  # e_j over the full space
+
+    def one_column(e):
+        psi = simulate(circ, psi0=e, dtype=diag.dtype)
+        return psi
+
+    columns = jax.vmap(one_column)(basis)  # [size, dim]
+    amps = jnp.take_along_axis(
+        columns, jnp.arange(size)[:, None], axis=1
+    ).squeeze(-1)
+    return amps * alpha * size
+
+
+def qkan_layer_forward_quantum(
+    x: jax.Array, weights: jax.Array, N: int, K: int
+) -> jax.Array:
+    """QKAN layer forward computed through the block-encoding simulator.
+
+    Equivalent to ``qkan_layer_forward`` but the LCU diagonal physically
+    round-trips through its FABLE circuit before the SUM step -- the
+    "quantum mode" of the layer.  Differentiable end-to-end.
+    """
+    lcu = lcu_combine_diag(x, weights, K)
+    size = N * K
+    exp = _next_pow2_exp(size)
+    padded_size = 2**exp
+    if padded_size != size:
+        lcu = jnp.concatenate(
+            [lcu, jnp.zeros(padded_size - size, dtype=lcu.dtype)]
+        )
+    recovered = quantum_extract_diag(lcu)[:size]
+    return sum_step(recovered, N, K)
+
+
+def quantum_verify_pipeline(
+    x: jax.Array, weights: jax.Array, N: int, K: int
+) -> dict:
+    """Per-stage block-encoding round-trip errors (the library counterpart
+    of the reference's step-test verification, MulStep.py:115-166).
+
+    Returns relative errors for each pipeline stage; all should sit at
+    simulation precision.
+    """
+    from qkan_implementation_tpu.ops.chebyshev import dilated_chebyshev_diag
+    from qkan_implementation_tpu.ops.qkan_layer import weighted_chebyshev_diag
+
+    max_degree = weights.shape[0] - 1
+    errors = {}
+
+    def diag_error(diag):
+        size = diag.shape[-1]
+        exp = _next_pow2_exp(size)
+        padded = 2**exp
+        d = diag
+        if padded != size:
+            d = jnp.concatenate([d, jnp.zeros(padded - size, dtype=d.dtype)])
+        rec = quantum_extract_diag(d)[:size]
+        denom = jnp.linalg.norm(diag)
+        return jnp.where(
+            denom > 1e-30, jnp.linalg.norm(rec - diag) / denom, jnp.linalg.norm(rec)
+        )
+
+    for d in range(max_degree + 1):
+        cheb = dilated_chebyshev_diag(x, K, d)
+        errors[f"cheb_deg{d}"] = float(diag_error(cheb))
+        errors[f"mul_deg{d}"] = float(
+            diag_error(weighted_chebyshev_diag(x, weights[d], K, d))
+        )
+    lcu = lcu_combine_diag(x, weights, K)
+    errors["lcu"] = float(diag_error(lcu))
+    summed = sum_step(lcu, N, K)
+    exp = _next_pow2_exp(K)
+    padded = 2**exp
+    s = summed
+    if padded != K:
+        s = jnp.concatenate([s, jnp.zeros(padded - K, dtype=s.dtype)])
+    errors["sum"] = float(diag_error(s))
+    return errors

@@ -39,23 +39,26 @@ from qkan_implementation_tpu.sim.statevector import (
 
 
 def _exchange_global_local(
-    psi_t, dev_bit: int, local_pos: int, axis_name: str, n_dev: int, q_local: int
+    psi, dev_bit: int, local_pos: int, axis_name: str, n_dev: int, q_local: int
 ):
     """Swap global qubit bit ``dev_bit`` (of the device index) with local
     qubit ``local_pos``: one bidirectional pairwise exchange of half a block.
 
     Amplitude (G=a, l=b) moves to (G=b, l=a); each device keeps the diagonal
     half and trades the off-diagonal half with its hypercube neighbor.
+    Operates on the flat local block via an [outer, 2, inner] view.
     """
-    axis = q_local - 1 - local_pos
+    shape = psi.shape
+    inner = 2**local_pos
+    v = psi.reshape(-1, 2, inner)
     g = (jax.lax.axis_index(axis_name) >> dev_bit) & 1
-    h0 = jax.lax.index_in_dim(psi_t, 0, axis=axis, keepdims=False)
-    h1 = jax.lax.index_in_dim(psi_t, 1, axis=axis, keepdims=False)
+    h0 = v[:, 0, :]
+    h1 = v[:, 1, :]
     send = jnp.where(g == 0, h1, h0)
     recv = pairwise_exchange(send, axis_name, dev_bit, n_dev)
     new0 = jnp.where(g == 0, h0, recv)
     new1 = jnp.where(g == 0, recv, h1)
-    return jnp.stack([new0, new1], axis=axis)
+    return jnp.stack([new0, new1], axis=1).reshape(shape)
 
 
 def _select_global_control_angles(params, controls, q_local, axis_name):
@@ -164,11 +167,11 @@ def sharded_simulate(
         psi0 = zero_state(q, dtype)
     psi0 = jax.device_put(psi0.astype(dtype), NamedSharding(mesh, P(axis_name)))
 
-    def local_fn(block):  # [2^q_local] slice on each device
-        psi_t = block.reshape((2,) * q_local)
+    def local_fn(block):  # flat [2^q_local] slice on each device
+        psi = block
         for gate in circuit.gates:
-            psi_t = _apply_sharded_gate(psi_t, gate, q_local, axis_name, n_dev)
-        return psi_t.reshape(-1)
+            psi = _apply_sharded_gate(psi, gate, q_local, axis_name, n_dev)
+        return psi
 
     fn = jax.jit(
         jax.shard_map(

@@ -84,91 +84,168 @@ def _gate_matrix(gate: Gate) -> np.ndarray:
     raise ValueError(f"Unknown gate {gate.name}")
 
 
-def _apply_dense(psi_t, matrix, qubits, num_qubits):
-    """Apply a k-qubit dense gate to the (2,)*q tensor ``psi_t``.
+def _grouped_view(num_qubits: int, qubits):
+    """Shape for viewing a flat [2^q] state with one explicit axis per gate
+    qubit and merged segments in between: at most 2k+1 dims total, so XLA
+    never sees a rank-q tensor (rank-20+ transposes blow up compile time).
 
-    ``qubits[0]`` is the most significant bit of the gate index; qubit t
-    lives on tensor axis q-1-t (little-endian flat index).
+    Returns (shape, axis_of_qubit dict).  Qubits must be sorted descending.
+    """
+    shape = []
+    axes = {}
+    prev = num_qubits
+    for t in qubits:
+        seg = 2 ** (prev - t - 1)
+        if seg > 1:
+            shape.append(seg)
+        axes[t] = len(shape)
+        shape.append(2)
+        prev = t
+    if prev > 0:
+        shape.append(2**prev)
+    return shape, axes
+
+
+def _apply_dense(psi, matrix, qubits, num_qubits):
+    """Apply a k-qubit dense gate to the flat [2^q] state ``psi``.
+
+    ``qubits[0]`` is the most significant bit of the gate index.  The state
+    is viewed with one axis per gate qubit (plus merged segments), the gate
+    contracts those axes, and the axes move back in place -- all on tensors
+    of rank <= 2k+1.
     """
     k = len(qubits)
-    axes = [num_qubits - 1 - t for t in qubits]
-    m = jnp.asarray(matrix, dtype=psi_t.dtype).reshape((2,) * (2 * k))
-    out = jnp.tensordot(m, psi_t, axes=(list(range(k, 2 * k)), axes))
+    order = sorted(qubits, reverse=True)
+    shape, axes = _grouped_view(num_qubits, order)
+    psi_v = psi.reshape(shape)
+    contract_axes = [axes[t] for t in qubits]
+    m = jnp.asarray(matrix, dtype=psi.dtype).reshape((2,) * (2 * k))
+    out = jnp.tensordot(m, psi_v, axes=(list(range(k, 2 * k)), contract_axes))
     # tensordot puts the gate's output axes first, in qubits order
-    return jnp.moveaxis(out, list(range(k)), axes)
+    out = jnp.moveaxis(out, list(range(k)), contract_axes)
+    return out.reshape(psi.shape)
 
 
-def _apply_ucry(psi_t, thetas, target, controls, num_qubits):
+def _pattern_index(qubits, size, skip_bit: int | None = None):
+    """Parameter index per flat position: read the ``qubits`` bits of each
+    index in [0, size) (qubits[0] = MSB of the parameter index).
+
+    ``skip_bit``: the flat index enumerates a state with that qubit removed
+    (bit positions above it shift down by one).  Pure int32 bit arithmetic --
+    one gather instead of a (2,)*k reshape/transpose, keeping XLA compile
+    time flat in qubit count.
+    """
+    r = np.arange(size, dtype=np.int64)
+    c_index = np.zeros_like(r)
+    k = len(qubits)
+    for i, t in enumerate(qubits):
+        pos = t if skip_bit is None or t < skip_bit else t - 1
+        bit = (r >> pos) & 1
+        c_index = c_index | (bit << (k - 1 - i))
+    return c_index  # static numpy: a constant to XLA
+
+
+def _apply_ucry(psi, thetas, target, controls, num_qubits):
     """Fused uniformly-controlled Ry: one vectorized elementwise update.
 
-    Equivalent to FABLE's 2*4^n Ry/CNOT gray-code ladder but O(2^q) work in a
-    single VPU-friendly op -- the hot path of block-encoding simulation.
+    Equivalent to FABLE's 2*4^n Ry/CNOT gray-code ladder but O(2^q) work in
+    a single VPU-friendly op -- the hot path of block-encoding simulation.
+    Operates on the flat state via an [outer, 2, inner] view (never rank-q).
     """
     q = num_qubits
-    ax_t = q - 1 - target
-    psi_m = jnp.moveaxis(psi_t, ax_t, 0)  # target axis to front
+    shape = psi.shape
+    inner = 2**target
+    v = psi.reshape(-1, 2, inner)  # [outer, 2, inner]
+    p0 = v[:, 0, :].reshape(-1)
+    p1 = v[:, 1, :].reshape(-1)
 
-    # Broadcast thetas over the moved layout: axis 0 is the target; the
-    # remaining axes keep their relative order.
-    th = jnp.asarray(thetas, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    th = th.reshape((2,) * len(controls))
-    pos = []
-    for c in controls:
-        a = q - 1 - c
-        pos.append(1 + a - (1 if a > ax_t else 0))
-    order = np.argsort(pos)
-    th = jnp.transpose(th, tuple(order))
-    shape = [1] * q
-    for p in pos:
-        shape[p] = 2
-    th_b = th.reshape(shape)[0]  # drop the leading broadcast axis
-
-    half = th_b / 2.0
-    c = jnp.cos(half).astype(psi_m.dtype)
-    s = jnp.sin(half).astype(psi_m.dtype)
-    p0, p1 = psi_m[0], psi_m[1]
-    new0 = c * p0 - s * p1
-    new1 = s * p0 + c * p1
-    psi_m = jnp.stack([new0, new1], axis=0)
-    return jnp.moveaxis(psi_m, 0, ax_t)
+    c_index = _pattern_index(controls, p0.shape[0], skip_bit=target)
+    th = jnp.asarray(thetas).reshape(-1)
+    if th.shape[0] == p0.shape[0] and np.array_equal(
+        c_index, np.arange(p0.shape[0])
+    ):
+        # FABLE's layout (controls = all rest qubits, MSB first) needs no
+        # gather at all -- the angle order IS the amplitude order.
+        half = th / 2.0
+    else:
+        half = th[c_index] / 2.0
+    c = jnp.cos(half).astype(psi.dtype)
+    s = jnp.sin(half).astype(psi.dtype)
+    new0 = (c * p0 - s * p1).reshape(-1, inner)
+    new1 = (s * p0 + c * p1).reshape(-1, inner)
+    return jnp.stack([new0, new1], axis=1).reshape(shape)
 
 
-def _apply_diag(psi_t, phases, qubits, num_qubits):
-    """Fused diagonal gate: elementwise multiply broadcast over pattern axes."""
-    q = num_qubits
-    ph = jnp.asarray(phases).reshape((2,) * len(qubits))
-    pos = [q - 1 - t for t in qubits]
-    order = np.argsort(pos)
-    ph = jnp.transpose(ph, tuple(order))
-    shape = [1] * q
-    for p in pos:
-        shape[p] = 2
-    return psi_t * ph.reshape(shape).astype(psi_t.dtype)
+def _apply_diag(psi, phases, qubits, num_qubits):
+    """Fused diagonal gate: elementwise multiply via one parameter gather."""
+    shape = psi.shape
+    flat = psi.reshape(-1)
+    ph = jnp.asarray(phases).reshape(-1)
+    if ph.shape[0] == flat.shape[0] and tuple(qubits) == tuple(
+        range(num_qubits - 1, -1, -1)
+    ):
+        return (flat * ph.astype(flat.dtype)).reshape(shape)
+    c_index = _pattern_index(qubits, flat.shape[0])
+    return (flat * ph[c_index].astype(flat.dtype)).reshape(shape)
 
 
 def apply_gate(psi: jax.Array, gate: Gate, num_qubits: int) -> jax.Array:
     """Apply one gate to a flat [2**q] statevector."""
-    psi_t = psi.reshape((2,) * num_qubits)
     if gate.name == "ucry":
         target, controls = gate.qubits[0], gate.qubits[1:]
-        out = _apply_ucry(psi_t, gate.params, target, controls, num_qubits)
-    elif gate.name == "diag":
-        out = _apply_diag(psi_t, gate.params, gate.qubits, num_qubits)
-    else:
-        out = _apply_dense(psi_t, _gate_matrix(gate), gate.qubits, num_qubits)
-    return out.reshape(-1)
+        return _apply_ucry(psi, gate.params, target, controls, num_qubits)
+    if gate.name == "diag":
+        return _apply_diag(psi, gate.params, gate.qubits, num_qubits)
+    return _apply_dense(psi, _gate_matrix(gate), gate.qubits, num_qubits)
 
 
-def simulate(circuit: Circuit, psi0: jax.Array | None = None, dtype=None) -> jax.Array:
+def _pallas_eligible(gate: Gate, num_qubits: int, dtype) -> bool:
+    """Route to the Pallas streaming kernel: large real-dtype ucry with the
+    target on the MSB (FABLE's layout) -- the case where the Mosaic kernel
+    beats the XLA lowering by orders of magnitude at 20+ qubits."""
+    if gate.name != "ucry" or jnp.issubdtype(dtype, jnp.complexfloating):
+        return False
+    if gate.qubits[0] != num_qubits - 1:
+        return False
+    half = 2 ** (num_qubits - 1)
+    from qkan_implementation_tpu.sim.pallas_kernels import TILE
+
+    if half % TILE != 0:
+        return False
+    controls = gate.qubits[1:]
+    return tuple(controls) == tuple(range(num_qubits - 2, -1, -1))
+
+
+def simulate(
+    circuit: Circuit,
+    psi0: jax.Array | None = None,
+    dtype=None,
+    backend: str = "auto",
+) -> jax.Array:
     """Run ``circuit`` on ``psi0`` (default |0...0>); returns the final state.
 
     The gate loop unrolls at trace time (the circuit is static data), so under
     ``jax.jit`` the whole circuit fuses into one XLA computation.
+
+    ``backend``: 'auto' uses the Pallas streaming kernel for eligible gates
+    on TPU (large MSB-targeted ucry); 'xla' forces the pure-XLA lowering;
+    'pallas' additionally allows interpret-mode Pallas off-TPU.
     """
     dtype = dtype or default_dtype(circuit)
     psi = zero_state(circuit.num_qubits, dtype) if psi0 is None else psi0.astype(dtype)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
     for gate in circuit.gates:
-        psi = apply_gate(psi, gate, circuit.num_qubits)
+        if use_pallas and _pallas_eligible(gate, circuit.num_qubits, dtype):
+            from qkan_implementation_tpu.sim.pallas_kernels import ucry_msb_pallas
+
+            psi = ucry_msb_pallas(
+                psi,
+                jnp.asarray(gate.params).reshape(-1),
+                interpret=not on_tpu,
+            )
+        else:
+            psi = apply_gate(psi, gate, circuit.num_qubits)
     return psi
 
 

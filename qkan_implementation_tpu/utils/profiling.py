@@ -1,0 +1,88 @@
+"""Profiling: stage timers + jax.profiler integration.
+
+The reference instruments with ad-hoc ``time.time()`` prints -- per-stage
+breakdowns with percentages and memory footprint (``LCUStep.py:126-161``),
+compute-time prints (``QKANLayer.py:203-244``).  This module keeps that
+report shape but as a reusable component, and adds ``jax.profiler`` trace
+annotation so stages show up on the TPU timeline.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+class StageTimer:
+    """Accumulate named stage durations; render the reference-style report.
+
+    >>> timer = StageTimer()
+    >>> with timer.stage("weights"): ...
+    >>> with timer.stage("circuit"): ...
+    >>> print(timer.report(memory_bytes=expected.nbytes))
+    """
+
+    def __init__(self, annotate_trace: bool = True):
+        self.durations: Dict[str, float] = {}
+        self.annotate_trace = annotate_trace
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        ctx = (
+            jax.profiler.TraceAnnotation(name)
+            if self.annotate_trace
+            else contextlib.nullcontext()
+        )
+        start = time.perf_counter()
+        with ctx:
+            yield
+        self.durations[name] = self.durations.get(name, 0.0) + (
+            time.perf_counter() - start
+        )
+
+    @property
+    def total(self) -> float:
+        return sum(self.durations.values())
+
+    def report(self, memory_bytes: Optional[int] = None) -> str:
+        """Stage breakdown with percentages (the LCUStep.py:152-161 shape)."""
+        lines = ["Breakdown of computation:"]
+        total = self.total or 1e-30
+        for name, dur in self.durations.items():
+            lines.append(f"{name}: {dur:.4f}s ({dur / total * 100:.1f}%)")
+        lines.append(f"Total: {total:.4f}s")
+        if memory_bytes is not None:
+            lines.append(f"Memory footprint: {memory_bytes / 1024 / 1024:.2f} MB")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler device trace around a block.
+
+    View with TensorBoard or xprof; this is the upgrade path from the
+    reference's print-based timing.
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timeit_jit(fn, *args, iters: int = 50, warmup: int = 2) -> float:
+    """Steady-state seconds/call of a jitted function (blocks on the last
+    result; dispatch pipelining is included, matching how throughput is
+    experienced)."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters

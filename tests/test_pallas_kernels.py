@@ -1,0 +1,71 @@
+"""Pallas kernel tests (interpret mode on CPU) against the XLA engine."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.sim import Circuit, simulate
+from qkan_implementation_tpu.sim.pallas_kernels import (
+    TILE,
+    diag_mult_pallas,
+    h_gate_pallas,
+    simulate_fable_pallas,
+    ucry_msb_pallas,
+)
+
+
+def test_ucry_msb_matches_xla():
+    rng = np.random.default_rng(0)
+    q = 11  # M = 2^10 = 1024 = one tile
+    dim = 2**q
+    psi = jnp.asarray(rng.normal(size=dim), dtype=jnp.float32)
+    psi = psi / jnp.linalg.norm(psi)
+    thetas = rng.uniform(-np.pi, np.pi, dim // 2)
+
+    circ = Circuit(q).ucry(thetas, tuple(range(q - 2, -1, -1)), q - 1)
+    expected = simulate(circ, psi0=psi, dtype=jnp.float32)
+    got = ucry_msb_pallas(psi, jnp.asarray(thetas, dtype=jnp.float32), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+
+def test_diag_mult_matches_xla():
+    rng = np.random.default_rng(1)
+    n = 2 * TILE
+    psi = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+    diag = jnp.asarray(rng.uniform(-1, 1, n), dtype=jnp.float32)
+    got = diag_mult_pallas(psi, diag, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(psi * diag), atol=1e-6)
+
+
+@pytest.mark.parametrize("qubit", [7, 9, 10])
+def test_h_gate_matches_xla(qubit):
+    rng = np.random.default_rng(2)
+    q = 11
+    dim = 2**q
+    psi = jnp.asarray(rng.normal(size=dim), dtype=jnp.float32)
+    psi = psi / jnp.linalg.norm(psi)
+    expected = simulate(Circuit(q).h(qubit), psi0=psi, dtype=jnp.float32)
+    got = h_gate_pallas(psi, qubit, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+
+def test_fable_simulation_pallas_end_to_end():
+    # 32x32 block -> n=5 -> 11-qubit circuit; ucry target is qubit 10 (MSB)
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, (32, 32))
+    psi, alpha = simulate_fable_pallas(a, interpret=True)
+    # first column of the block encoding = a[:, 0] / (alpha * 32)
+    expected_col = a[:, 0] / (alpha * 32)
+    np.testing.assert_allclose(
+        np.asarray(psi)[:32], expected_col, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(psi)), 1.0, atol=1e-5
+    )
+
+
+def test_tile_size_validation():
+    psi = jnp.zeros(64, dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        ucry_msb_pallas(psi, jnp.zeros(32), interpret=True)

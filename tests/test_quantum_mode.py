@@ -1,0 +1,114 @@
+"""Quantum-verified forward + QSVT neuron tests.
+
+Covers the differentiable through-the-simulator path (BASELINE north star)
+and the revived test_qsvt_neuron comparison (reference test_qsvt_neuron.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.ops import qkan_layer_forward
+from qkan_implementation_tpu.ops.quantum import (
+    fable_diag_traced,
+    qkan_layer_forward_quantum,
+    quantum_extract_diag,
+    quantum_verify_pipeline,
+)
+from qkan_implementation_tpu.models.qsvt_neuron import (
+    QSVTNeuron,
+    compare_classical_quantum,
+)
+
+
+def test_quantum_extract_round_trip():
+    rng = np.random.default_rng(0)
+    diag = jnp.asarray(rng.uniform(-1, 1, 8))
+    recovered = quantum_extract_diag(diag)
+    np.testing.assert_allclose(np.asarray(recovered), np.asarray(diag), atol=1e-10)
+
+
+def test_quantum_extract_with_alpha_rescale():
+    diag = jnp.asarray([2.0, -3.0, 0.5, 1.0])
+    recovered = quantum_extract_diag(diag)
+    np.testing.assert_allclose(np.asarray(recovered), np.asarray(diag), atol=1e-8)
+
+
+def test_quantum_forward_matches_classical():
+    rng = np.random.default_rng(1)
+    N = K = 4
+    d = 3
+    x = jnp.asarray(rng.uniform(-1, 1, N))
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)))
+    classical = qkan_layer_forward(x, w, N, K)
+    quantum = qkan_layer_forward_quantum(x, w, N, K)
+    np.testing.assert_allclose(
+        np.asarray(quantum), np.asarray(classical), atol=1e-8
+    )
+
+
+def test_quantum_forward_non_pow2_padding():
+    rng = np.random.default_rng(2)
+    N, K = 3, 2  # N*K = 6 -> padded to 8
+    d = 2
+    x = jnp.asarray(rng.uniform(-1, 1, N))
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)))
+    classical = qkan_layer_forward(x, w, N, K)
+    quantum = qkan_layer_forward_quantum(x, w, N, K)
+    np.testing.assert_allclose(np.asarray(quantum), np.asarray(classical), atol=1e-8)
+
+
+def test_gradients_flow_through_simulator():
+    # d(output)/d(weights) through arccos -> ucry -> amplitudes must match
+    # the classical layer's gradient (they compute the same function).
+    rng = np.random.default_rng(3)
+    N = K = 2
+    d = 1
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, N))
+    w = jnp.asarray(rng.uniform(-0.9, 0.9, (d + 1, N * K)))
+
+    g_quantum = jax.grad(
+        lambda w: jnp.sum(qkan_layer_forward_quantum(x, w, N, K) ** 2)
+    )(w)
+    g_classical = jax.grad(
+        lambda w: jnp.sum(qkan_layer_forward(x, w, N, K) ** 2)
+    )(w)
+    np.testing.assert_allclose(
+        np.asarray(g_quantum), np.asarray(g_classical), atol=1e-6
+    )
+    assert np.any(np.abs(np.asarray(g_quantum)) > 1e-8)
+
+
+def test_pipeline_verification_errors_at_precision():
+    rng = np.random.default_rng(4)
+    N = K = 2
+    d = 2
+    x = jnp.asarray(rng.uniform(-1, 1, N))
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)))
+    errors = quantum_verify_pipeline(x, w, N, K)
+    assert set(errors) >= {"cheb_deg0", "mul_deg0", "lcu", "sum"}
+    for stage, err in errors.items():
+        assert err < 1e-6, f"{stage}: {err}"
+
+
+def test_qsvt_neuron_classical_vs_quantum():
+    # the reference's dead test, alive: quadratic target, degree-2 neuron
+    x = np.linspace(-1, 1, 20).reshape(-1, 1)
+    y = 0.5 * x**2 + 0.3 * x + 0.1
+    classical_mse, quantum_mse, resources = compare_classical_quantum(
+        x, y, input_dim=1, max_degree=2
+    )
+    assert classical_mse < 1e-10
+    assert quantum_mse < 1e-6  # encoding round-trip adds only simulator noise
+    assert resources["n_qubits"] >= 2 * 5 + 1  # 20 rows pad to 32 = 2^5
+    assert resources["alpha_scaling"] >= 1.0
+    assert resources["gate_count"] > 0
+
+
+def test_qsvt_neuron_forward_requires_fit():
+    neuron = QSVTNeuron(input_dim=1, max_degree=2)
+    try:
+        neuron.forward(np.zeros((2, 1)))
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
