@@ -89,12 +89,21 @@ def simulated_annealing(
     beta_range: tuple[float, float] | None = None,
     seed: int = 0,
     dtype=jnp.float32,
+    backend: str = "jax",
 ):
     """Sample a QUBO with batched SA.  Returns (samples [R, n], energies [R]).
 
     Energies include the model offset, matching the reference's
     ``min(decoded, key=lambda x: x.energy)`` selection semantics.
+
+    ``backend='jax'`` runs all chains on-device (TPU path); ``'native'``
+    uses the C++ annealer (host CPU -- the neal-equivalent, useful for tiny
+    problems where device dispatch dominates).
     """
+    if backend == "native":
+        from qkan_implementation_tpu.native_bindings import anneal_native
+
+        return anneal_native(model, num_reads, num_sweeps, beta_range, seed)
     if beta_range is None:
         beta_range = default_beta_range(model)
     betas = jnp.asarray(

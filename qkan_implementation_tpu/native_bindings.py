@@ -1,0 +1,132 @@
+"""ctypes bindings to the C++ native runtime (native/qkan_native.cpp).
+
+The native annealer is the CPU-side counterpart of the on-device JAX
+annealer -- the role neal's C++ sampler plays for the reference -- useful as
+a host-side oracle, for tiny problems where device dispatch dominates, and
+for verifying the TPU path.  The shared library is built on first use with
+g++ if not already present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libqkan_native.so"
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    src = _NATIVE_DIR / "qkan_native.cpp"
+    if not src.exists():
+        raise NativeUnavailable(f"source not found: {src}")
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        "-o",
+        str(_LIB_PATH),
+        str(src),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise NativeUnavailable(f"g++ failed:\n{proc.stderr}")
+
+
+def load_native():
+    """Load (building if needed) the native library; raises
+    NativeUnavailable when no toolchain is present."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        _build()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.qkan_anneal.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp,
+        ctypes.c_double, ctypes.c_double, ctypes.c_uint64, dp, dp,
+    ]
+    lib.qkan_anneal.restype = None
+    lib.qkan_brute_force.argtypes = [ctypes.c_int, dp, dp, dp]
+    lib.qkan_brute_force.restype = ctypes.c_double
+    lib.qkan_energies.argtypes = [ctypes.c_int, ctypes.c_int, dp, dp, dp, dp]
+    lib.qkan_energies.restype = None
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        load_native()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def _as_c(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def anneal_native(
+    model,
+    num_reads: int = 1000,
+    num_sweeps: int = 1000,
+    beta_range: tuple[float, float] | None = None,
+    seed: int = 0,
+):
+    """C++ simulated annealing; same signature/semantics as
+    ``anneal.sa.simulated_annealing`` (energies include the model offset)."""
+    from qkan_implementation_tpu.anneal.sa import default_beta_range
+
+    lib = load_native()
+    if beta_range is None:
+        beta_range = default_beta_range(model)
+    n = model.num_variables
+    h = np.ascontiguousarray(model.h, dtype=np.float64)
+    J = np.ascontiguousarray(model.J, dtype=np.float64)
+    samples = np.zeros((num_reads, n), dtype=np.float64)
+    energies = np.zeros(num_reads, dtype=np.float64)
+    lib.qkan_anneal(
+        n, num_reads, num_sweeps, _as_c(h), _as_c(J),
+        float(beta_range[0]), float(beta_range[1]), int(seed) & (2**64 - 1),
+        _as_c(samples), _as_c(energies),
+    )
+    return samples, energies + model.offset
+
+
+def brute_force_native(model):
+    """Exact minimum via the C++ enumerator (n <= 30)."""
+    lib = load_native()
+    n = model.num_variables
+    if n > 30:
+        raise ValueError("brute force limited to 30 variables")
+    h = np.ascontiguousarray(model.h, dtype=np.float64)
+    J = np.ascontiguousarray(model.J, dtype=np.float64)
+    sample = np.zeros(n, dtype=np.float64)
+    e = lib.qkan_brute_force(n, _as_c(h), _as_c(J), _as_c(sample))
+    return sample, float(e) + model.offset
+
+
+def energies_native(model, samples: np.ndarray) -> np.ndarray:
+    lib = load_native()
+    samples = np.ascontiguousarray(np.atleast_2d(samples), dtype=np.float64)
+    h = np.ascontiguousarray(model.h, dtype=np.float64)
+    J = np.ascontiguousarray(model.J, dtype=np.float64)
+    out = np.zeros(samples.shape[0], dtype=np.float64)
+    lib.qkan_energies(
+        model.num_variables, samples.shape[0], _as_c(h), _as_c(J),
+        _as_c(samples), _as_c(out),
+    )
+    return out + model.offset

@@ -1,0 +1,74 @@
+"""Native C++ annealer tests: build, correctness vs brute force, and
+agreement with the on-device JAX annealer."""
+
+import numpy as np
+import pytest
+
+from qkan_implementation_tpu.anneal import QuboModel, degree_selection_qubo, solve_qubo
+from qkan_implementation_tpu import native_bindings as nb
+
+pytestmark = pytest.mark.skipif(
+    not nb.native_available(), reason="no C++ toolchain"
+)
+
+
+def random_model(n=10, seed=0):
+    rng = np.random.default_rng(seed)
+    J = rng.normal(size=(n, n))
+    J = (J + J.T) / 2
+    np.fill_diagonal(J, 0.0)
+    return QuboModel(h=rng.normal(size=n), J=J, offset=0.5)
+
+
+def test_native_energies_match_python():
+    model = random_model()
+    rng = np.random.default_rng(1)
+    samples = rng.integers(0, 2, (20, 10)).astype(np.float64)
+    np.testing.assert_allclose(
+        nb.energies_native(model, samples), model.energy(samples), atol=1e-10
+    )
+
+
+def test_native_brute_force_matches_python():
+    model = random_model(n=8, seed=2)
+    sample, e = nb.brute_force_native(model)
+    # exhaustive python check
+    best = np.inf
+    for bits in range(2**8):
+        s = np.array([(bits >> i) & 1 for i in range(8)], dtype=np.float64)
+        best = min(best, model.energy(s))
+    np.testing.assert_allclose(e, best, atol=1e-10)
+    np.testing.assert_allclose(model.energy(sample), best, atol=1e-10)
+
+
+def test_native_anneal_finds_optimum():
+    model = random_model(n=12, seed=3)
+    _, exact_e = nb.brute_force_native(model)
+    samples, energies = nb.anneal_native(
+        model, num_reads=200, num_sweeps=500, seed=0
+    )
+    np.testing.assert_allclose(energies.min(), exact_e, atol=1e-8)
+    # reported energies are consistent with the samples
+    np.testing.assert_allclose(
+        energies, model.energy(samples), atol=1e-10
+    )
+
+
+def test_native_and_jax_annealers_agree():
+    scores = np.array([0.8, 0.35, 0.3, 0.29])
+    model = degree_selection_qubo(scores, num_functions=4, complexity_weight=0.1)
+    _, jax_e = solve_qubo(
+        model, num_reads=200, num_sweeps=500, seed=1, one_hot_block_size=4
+    )
+    _, native_energies = nb.anneal_native(
+        model, num_reads=500, num_sweeps=1000, seed=1
+    )
+    np.testing.assert_allclose(native_energies.min(), jax_e, atol=1e-6)
+
+
+def test_native_reproducible():
+    model = random_model(n=6, seed=4)
+    s1, e1 = nb.anneal_native(model, num_reads=16, num_sweeps=100, seed=9)
+    s2, e2 = nb.anneal_native(model, num_reads=16, num_sweeps=100, seed=9)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(e1, e2)
