@@ -1,0 +1,94 @@
+"""MNIST/digits classification pipeline + degree-viz tests
+(reference components #22, #24)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from qkan_implementation_tpu.experiments.degree_viz import (
+    TEST_FUNCTIONS,
+    plot_degree_optimization,
+    run_interactive_test,
+)
+from qkan_implementation_tpu.experiments.mnist import (
+    run_mnist_experiment,
+    run_mnist_n_times,
+)
+
+
+def test_mnist_experiment_end_to_end(tmp_path):
+    results = run_mnist_experiment(
+        network_shape=[64, 8, 10],
+        max_degree=3,
+        train_size=600,
+        solver="exact",
+        degree_objective="penalized_mse",
+        complexity_weight=0.001,
+        consistent_tanh=True,
+        save_dir=str(tmp_path),
+        verbose=False,
+    )
+    m = results["metrics"]
+    assert 0.0 <= m["test_accuracy"] <= 1.0
+    # with real degree search on digits, the model must beat chance by a lot
+    assert m["test_accuracy"] > 0.5, m
+    assert m["structure_time_seconds"] > 0
+
+    # artifacts: accuracy-stamped JSON + model (reference naming style)
+    files = list(Path(tmp_path).iterdir())
+    assert any("mnist_kan_results_acc_" in f.name for f in files)
+    assert any(f.suffix == ".npz" for f in files)
+    with open(results["results_file"]) as f:
+        saved = json.load(f)
+    assert saved["metrics"]["test_accuracy"] == m["test_accuracy"]
+
+    # saved model round-trips and reproduces accuracy
+    from qkan_implementation_tpu.models import FixedKAN
+    from qkan_implementation_tpu.data.mnist import load_mnist
+
+    loaded = FixedKAN.load_model(results["model_file"])
+    x_test, y_test, _ = load_mnist(train=False)
+    pred = np.asarray(loaded(x_test)).argmax(axis=1)
+    np.testing.assert_allclose(
+        float((pred == y_test).mean()), m["test_accuracy"], atol=1e-12
+    )
+
+
+def test_mnist_n_times_statistics():
+    stats = run_mnist_n_times(
+        n=2,
+        network_shape=[64, 4, 10],
+        max_degree=2,
+        train_size=300,
+        solver="exact",
+        degree_objective="penalized_mse",
+        complexity_weight=0.001,
+        consistent_tanh=True,
+    )
+    assert len(stats["runs"]) == 2
+    assert len(stats["distributions"]) == 2
+    assert stats["test_accuracy_min"] <= stats["test_accuracy_mean"] <= stats[
+        "test_accuracy_max"
+    ]
+
+
+@pytest.mark.parametrize("fn", ["polynomial", "runge"])
+def test_interactive_degree_viz(fn, tmp_path):
+    save = str(tmp_path / f"{fn}.png")
+    optimizer, fig = run_interactive_test(
+        function_name=fn, n_points=120, max_degree=5, save_path=save
+    )
+    assert Path(save).exists()
+    assert optimizer.optimal_degrees is not None
+    # three-panel variant also renders
+    x = np.linspace(-1, 1, 120).reshape(-1, 1)
+    y = TEST_FUNCTIONS[fn](x)
+    fig2 = plot_degree_optimization(optimizer, x, y)
+    assert fig2 is not None
+
+
+def test_unknown_function_raises():
+    with pytest.raises(ValueError):
+        run_interactive_test(function_name="nope")
