@@ -116,6 +116,56 @@ def simulated_annealing(
     return np.asarray(samples), np.asarray(energies, dtype=np.float64) + model.offset
 
 
+def simulated_annealing_sharded(
+    model: QuboModel,
+    mesh,
+    axis_name: str = "d",
+    num_reads: int = 1000,
+    num_sweeps: int = 1000,
+    beta_range: tuple[float, float] | None = None,
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """Chain-parallel SA: the ``num_reads`` chains sharded across a device
+    mesh (SURVEY.md section 2, "chain parallelism for annealing").
+
+    Each device runs an independent slice of chains with its own PRNG
+    stream; no communication is needed until the final argmin.  Returns
+    (samples [R', n], energies [R']) with R' = ceil(R / n_dev) * n_dev.
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    reads_local = -(-num_reads // n_dev)
+    if beta_range is None:
+        beta_range = default_beta_range(model)
+    betas = jnp.asarray(
+        np.geomspace(beta_range[0], beta_range[1], num_sweeps), dtype=dtype
+    )
+    h = jnp.asarray(model.h, dtype=dtype)
+    J = jnp.asarray(model.J, dtype=dtype)
+    keys = jax.random.split(jax.random.key(seed), n_dev)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(keys_local):
+        return _anneal_kernel(
+            h, J, betas, keys_local[0], reads_local, num_sweeps
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(axis_name),
+            out_specs=P(axis_name),
+        )
+    )
+    samples, energies = fn(keys)
+    return (
+        np.asarray(samples),
+        np.asarray(energies, dtype=np.float64) + model.offset,
+    )
+
+
 def polish_one_hot_blocks(
     model: QuboModel, samples: np.ndarray, block_size: int
 ) -> np.ndarray:

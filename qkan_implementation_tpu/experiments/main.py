@@ -50,6 +50,9 @@ def run_experiment(config_path: str):
 
     save_dir = Path(config.save_path)
     save_dir.mkdir(parents=True, exist_ok=True)
+    from qkan_implementation_tpu.utils.run_records import RunRecorder
+
+    recorder = RunRecorder(save_dir / "runs.jsonl")
 
     logger.info("Initializing data pipeline...")
     pipeline = DataPipeline(config.data, logger=logger)
@@ -153,6 +156,15 @@ def run_experiment(config_path: str):
                     train_metrics=train_metrics,
                     val_metrics=val_metrics,
                 )
+            )
+            recorder.record(
+                experiment=config.name,
+                model=model_config.model_type,
+                trial=trial,
+                mse=mse_score,
+                r2=r2_score_val,
+                train_time=train_time,
+                val_metrics=val_metrics,
             )
             logger.info(f"Trial {trial} complete for {model_config.model_type}")
 

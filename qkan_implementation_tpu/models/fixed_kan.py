@@ -384,6 +384,102 @@ class FixedKAN:
             current = combined
         return analysis
 
+    def visualize_analysis(
+        self, analysis: dict, x_data, y_data=None, save_path: str | None = None
+    ):
+        """Plot the per-layer analysis (FixedKAN.visualize_analysis:437-548).
+
+        2-D inputs get 3-D scatter + contour + degree-histogram panels per
+        layer; other dims get output-scatter + histogram panels.  Headless
+        (Agg); returns the figure, optionally saving it.
+        """
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        num_layers = len(self.params)
+        x_np = np.asarray(x_data)
+        input_dim = x_np.shape[1]
+
+        if input_dim == 2:
+            fig = plt.figure(figsize=(20, 8 * num_layers))
+            gs = plt.GridSpec(num_layers, 3)
+            for layer_idx in range(num_layers):
+                layer_data = analysis[f"layer_{layer_idx}"]
+                sort_idx = np.lexsort((x_np[:, 1], x_np[:, 0]))
+                x_plot = x_np[sort_idx]
+
+                ax1 = fig.add_subplot(gs[layer_idx, 0], projection="3d")
+                neuron_outputs = np.asarray(layer_data["neuron_outputs"])
+                for i, degree in enumerate(layer_data["degrees"]):
+                    out = neuron_outputs[i].squeeze()[sort_idx]
+                    out = out if out.ndim == 1 else out[:, 0]
+                    ax1.scatter(
+                        x_plot[:, 0], x_plot[:, 1], out,
+                        alpha=0.3, label=f"Neuron {i} (deg={degree})",
+                    )
+                combined = np.asarray(layer_data["combined_output"]).squeeze()[sort_idx]
+                combined = combined if combined.ndim == 1 else combined[:, 0]
+                ax1.scatter(
+                    x_plot[:, 0], x_plot[:, 1], combined,
+                    c="red", alpha=0.7, label="Layer Output",
+                )
+                if layer_idx == num_layers - 1 and y_data is not None:
+                    y_plot = np.asarray(y_data).squeeze()[sort_idx]
+                    y_plot = y_plot if y_plot.ndim == 1 else y_plot[:, 0]
+                    ax1.scatter(
+                        x_plot[:, 0], x_plot[:, 1], y_plot,
+                        c="black", alpha=0.5, label="Target",
+                    )
+                ax1.set_title(f"Layer {layer_idx+1} Contributions")
+                ax1.legend()
+
+                ax2 = fig.add_subplot(gs[layer_idx, 1])
+                sc = ax2.tricontourf(
+                    x_plot[:, 0], x_plot[:, 1], combined, levels=20, cmap="viridis"
+                )
+                fig.colorbar(sc, ax=ax2)
+                ax2.set_title(f"Layer {layer_idx+1} Output Contours")
+
+                ax3 = fig.add_subplot(gs[layer_idx, 2])
+                ax3.hist(
+                    layer_data["degrees"],
+                    bins=range(self.config.max_degree + 2),
+                    alpha=0.7,
+                    rwidth=0.8,
+                )
+                ax3.set_title(f"Layer {layer_idx+1} Degree Distribution")
+        else:
+            fig = plt.figure(figsize=(15, 5 * num_layers))
+            gs = plt.GridSpec(num_layers, 2)
+            for layer_idx in range(num_layers):
+                layer_data = analysis[f"layer_{layer_idx}"]
+                ax1 = fig.add_subplot(gs[layer_idx, 0])
+                combined = np.asarray(layer_data["combined_output"]).squeeze()
+                combined1 = combined if combined.ndim == 1 else combined[:, 0]
+                if input_dim == 1:
+                    ax1.scatter(x_np[:, 0], combined1, alpha=0.5)
+                else:
+                    sc = ax1.scatter(
+                        x_np[:, 0], x_np[:, 1], c=combined1, cmap="viridis", alpha=0.5
+                    )
+                    fig.colorbar(sc, ax=ax1)
+                ax1.set_title(f"Layer {layer_idx+1} Output")
+                ax2 = fig.add_subplot(gs[layer_idx, 1])
+                ax2.hist(
+                    layer_data["degrees"],
+                    bins=range(self.config.max_degree + 2),
+                    alpha=0.7,
+                    rwidth=0.8,
+                )
+                ax2.set_title(f"Layer {layer_idx+1} Degree Distribution")
+
+        fig.tight_layout()
+        if save_path:
+            fig.savefig(save_path)
+        return fig
+
     # -- checkpointing ----------------------------------------------------
     def save_model(self, filepath: str) -> None:
         """Save config + params (FixedKAN.save_model:574-576 equivalent).
