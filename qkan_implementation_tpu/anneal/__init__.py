@@ -13,8 +13,16 @@ from qkan_implementation_tpu.anneal.qubo import (
 )
 from qkan_implementation_tpu.anneal.sa import (
     simulated_annealing,
+    simulated_annealing_sharded,
     default_beta_range,
+    polish_one_hot_blocks,
     solve_qubo,
+)
+from qkan_implementation_tpu.anneal.expr import (
+    Array,
+    Binary,
+    Constraint,
+    QuboExpr,
 )
 
 __all__ = [
@@ -23,6 +31,12 @@ __all__ = [
     "qubo_energy",
     "decode_degrees",
     "simulated_annealing",
+    "simulated_annealing_sharded",
     "default_beta_range",
+    "polish_one_hot_blocks",
     "solve_qubo",
+    "Array",
+    "Binary",
+    "Constraint",
+    "QuboExpr",
 ]

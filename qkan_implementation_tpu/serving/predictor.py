@@ -1,0 +1,92 @@
+"""Bucketed batched inference over FixedKAN checkpoints.
+
+XLA compiles one program per input shape, so a production predictor must
+pin the set of shapes it serves: requests are padded up to power-of-two
+batch buckets (bounded recompiles, amortized by warmup) and results sliced
+back.  Tracks simple latency statistics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.models.fixed_kan import FixedKAN
+
+
+class BatchedPredictor:
+    def __init__(
+        self,
+        model: Union[FixedKAN, str],
+        max_batch: int = 4096,
+        dtype=jnp.float32,
+    ):
+        if isinstance(model, str):
+            model = FixedKAN.load_model(model)
+        if model.params is None:
+            raise ValueError("Model has no parameters; run optimize() first")
+        self.model = model
+        self.dtype = dtype
+        self.max_batch = max_batch
+        self.buckets = []
+        b = 1
+        while b <= max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self._latencies: List[float] = []
+        self._apply = jax.jit(
+            lambda params, x: _kan_apply(params, x, model.config.max_degree)
+        )
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"Batch {n} exceeds max_batch {self.max_batch}")
+
+    def warmup(self, input_dim: Optional[int] = None) -> None:
+        """Pre-compile every bucket shape (call before taking traffic)."""
+        if input_dim is None:
+            input_dim = self.model.config.network_shape[0]
+        for b in self.buckets:
+            x = jnp.zeros((b, input_dim), dtype=self.dtype)
+            jax.block_until_ready(self._apply(self.model.params, x))
+
+    def predict(self, inputs) -> np.ndarray:
+        x = np.asarray(inputs, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        n = x.shape[0]
+        bucket = self._bucket_for(n)
+        if bucket != n:
+            x = np.concatenate(
+                [x, np.zeros((bucket - n, x.shape[1]), dtype=x.dtype)]
+            )
+        start = time.perf_counter()
+        out = self._apply(self.model.params, jnp.asarray(x, dtype=self.dtype))
+        out = np.asarray(jax.block_until_ready(out))[:n]
+        self._latencies.append(time.perf_counter() - start)
+        if len(self._latencies) > 1000:
+            del self._latencies[:-1000]
+        return out
+
+    def stats(self) -> Dict[str, float]:
+        if not self._latencies:
+            return {"requests": 0}
+        lat = np.array(self._latencies)
+        return {
+            "requests": len(lat),
+            "latency_mean_ms": float(lat.mean() * 1e3),
+            "latency_p50_ms": float(np.percentile(lat, 50) * 1e3),
+            "latency_p99_ms": float(np.percentile(lat, 99) * 1e3),
+        }
+
+
+def _kan_apply(params, x, max_degree):
+    from qkan_implementation_tpu.models.fixed_kan import kan_apply
+
+    return kan_apply(params, x, max_degree)

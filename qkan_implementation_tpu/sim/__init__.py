@@ -16,6 +16,12 @@ from qkan_implementation_tpu.sim.statevector import (
     apply_gate,
     zero_state,
 )
+from qkan_implementation_tpu.sim.measure import (
+    probabilities,
+    sample_counts,
+    expectation_diagonal,
+    marginal_probabilities,
+)
 
 __all__ = [
     "Circuit",
@@ -24,4 +30,8 @@ __all__ = [
     "unitary",
     "apply_gate",
     "zero_state",
+    "probabilities",
+    "sample_counts",
+    "expectation_diagonal",
+    "marginal_probabilities",
 ]
