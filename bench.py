@@ -48,7 +48,7 @@ def main():
 
     N = K = 16
     d = 7
-    B = 8192
+    B = 262144  # large enough that the MXU, not dispatch, is the limiter
     rng = np.random.default_rng(0)
     x_np = rng.uniform(-1, 1, (B, N))
     w_np = rng.uniform(-1, 1, (d + 1, N * K))

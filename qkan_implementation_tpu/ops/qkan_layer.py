@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis, dilate
 
@@ -73,16 +74,49 @@ def qkan_layer_forward(
     return sum_step(lcu, N, K)
 
 
+def qkan_weight_tensor(weights: jax.Array, N: int, K: int) -> jax.Array:
+    """Fold the per-degree weight vectors into the layer's contraction
+    tensor M [K, N, D+1]:
+
+      out[b, k] = sum_{n, d} T_d(x[b, n]) * M[k, n, d]
+
+    which is exactly the DILATE->MUL->LCU->SUM composition (the 1/(N(D+1))
+    normalization and the Fortran-order SUM gather are absorbed into M).
+    Differentiable in ``weights`` (a linear scatter-add).
+    """
+    dp1 = weights.shape[0]
+    j_idx = np.arange(K)[:, None] * N + np.arange(N)[None, :]  # [K, N] = j
+    n_idx = j_idx // K  # input feature feeding slot (k, i)
+    w_g = jnp.transpose(weights[:, j_idx], (1, 2, 0))  # [K, N, D+1]
+    k_idx = np.broadcast_to(np.arange(K)[:, None], (K, N))
+    M = jnp.zeros((K, N, dp1), dtype=weights.dtype)
+    M = M.at[k_idx.reshape(-1), n_idx.reshape(-1)].add(
+        w_g.reshape(K * N, dp1)
+    )
+    return M / (N * dp1)
+
+
 def qkan_layer_forward_batched(
     x: jax.Array, weights: jax.Array, N: int, K: int
 ) -> jax.Array:
-    """Batched layer forward: [B, N] -> [B, K], vmapped over the batch.
+    """Batched layer forward: [B, N] -> [B, K] as one MXU matmul.
 
     The data-parallel path the reference lacks (its ``QKANLayer.forward`` was
-    written for 1-D vectors; ``DegreeOptimizer.predict`` feeding it a batch is
-    a documented reference bug, SURVEY.md section 7).
+    written for 1-D vectors; ``DegreeOptimizer.predict`` feeding it a batch
+    is a documented reference bug, SURVEY.md section 7).  The contraction
+    runs over the combined (feature, degree) axis -- [B, N*(D+1)] @
+    [N*(D+1), K] -- so the hot loop lives on the systolic array instead of
+    the VPU.
     """
-    return jax.vmap(lambda xi: qkan_layer_forward(xi, weights, N, K))(x)
+    max_degree = weights.shape[0] - 1
+    basis = chebyshev_basis(x, max_degree)  # [B, N, D+1]
+    M = qkan_weight_tensor(weights, N, K)  # [K, N, D+1]
+    b = x.shape[0]
+    return jnp.dot(
+        basis.reshape(b, -1),
+        M.reshape(K, -1).T,
+        preferred_element_type=basis.dtype,
+    )
 
 
 def qkan_intermediates(
