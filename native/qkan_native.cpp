@@ -131,3 +131,105 @@ void qkan_energies(int n, int num_samples, const double* h, const double* J,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Circuit optimizer: the gate-graph scheduling pass of the runtime.
+//
+// Consumes a flat gate encoding (opcode, q0, q1, param) and applies
+// peephole passes with commutation-aware lookback (gates on disjoint qubits
+// commute):
+//   * cancel self-inverse pairs (H-H, X-X, Z-Z, CX-CX, CZ-CZ, SWAP-SWAP)
+//   * merge consecutive Ry/Rz rotations on the same qubit (sum angles,
+//     dropping merged rotations with |angle| < eps)
+// Writes a keep-mask and updated params; the Python side rebuilds the gate
+// list.  Opcodes: 0=h 1=x 2=z 3=ry 4=rz 5=cx 6=cz 7=swap 8=other(barrier
+// to all passes -- ucry/diag/unitary are treated as opaque).
+
+namespace {
+
+inline bool shares_qubit(int a0, int a1, int b0, int b1) {
+  if (a0 == b0 || a0 == b1) return true;
+  if (a1 >= 0 && (a1 == b0 || a1 == b1)) return true;
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of kept gates.  keep[g] in {0,1}; params may be
+// updated in place (merged rotation angles).
+int qkan_optimize_circuit(int num_gates, const int* ops, const int* q0,
+                          const int* q1, double* params, double eps,
+                          uint8_t* keep) {
+  for (int g = 0; g < num_gates; ++g) keep[g] = 1;
+
+  auto is_self_inverse = [](int op) {
+    return op <= 2 || (op >= 5 && op <= 7);
+  };
+  auto same_qubits = [&](int a, int b) {
+    if (q0[a] != q0[b]) {
+      // swap/cz are symmetric in their qubits
+      bool sym = (ops[a] == 6 || ops[a] == 7);
+      if (!(sym && q0[a] == q1[b] && q1[a] == q0[b])) return false;
+      return true;
+    }
+    return q1[a] == q1[b];
+  };
+
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    for (int g = 0; g < num_gates; ++g) {
+      if (!keep[g]) continue;
+      if (ops[g] == 8) continue;  // opaque
+      // look forward past commuting gates for a partner
+      for (int h = g + 1; h < num_gates; ++h) {
+        if (!keep[h]) continue;
+        if (ops[h] == 8) {
+          // opaque gate: assume it touches everything; stop the scan
+          break;
+        }
+        bool touches = shares_qubit(q0[g], q1[g], q0[h], q1[h]);
+        if (!touches) continue;  // commutes (disjoint qubits): scan past
+        // first gate sharing a qubit: only a mergeable/cancelable partner
+        // with the SAME op + qubits helps; otherwise blocked.
+        if (ops[h] == ops[g] && same_qubits(g, h)) {
+          if (is_self_inverse(ops[g])) {
+            keep[g] = keep[h] = 0;
+            changed = true;
+          } else if (ops[g] == 3 || ops[g] == 4) {  // ry/rz merge
+            params[h] += params[g];
+            keep[g] = 0;
+            if (std::fabs(params[h]) < eps) keep[h] = 0;
+            changed = true;
+          }
+        }
+        break;  // blocked (or handled); stop scanning for g
+      }
+    }
+  }
+  int kept = 0;
+  for (int g = 0; g < num_gates; ++g) kept += keep[g];
+  return kept;
+}
+
+// Circuit depth over the kept gates (1-2 qubit gates; op 8 uses both slots
+// when q1 >= 0).
+int qkan_circuit_depth(int num_gates, const int* q0, const int* q1,
+                       const uint8_t* keep, int num_qubits) {
+  std::vector<int> level(num_qubits, 0);
+  int depth = 0;
+  for (int g = 0; g < num_gates; ++g) {
+    if (!keep[g]) continue;
+    int d = level[q0[g]];
+    if (q1[g] >= 0 && level[q1[g]] > d) d = level[q1[g]];
+    d += 1;
+    level[q0[g]] = d;
+    if (q1[g] >= 0) level[q1[g]] = d;
+    if (d > depth) depth = d;
+  }
+  return depth;
+}
+
+}  // extern "C"

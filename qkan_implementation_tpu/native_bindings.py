@@ -63,6 +63,14 @@ def load_native():
     lib.qkan_brute_force.restype = ctypes.c_double
     lib.qkan_energies.argtypes = [ctypes.c_int, ctypes.c_int, dp, dp, dp, dp]
     lib.qkan_energies.restype = None
+    ip = ctypes.POINTER(ctypes.c_int)
+    up = ctypes.POINTER(ctypes.c_uint8)
+    lib.qkan_optimize_circuit.argtypes = [
+        ctypes.c_int, ip, ip, ip, dp, ctypes.c_double, up,
+    ]
+    lib.qkan_optimize_circuit.restype = ctypes.c_int
+    lib.qkan_circuit_depth.argtypes = [ctypes.c_int, ip, ip, up, ctypes.c_int]
+    lib.qkan_circuit_depth.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -117,6 +125,57 @@ def brute_force_native(model):
     sample = np.zeros(n, dtype=np.float64)
     e = lib.qkan_brute_force(n, _as_c(h), _as_c(J), _as_c(sample))
     return sample, float(e) + model.offset
+
+
+_OPCODES = {"h": 0, "x": 1, "z": 2, "ry": 3, "rz": 4, "cx": 5, "cz": 6, "swap": 7}
+
+
+def optimize_circuit(circuit, eps: float = 1e-12):
+    """Run the C++ gate-graph optimizer over a circuit.
+
+    Peephole passes with commutation-aware lookback: cancels self-inverse
+    pairs (H-H, CX-CX, SWAP-SWAP, ...) and merges consecutive Ry/Rz on the
+    same qubit, treating structured gates (ucry/diag/unitary) as opaque
+    barriers.  Returns a new, equivalent ``Circuit``.
+    """
+    from qkan_implementation_tpu.sim.circuit import Circuit, Gate
+
+    lib = load_native()
+    gates = circuit.gates
+    n = len(gates)
+    ops = np.zeros(n, dtype=np.int32)
+    q0 = np.zeros(n, dtype=np.int32)
+    q1 = np.full(n, -1, dtype=np.int32)
+    params = np.zeros(n, dtype=np.float64)
+    for i, g in enumerate(gates):
+        ops[i] = _OPCODES.get(g.name, 8)
+        q0[i] = g.qubits[0]
+        if len(g.qubits) > 1:
+            q1[i] = g.qubits[1]
+        if g.name in ("ry", "rz"):
+            params[i] = float(np.asarray(g.params).reshape(-1)[0])
+    keep = np.zeros(n, dtype=np.uint8)
+
+    ipc = ctypes.POINTER(ctypes.c_int)
+    upc = ctypes.POINTER(ctypes.c_uint8)
+    lib.qkan_optimize_circuit(
+        n,
+        ops.ctypes.data_as(ipc),
+        q0.ctypes.data_as(ipc),
+        q1.ctypes.data_as(ipc),
+        _as_c(params),
+        float(eps),
+        keep.ctypes.data_as(upc),
+    )
+    out = Circuit(circuit.num_qubits)
+    for i, g in enumerate(gates):
+        if not keep[i]:
+            continue
+        if g.name in ("ry", "rz"):
+            out.gates.append(Gate(g.name, g.qubits, (float(params[i]),)))
+        else:
+            out.gates.append(g)
+    return out
 
 
 def energies_native(model, samples: np.ndarray) -> np.ndarray:

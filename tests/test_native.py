@@ -72,3 +72,68 @@ def test_native_reproducible():
     s2, e2 = nb.anneal_native(model, num_reads=16, num_sweeps=100, seed=9)
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(e1, e2)
+
+
+def test_circuit_optimizer_cancels_and_merges():
+    from qkan_implementation_tpu.sim import Circuit, unitary
+
+    circ = Circuit(3)
+    circ.h(0).h(0)              # cancels
+    circ.ry(0.3, 1).ry(0.4, 1)  # merges to ry(0.7)
+    circ.cx(0, 1).x(2).cx(0, 1) # cancels across the commuting x(2)
+    circ.swap(1, 2).swap(2, 1)  # cancels (symmetric qubit order)
+    circ.ry(0.5, 0).ry(-0.5, 0) # merges to zero -> dropped
+    circ.rz(0.2, 2)
+
+    opt = nb.optimize_circuit(circ)
+    # survivors: merged ry(0.7) on q1, x(2), rz(0.2)
+    names = [(g.name, g.qubits) for g in opt.gates]
+    assert ("x", (2,)) in names and ("rz", (2,)) in names
+    ry_gates = [g for g in opt.gates if g.name == "ry"]
+    assert len(ry_gates) == 1
+    np.testing.assert_allclose(ry_gates[0].params[0], 0.7, atol=1e-12)
+    assert len(opt.gates) == 3
+
+    u_before = np.asarray(unitary(circ))
+    u_after = np.asarray(unitary(opt))
+    np.testing.assert_allclose(u_after, u_before, atol=1e-10)
+
+
+def test_circuit_optimizer_respects_blockers():
+    from qkan_implementation_tpu.sim import Circuit, unitary
+
+    circ = Circuit(2)
+    circ.h(0).x(0).h(0)  # x(0) blocks the h-h cancellation
+    opt = nb.optimize_circuit(circ)
+    assert len(opt.gates) == 3
+    np.testing.assert_allclose(
+        np.asarray(unitary(opt)), np.asarray(unitary(circ)), atol=1e-12
+    )
+
+
+def test_circuit_optimizer_opaque_barrier():
+    from qkan_implementation_tpu.sim import Circuit, unitary
+
+    circ = Circuit(3)
+    circ.h(2)
+    circ.ucry([0.1, 0.2], controls=(0,), target=1)  # opaque
+    circ.h(2)  # must NOT cancel across the opaque gate
+    opt = nb.optimize_circuit(circ)
+    assert len(opt.gates) == 3
+    np.testing.assert_allclose(
+        np.asarray(unitary(opt)), np.asarray(unitary(circ)), atol=1e-12
+    )
+
+
+def test_optimizer_on_fable_elementary_circuit():
+    from qkan_implementation_tpu.encoding import fable
+    from qkan_implementation_tpu.sim import unitary
+
+    rng = np.random.default_rng(5)
+    a = rng.uniform(-1, 1, (4, 4))
+    circ, alpha = fable(a, fused=False)
+    opt = nb.optimize_circuit(circ)
+    assert len(opt.gates) <= len(circ.gates)
+    np.testing.assert_allclose(
+        np.asarray(unitary(opt)), np.asarray(unitary(circ)), atol=1e-9
+    )
