@@ -216,6 +216,94 @@ class DegreeOptimizer(BaseOptimizer):
         )
         return np.asarray(out)
 
+    # -- analysis ---------------------------------------------------------
+    def analyze_network(self, x_data, y_data) -> Dict:
+        """Per-neuron contribution analysis (TorchDegreeOptimizer.py:330-378).
+
+        For each output neuron: fit the transforms of its selected degrees
+        against the target and record the contribution; the combined fit is
+        the neuron sum.  Returns {'neuron_contributions' [n_neurons, B],
+        'neuron_degrees', 'combined_fit' [B]}.
+        """
+        if self.optimal_degrees is None:
+            raise RuntimeError("Not fitted yet")
+        feature_data = _extract_features(x_data).astype(np.float64)
+        y = np.asarray(y_data).reshape(-1, 1).astype(np.float64)
+        transforms = self._cached_transforms(feature_data)
+
+        n_neurons = len(self.optimal_degrees)
+        contributions = np.zeros((n_neurons, len(feature_data)))
+        neuron_degrees = [max(degrees) for degrees in self.optimal_degrees]
+        for neuron_idx, degrees in enumerate(self.optimal_degrees):
+            blocks = [
+                transforms[d]
+                for d in range(max(degrees) + 1)
+                if d in set(degrees)
+            ]
+            if not blocks:
+                continue
+            X = np.hstack(blocks)
+            coeffs = np.linalg.lstsq(X, y, rcond=None)[0]
+            contributions[neuron_idx] = (X @ coeffs).ravel()
+        return {
+            "neuron_contributions": contributions,
+            "neuron_degrees": neuron_degrees,
+            "combined_fit": contributions.sum(axis=0),
+        }
+
+    def visualize_analysis(
+        self, analysis_results: Dict, x_data, y_data, save_path: str | None = None
+    ):
+        """Plot neuron contributions + activation strengths
+        (TorchDegreeOptimizer.py:380-428).  Returns the figure."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        contributions = analysis_results["neuron_contributions"]
+        neuron_degrees = analysis_results["neuron_degrees"]
+        combined_fit = analysis_results["combined_fit"]
+        x_plot = _extract_features(x_data)[:, 0]
+        y_plot = np.asarray(y_data).ravel()
+        order = np.argsort(x_plot)
+
+        fig, (ax1, ax2) = plt.subplots(
+            2, 1, figsize=(12, 10), height_ratios=[2, 1]
+        )
+        ax1.scatter(x_plot, y_plot, alpha=0.5, label="Original Data")
+        ax1.plot(x_plot[order], combined_fit[order], "r-", label="Combined Fit")
+        for i, (contrib, degree) in enumerate(zip(contributions, neuron_degrees)):
+            if np.linalg.norm(contrib) > 1e-6:
+                ax1.plot(
+                    x_plot[order], contrib[order], "--", alpha=0.5,
+                    label=f"Neuron {i} (deg={degree})",
+                )
+        ax1.set_title(
+            "Function Approximation: Individual and Combined Contributions"
+        )
+        ax1.legend()
+        ax1.grid(True)
+
+        activations = np.linalg.norm(contributions, axis=1)
+        colors = [f"C{d % 10}" for d in neuron_degrees]
+        bars = ax2.bar(range(len(activations)), activations, color=colors)
+        for bar, degree in zip(bars, neuron_degrees):
+            ax2.text(
+                bar.get_x() + bar.get_width() / 2.0,
+                bar.get_height(),
+                f"d={degree}",
+                ha="center",
+                va="bottom",
+            )
+        ax2.set_title("Neuron Activation Strengths with Selected Degrees")
+        ax2.set_xlabel("Neuron Index")
+        ax2.set_ylabel("Activation Strength")
+        fig.tight_layout()
+        if save_path:
+            fig.savefig(save_path)
+        return fig
+
     # -- metrics ----------------------------------------------------------
     def _compute_metrics(self, y_true, y_pred, weights=None) -> Dict[str, float]:
         return compute_metrics(y_true, y_pred, weights)

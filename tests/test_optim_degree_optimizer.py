@@ -166,3 +166,24 @@ def test_optimize_network_multi_layer():
     assert len(degrees) == 2
     assert len(degrees[0]) == 3 and len(degrees[0][0]) == 2
     assert len(degrees[1]) == 1 and len(degrees[1][0]) == 3
+
+
+def test_analyze_and_visualize_network(tmp_path):
+    # reference TorchDegreeOptimizer.analyze_network/visualize_analysis
+    # (:330-428): neuron contributions, combined fit, activation plot
+    df, y = poly_frame(degree=3, n=200)
+    opt = DegreeOptimizer(network_shape=[1, 2], max_degree=4)
+    opt.fit(df, y, num_reads=64, num_sweeps=200)
+    analysis = opt.analyze_network(df, y)
+    assert analysis["neuron_contributions"].shape == (2, 200)
+    assert len(analysis["neuron_degrees"]) == 2
+    np.testing.assert_allclose(
+        analysis["combined_fit"],
+        analysis["neuron_contributions"].sum(axis=0),
+        atol=1e-10,
+    )
+    save = str(tmp_path / "analysis.png")
+    fig = opt.visualize_analysis(analysis, df, y, save_path=save)
+    assert fig is not None
+    import pathlib
+    assert pathlib.Path(save).exists()
