@@ -1,0 +1,110 @@
+"""Market-data experiment benchmark: the reference's headline workload.
+
+The reference's 250k-row Jane Street run (79 features, max_degree 3,
+num_reads 1000) took 3,582.53 s on CPU
+(output_result_250k_tail_corrected.txt:524, BASELINE.md).  This benchmark
+runs the same pipeline shape -- parquet load, quantile normalization, date
+split, per-degree scoring, QUBO degree search with 1000 annealing chains,
+validation scoring -- on synthetic data of identical dimensions and reports
+wall-clock per phase.
+
+    PYTHONPATH=. python benchmarks/market_bench.py --rows 250000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rows", type=int, default=250_000)
+    parser.add_argument("--features", type=int, default=79)
+    parser.add_argument("--max-degree", type=int, default=3)
+    parser.add_argument("--num-reads", type=int, default=1000)
+    parser.add_argument("--data", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    from qkan_implementation_tpu.data.pipeline import (
+        DataPipeline,
+        generate_market_parquet,
+    )
+    from qkan_implementation_tpu.experiments.config import DataConfig
+    from qkan_implementation_tpu.optim.degree_optimizer import DegreeOptimizer
+    from qkan_implementation_tpu.utils.profiling import StageTimer
+
+    print(f"device={jax.devices()[0]}", file=sys.stderr)
+    timer = StageTimer(annotate_trace=False)
+
+    with timer.stage("generate_data"):
+        if args.data:
+            path = args.data
+        else:
+            path = str(
+                Path(tempfile.mkdtemp(prefix="market_bench_")) / "train.parquet"
+            )
+            generate_market_parquet(
+                path, n_rows=args.rows, n_features=args.features, n_dates=200
+            )
+
+    cfg = DataConfig(
+        data_path=path,
+        n_rows=args.rows,
+        train_ratio=0.8,
+        feature_cols=[f"feature_{i:02d}" for i in range(args.features)],
+        target_col="responder_6",
+        weight_col="weight",
+        date_col="date_id",
+    )
+    with timer.stage("pipeline"):
+        (
+            train_df, train_target, train_weight, val_df, val_target, val_weight,
+        ) = DataPipeline(cfg).load_and_preprocess_data()
+
+    model = DegreeOptimizer(
+        network_shape=[args.features, 1], max_degree=args.max_degree
+    )
+    with timer.stage("degree_search"):
+        degrees = model.optimize_layer(
+            layer_idx=0,
+            x_data=train_df,
+            y_data=train_target.to_numpy(),
+            weights=train_weight.to_numpy(),
+            num_reads=args.num_reads,
+        )
+    with timer.stage("validation_scoring"):
+        scores, comp_r2 = model.evaluate_degree(
+            val_df, val_target.to_numpy(), weights=val_weight.to_numpy()
+        )
+
+    total = timer.total
+    best = int(np.argmin(scores))
+    print(timer.report(), file=sys.stderr)
+    print(
+        f"degrees[0][:8]={degrees[0][:8]} val MSE per degree={scores}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"market {args.rows//1000}k-row degree-search wall-clock",
+                "value": round(total, 2),
+                "unit": "seconds",
+                "vs_baseline": round(3582.53 / total, 1),
+                "best_degree_val_mse": float(scores[best]),
+                "best_degree_val_comp_r2": float(comp_r2[best]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

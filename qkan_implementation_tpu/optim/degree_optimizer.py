@@ -93,12 +93,21 @@ class DegreeOptimizer(BaseOptimizer):
 
     # -- scoring ----------------------------------------------------------
     def evaluate_degree(
-        self, x_data, y_data, weights=None
+        self, x_data, y_data, weights=None, method: str = "auto"
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Per-cumulative-degree (MSE, weighted comp-R^2) scores.
 
-        Mirror of DegreeOptimizer.evaluate_degree (reference :122-158), with
-        the transform dict computed once instead of once per degree.
+        Mirror of DegreeOptimizer.evaluate_degree (reference :122-158) with
+        two structural speedups over the reference's per-degree recomputation
+        (its market-run hot spot, SURVEY.md section 3.5):
+
+        - transforms are computed once for all degrees;
+        - with ``method='gram'`` (auto-selected for large problems) ONE
+          Gram matrix/statistics pass runs on-device, and every cumulative
+          degree solves against the leading block of the same Gram --
+          O(rows * F^2) total instead of O(D * rows * F^2) lstsq sweeps,
+          with residuals from the quadratic-form identity (no second data
+          pass).  ``method='svd'`` keeps exact min-norm lstsq semantics.
         """
         feature_data = _extract_features(x_data).astype(np.float64)
         y = np.asarray(y_data).reshape(-1, 1).astype(np.float64)
@@ -106,17 +115,77 @@ class DegreeOptimizer(BaseOptimizer):
         if cache_key in self.degree_scores and self.data_same:
             return self.degree_scores[cache_key]
 
-        transforms = self._cached_transforms(feature_data)
-        scores = np.zeros(self.max_degree + 1)
-        comp_r2 = np.zeros(self.max_degree + 1)
-        for d in range(self.max_degree + 1):
-            X = np.hstack([transforms[deg] for deg in range(d + 1)])
-            coeffs = np.linalg.lstsq(X, y, rcond=None)[0]
-            y_pred = X @ coeffs
-            metrics = self._compute_metrics(y, y_pred, weights)
-            scores[d] = metrics["mse"]
-            comp_r2[d] = metrics["comp_r2"]
+        if method == "auto":
+            big = feature_data.size * (self.max_degree + 1) > 2_000_000
+            method = "gram" if big else "svd"
+
+        if method == "gram":
+            scores, comp_r2 = self._evaluate_degree_gram(
+                feature_data, y, weights
+            )
+        else:
+            transforms = self._cached_transforms(feature_data)
+            scores = np.zeros(self.max_degree + 1)
+            comp_r2 = np.zeros(self.max_degree + 1)
+            for d in range(self.max_degree + 1):
+                X = np.hstack([transforms[deg] for deg in range(d + 1)])
+                coeffs = np.linalg.lstsq(X, y, rcond=None)[0]
+                y_pred = X @ coeffs
+                metrics = self._compute_metrics(y, y_pred, weights)
+                scores[d] = metrics["mse"]
+                comp_r2[d] = metrics["comp_r2"]
         self.degree_scores[cache_key] = (scores, comp_r2)
+        return scores, comp_r2
+
+    def _evaluate_degree_gram(self, feature_data, y, weights):
+        """On-device leading-block Gram scoring (see ``evaluate_degree``)."""
+        n, f = feature_data.shape
+        dp1 = self.max_degree + 1
+
+        x = jnp.asarray(feature_data)
+        yj = jnp.asarray(y)
+        w = None if weights is None else jnp.asarray(
+            np.asarray(weights).reshape(-1, 1).astype(np.float64)
+        )
+
+        @jax.jit
+        def build_stats(x, yj, w):
+            basis = chebyshev_basis(x, self.max_degree, clip=True)  # [n,F,D+1]
+            # degree-major column order (matches the reference's hstack)
+            X = jnp.swapaxes(basis, 1, 2).reshape(n, dp1 * f)
+            G = X.T @ X
+            b = X.T @ yj
+            yy = jnp.sum(yj**2)
+            if w is None:
+                return G, b, yy, G, b, yy, jnp.asarray(float(n)), yy
+            Xw = X * w
+            Gw = Xw.T @ X
+            bw = Xw.T @ yj
+            yyw = jnp.sum(w * yj**2)
+            return G, b, yy, Gw, bw, yyw, jnp.sum(w), yyw
+
+        G, b, yy, Gw, bw, yyw, w_total, _ = build_stats(x, yj, w)
+        G = np.asarray(G)
+        b = np.asarray(b)
+        Gw = np.asarray(Gw)
+        bw = np.asarray(bw)
+        yy = float(yy)
+        yyw = float(yyw)
+        w_total = float(w_total)
+
+        scores = np.zeros(dp1)
+        comp_r2 = np.zeros(dp1)
+        for d in range(dp1):
+            k = (d + 1) * f
+            Gd = G[:k, :k]
+            ridge = 1e-10 * (np.trace(Gd) / k + 1e-30)
+            c = np.linalg.solve(Gd + ridge * np.eye(k), b[:k])
+            # weighted residual via quadratic forms:
+            # sum w (y - Xc)^2 = y'Wy - 2 c'X'Wy + c'X'WX c
+            res_w = yyw - 2 * float(c.T @ bw[:k]) + float(c.T @ Gw[:k, :k] @ c)
+            res_w = max(res_w, 0.0)
+            scores[d] = res_w / w_total
+            comp_r2[d] = 1.0 - res_w / yyw if yyw > 1e-30 else 0.0
         return scores, comp_r2
 
     def is_degree_definitive(self, scores: np.ndarray) -> Tuple[bool, int]:

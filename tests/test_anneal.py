@@ -149,3 +149,30 @@ def test_reproducible_with_seed():
     s2, e2 = simulated_annealing(model, num_reads=16, num_sweeps=50, seed=7)
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(e1, e2)
+
+
+def test_blocked_kernel_matches_full_on_degree_qubo():
+    # block-diagonal fast path: same optimum as the general kernel
+    scores = np.array([0.29, 0.13, 0.056, 0.054])
+    model = degree_selection_qubo(scores, num_functions=6, complexity_weight=0.1)
+    s_full, e_full = simulated_annealing(
+        model, num_reads=128, num_sweeps=300, seed=0
+    )
+    s_blk, e_blk = simulated_annealing(
+        model, num_reads=128, num_sweeps=300, seed=0, block_structure=4
+    )
+    assert abs(e_full.min() - e_blk.min()) < 1e-4
+    # energies consistent with samples in the blocked path
+    np.testing.assert_allclose(e_blk, model.energy(s_blk), atol=1e-4)
+
+
+def test_block_structure_falls_back_when_not_block_diagonal():
+    rng = np.random.default_rng(0)
+    n = 8
+    J = rng.normal(size=(n, n)); J = (J + J.T) / 2; np.fill_diagonal(J, 0)
+    model = QuboModel(h=rng.normal(size=n), J=J, offset=0.0)
+    # block_structure=4 requested but couplings cross blocks: falls back
+    s, e = simulated_annealing(
+        model, num_reads=32, num_sweeps=100, seed=0, block_structure=4
+    )
+    np.testing.assert_allclose(e, model.energy(s), atol=1e-4)
