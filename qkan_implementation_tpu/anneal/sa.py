@@ -152,34 +152,40 @@ def _anneal_kernel_blocked(h, J_blocks, betas, key, num_reads: int, num_sweeps: 
     """
     nb, bs = h.shape
     key, init_key = jax.random.split(key)
-    s = jax.random.bernoulli(init_key, 0.5, (num_reads, nb, bs)).astype(h.dtype)
-    # local fields f[r, b, i] = h[b, i] + sum_j J_blocks[b, i, j] s[r, b, j]
-    f = h[None] + jnp.einsum("bij,rbj->rbi", J_blocks, s)
+    # Layout [R, bs, nb]: the (large) block-count axis sits on lanes and the
+    # (small) within-block axis is indexed dynamically -- TPU-friendly, where
+    # dynamic updates along a tiny minor axis destroy the compiler.
+    s = jax.random.bernoulli(init_key, 0.5, (num_reads, bs, nb)).astype(h.dtype)
+    hT = h.T  # [bs, nb]
+    # f[r, i, b] = h[b, i] + sum_j J_blocks[b, i, j] s[r, j, b]
+    f = hT[None] + jnp.einsum("bij,rjb->rib", J_blocks, s)
+    # Jrows[i][j, b] = J_blocks[b, i, j]: the field update rows per variable
+    Jrows = jnp.transpose(J_blocks, (1, 2, 0))  # [bs(i), bs(j), nb]
 
     def sweep(carry, beta_key):
         s, f = carry
         beta, key = beta_key
-
-        def flip_var(carry, i):
-            s, f, key = carry
+        # bs is small and static: unroll (static indices compile cleanly on
+        # TPU where a nested scan with dynamic minor-axis updates does not)
+        for i in range(bs):
             key, sub = jax.random.split(key)
-            de = (1.0 - 2.0 * s[:, :, i]) * f[:, :, i]
+            si = s[:, i, :]
+            de = (1.0 - 2.0 * si) * f[:, i, :]
             u = jax.random.uniform(sub, (num_reads, nb), dtype=h.dtype)
             accept = (de <= 0.0) | (u < jnp.exp(-beta * de))
-            delta = jnp.where(accept, 1.0 - 2.0 * s[:, :, i], 0.0)
-            s = s.at[:, :, i].add(delta)
-            f = f + delta[:, :, None] * J_blocks[None, :, i, :]
-            return (s, f, key), None
-
-        (s, f, key), _ = jax.lax.scan(flip_var, (s, f, key), jnp.arange(bs))
+            delta = jnp.where(accept, 1.0 - 2.0 * si, 0.0)
+            s = s.at[:, i, :].add(delta)
+            f = f + delta[:, None, :] * Jrows[i][None]
         return (s, f), None
 
     keys = jax.random.split(key, num_sweeps)
     (s, f), _ = jax.lax.scan(sweep, (s, f), (betas, keys))
-    energies = jnp.einsum("rbi,bi->r", s, h) + 0.5 * jnp.einsum(
-        "rbi,bij,rbj->r", s, J_blocks, s
+    energies = jnp.einsum("rib,bi->r", s, h) + 0.5 * jnp.einsum(
+        "rib,bij,rjb->r", s, J_blocks, s
     )
-    return s.reshape(num_reads, nb * bs), energies
+    # back to flat variable order: block-major [nb, bs]
+    samples = jnp.transpose(s, (0, 2, 1)).reshape(num_reads, nb * bs)
+    return samples, energies
 
 
 def _block_diagonal_J(model: QuboModel, block_size: int):

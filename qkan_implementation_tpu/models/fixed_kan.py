@@ -135,6 +135,41 @@ class FixedKAN:
             coeffs.append(c)
         return np.array(scores), coeffs
 
+    def _evaluate_layer_degrees_quantum(self, x_fit: jax.Array, y: jax.Array):
+        """Quantum-verified coefficient solves: the design matrix for each
+        cumulative degree is FABLE-encoded, recovered from the simulated
+        circuit unitary, and used for the solve -- the realized version of
+        the reference's commented-out ``_optimize_coefficients_quantum``
+        (KAN_w_cumulative_polynomials.py:194-235).  Tracks resources per
+        degree in ``self.last_quantum_resources``.
+        """
+        from qkan_implementation_tpu.encoding.fable import fable
+        from qkan_implementation_tpu.sim.statevector import unitary
+
+        cfg = self.config
+        basis = chebyshev_basis(x_fit, cfg.max_degree, clip=False)
+        b = basis.shape[0]
+        scores, coeffs = [], []
+        for d in range(cfg.max_degree + 1):
+            X = np.asarray(basis[:, :, : d + 1].reshape(b, -1))
+            circuit, alpha = fable(X)
+            u = np.asarray(unitary(circuit))
+            dim = 2 ** ((circuit.num_qubits - 1) // 2)
+            X_rec = (u[:dim, :dim].real * alpha * dim)[: X.shape[0], : X.shape[1]]
+            self.last_quantum_resources.append(
+                {
+                    "n_qubits": circuit.num_qubits,
+                    "circuit_depth": circuit.depth(),
+                    "gate_count": circuit.gate_count,
+                    "alpha_scaling": float(alpha),
+                }
+            )
+            c = np.linalg.lstsq(X_rec, np.asarray(y), rcond=None)[0]
+            pred = X @ c
+            scores.append(float(np.mean((np.asarray(y) - pred) ** 2)))
+            coeffs.append(jnp.asarray(c))
+        return np.array(scores), coeffs
+
     def optimize(
         self,
         x_data,
@@ -143,12 +178,18 @@ class FixedKAN:
         num_sweeps: int = 1000,
         seed: int = 0,
         solver: str = "anneal",
+        use_quantum: bool = False,
     ) -> None:
         """QUBO degree selection, layer by layer (FixedKAN.optimize:335-353).
 
         ``solver``: 'anneal' runs the batched on-device annealer with one-hot
         polish (the neal-equivalent path); 'exact' takes the blockwise
         optimum directly (the QUBO is per-neuron separable).
+
+        ``use_quantum``: route the per-degree coefficient solves through the
+        FABLE block-encoding simulator (the path the reference sketches but
+        comments out, KAN_w_cumulative_polynomials.py:194-235), recording
+        per-solve quantum resources in ``self.last_quantum_resources``.
         """
         cfg = self.config
         x = jnp.asarray(x_data)
@@ -159,10 +200,14 @@ class FixedKAN:
         params = []
         current = x
         dp1 = cfg.max_degree + 1
+        self.last_quantum_resources = [] if use_quantum else None
         for layer_idx in range(len(cfg.network_shape) - 1):
             out_dim = cfg.network_shape[layer_idx + 1]
             x_fit = jnp.tanh(current) if cfg.consistent_tanh else current
-            scores, coeffs = self._evaluate_layer_degrees(x_fit, y)
+            if use_quantum:
+                scores, coeffs = self._evaluate_layer_degrees_quantum(x_fit, y)
+            else:
+                scores, coeffs = self._evaluate_layer_degrees(x_fit, y)
 
             model = degree_selection_qubo(
                 scores,

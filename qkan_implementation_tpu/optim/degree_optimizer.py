@@ -42,6 +42,34 @@ from qkan_implementation_tpu.optim.base import BaseOptimizer, _extract_features
 from qkan_implementation_tpu.utils.metrics import compute_metrics
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _gram_chunk_kernel(max_degree: int, f: int, k: int):
+    """One jitted gram-chunk accumulator per (max_degree, features) shape,
+    cached across optimizer instances and calls (the remote-compile cost is
+    paid once)."""
+
+    @jax.jit
+    def chunk_stats(x, yj, w, m):
+        basis = chebyshev_basis(x, max_degree, clip=True)  # [c,F,D+1]
+        # degree-major column order (matches the reference's hstack)
+        X = jnp.swapaxes(basis, 1, 2).reshape(x.shape[0], k)
+        X = X * m  # zero out tail-padding rows (T_0 of a pad row is 1)
+        Xw = X * w
+        return (
+            X.T @ X,
+            X.T @ yj,
+            Xw.T @ X,
+            Xw.T @ yj,
+            jnp.sum(w * yj**2),
+            jnp.sum(w),
+        )
+
+    return chunk_stats
+
+
 class MetricType(Enum):
     """Supported metric types (TorchDegreeOptimizer.py:10-17)."""
 
@@ -137,34 +165,56 @@ class DegreeOptimizer(BaseOptimizer):
         self.degree_scores[cache_key] = (scores, comp_r2)
         return scores, comp_r2
 
+    _CHUNK = 16384  # streaming gram chunk: one small compile, any row count
+
     def _evaluate_degree_gram(self, feature_data, y, weights):
-        """On-device leading-block Gram scoring (see ``evaluate_degree``)."""
+        """On-device leading-block Gram scoring (see ``evaluate_degree``).
+
+        Statistics are accumulated over fixed-size row chunks: the compiled
+        program has one modest static shape regardless of dataset size
+        (bounded activation memory, compile cost amortized across chunks and
+        datasets).
+        """
         n, f = feature_data.shape
         dp1 = self.max_degree + 1
+        k = dp1 * f
+        chunk = self._CHUNK
 
-        x = jnp.asarray(feature_data)
-        yj = jnp.asarray(y)
-        w = None if weights is None else jnp.asarray(
-            np.asarray(weights).reshape(-1, 1).astype(np.float64)
+        w_np = (
+            np.ones((n, 1))
+            if weights is None
+            else np.asarray(weights).reshape(-1, 1).astype(np.float64)
         )
+        chunk_stats = _gram_chunk_kernel(self.max_degree, f, k)
 
-        @jax.jit
-        def build_stats(x, yj, w):
-            basis = chebyshev_basis(x, self.max_degree, clip=True)  # [n,F,D+1]
-            # degree-major column order (matches the reference's hstack)
-            X = jnp.swapaxes(basis, 1, 2).reshape(n, dp1 * f)
-            G = X.T @ X
-            b = X.T @ yj
-            yy = jnp.sum(yj**2)
-            if w is None:
-                return G, b, yy, G, b, yy, jnp.asarray(float(n)), yy
-            Xw = X * w
-            Gw = Xw.T @ X
-            bw = Xw.T @ yj
-            yyw = jnp.sum(w * yj**2)
-            return G, b, yy, Gw, bw, yyw, jnp.sum(w), yyw
-
-        G, b, yy, Gw, bw, yyw, w_total, _ = build_stats(x, yj, w)
+        G = np.zeros((k, k))
+        b = np.zeros((k, 1))
+        Gw = np.zeros((k, k))
+        bw = np.zeros((k, 1))
+        yyw = 0.0
+        w_total = 0.0
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            xs = feature_data[start:end]
+            ys = y[start:end]
+            ws = w_np[start:end]
+            ms = np.ones((end - start, 1))
+            if end - start < chunk:  # pad the tail to the static shape
+                pad = chunk - (end - start)
+                xs = np.concatenate([xs, np.zeros((pad, f))])
+                ys = np.concatenate([ys, np.zeros((pad, 1))])
+                ws = np.concatenate([ws, np.zeros((pad, 1))])
+                ms = np.concatenate([ms, np.zeros((pad, 1))])
+            cg, cb, cgw, cbw, cyyw, cwt = chunk_stats(
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ws), jnp.asarray(ms)
+            )
+            G += np.asarray(cg)
+            b += np.asarray(cb)
+            Gw += np.asarray(cgw)
+            bw += np.asarray(cbw)
+            yyw += float(cyyw)
+            w_total += float(cwt)
+        yy = yyw  # weighted stats double as unweighted when w == 1
         G = np.asarray(G)
         b = np.asarray(b)
         Gw = np.asarray(Gw)

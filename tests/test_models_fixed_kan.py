@@ -247,3 +247,35 @@ def test_anneal_solver_on_small_model():
     kan = FixedKAN(config)
     kan.optimize(x, y, num_reads=64, num_sweeps=200, solver="anneal")
     assert float(jnp.mean((kan(x) - y) ** 2)) < 0.1
+
+
+def test_use_quantum_optimization_path():
+    # The realized version of the reference's commented-out quantum
+    # coefficient path: degrees + coefficients solved through the FABLE
+    # simulator, with resource tracking.
+    x = jnp.asarray(np.linspace(-1, 1, 16).reshape(-1, 1))
+    y = 0.5 * x**2 + 0.3 * x + 0.1
+    config = FixedKANConfig(
+        network_shape=[1, 2],
+        max_degree=2,
+        degree_objective="penalized_mse",
+        complexity_weight=0.001,
+        consistent_tanh=True,
+    )
+    kan_q = FixedKAN(config)
+    kan_q.optimize(x, y, solver="exact", use_quantum=True)
+    assert kan_q.last_quantum_resources is not None
+    assert len(kan_q.last_quantum_resources) == 3  # one per degree
+    for r in kan_q.last_quantum_resources:
+        assert r["n_qubits"] > 0 and r["gate_count"] > 0
+
+    kan_c = FixedKAN(config)
+    kan_c.optimize(x, y, solver="exact", use_quantum=False)
+    # same degrees, near-identical predictions (encoding noise only)
+    np.testing.assert_array_equal(
+        np.asarray(kan_q.params[0]["degrees"]),
+        np.asarray(kan_c.params[0]["degrees"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(kan_q(x)), np.asarray(kan_c(x)), atol=1e-5
+    )
