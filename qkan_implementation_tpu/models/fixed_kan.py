@@ -179,6 +179,7 @@ class FixedKAN:
         seed: int = 0,
         solver: str = "anneal",
         use_quantum: bool = False,
+        mesh=None,
     ) -> None:
         """QUBO degree selection, layer by layer (FixedKAN.optimize:335-353).
 
@@ -190,6 +191,9 @@ class FixedKAN:
         FABLE block-encoding simulator (the path the reference sketches but
         comments out, KAN_w_cumulative_polynomials.py:194-235), recording
         per-solve quantum resources in ``self.last_quantum_resources``.
+
+        ``mesh``: when given with solver='anneal', annealing chains shard
+        across the mesh (chain parallelism) before the one-hot polish.
         """
         cfg = self.config
         x = jnp.asarray(x_data)
@@ -215,7 +219,23 @@ class FixedKAN:
                 complexity_weight=cfg.complexity_weight,
                 objective=cfg.degree_objective,
             )
-            if solver == "anneal":
+            if solver == "anneal" and mesh is not None:
+                from qkan_implementation_tpu.anneal.sa import (
+                    polish_one_hot_blocks,
+                    simulated_annealing_sharded,
+                )
+
+                samples, energies = simulated_annealing_sharded(
+                    model,
+                    mesh,
+                    axis_name=mesh.axis_names[0],
+                    num_reads=num_reads,
+                    num_sweeps=num_sweeps,
+                    seed=seed + layer_idx,
+                )
+                samples = polish_one_hot_blocks(model, samples, dp1)
+                sample = samples[int(np.argmin(model.energy(samples)))]
+            elif solver == "anneal":
                 sample, _ = solve_qubo(
                     model,
                     num_reads=num_reads,
