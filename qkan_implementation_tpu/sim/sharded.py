@@ -80,65 +80,163 @@ def _select_global_control_angles(params, controls, q_local, axis_name):
     return th.reshape(-1), tuple(local_controls)
 
 
-def _apply_sharded_gate(psi_t, gate: Gate, q_local: int, axis_name: str, n_dev: int):
+class _QubitLayout:
+    """Logical -> physical qubit placement with lazy exchanges.
+
+    Instead of exchanging a global qubit in and back out around every gate,
+    the layout tracks where each logical qubit currently lives: an exchange
+    moves a logical qubit into the local region and *leaves it there*, so a
+    run of gates on the same (originally global) qubits pays one exchange,
+    not two per gate -- a working-set effect over the ICI.  ``restore``
+    returns to the canonical layout at the end: global homes via exchanges,
+    then one local static-gather for the residual local permutation.
+    """
+
+    def __init__(self, q: int, q_local: int, axis_name: str, n_dev: int):
+        self.q = q
+        self.q_local = q_local
+        self.axis_name = axis_name
+        self.n_dev = n_dev
+        self.phys = list(range(q))  # phys[logical] = physical position
+        self.occupant = list(range(q))  # occupant[physical] = logical qubit
+        self.exchange_count = 0  # collectives issued (observability)
+
+    def exchange(self, psi, phys_global: int, phys_local: int):
+        psi = _exchange_global_local(
+            psi,
+            phys_global - self.q_local,
+            phys_local,
+            self.axis_name,
+            self.n_dev,
+            self.q_local,
+        )
+        a, b = self.occupant[phys_global], self.occupant[phys_local]
+        self.occupant[phys_global], self.occupant[phys_local] = b, a
+        self.phys[a], self.phys[b] = phys_local, phys_global
+        self.exchange_count += 1
+        return psi
+
+    def make_local(self, psi, logical: int, pinned: set):
+        """Ensure ``logical`` lives in the local region; returns psi."""
+        p = self.phys[logical]
+        if p < self.q_local:
+            return psi
+        # victim: a local slot not pinned by the current gate
+        for l in range(self.q_local):
+            if l not in pinned:
+                return self.exchange(psi, p, l)
+        raise ValueError("gate needs more local qubits than available")
+
+    def restore(self, psi):
+        """Return to the canonical layout (logical i at physical i)."""
+        # 1. home every global position via exchanges: bring logical g to
+        #    physical g (parking through local slot 0 when it sits in
+        #    another global slot -- at most two exchanges per position)
+        for g in range(self.q_local, self.q):
+            while self.occupant[g] != g:
+                target = self.phys[g]  # where logical g currently lives
+                if target < self.q_local:
+                    psi = self.exchange(psi, g, target)
+                else:
+                    psi = self.exchange(psi, target, 0)
+        # 2. fix the residual local<->local permutation with one static
+        #    gather (no communication)
+        if any(self.occupant[p] != p for p in range(self.q_local)):
+            idx = np.arange(2**self.q_local, dtype=np.int64)
+            src = np.zeros_like(idx)
+            for p in range(self.q_local):  # destination bit p <- logical p
+                cur = self.phys[p]  # where logical p currently lives (local)
+                src |= ((idx >> p) & 1) << cur
+            psi = psi.reshape(-1)[jnp.asarray(src)]
+            for p in range(self.q_local):
+                self.phys[p] = p
+                self.occupant[p] = p
+        return psi
+
+
+def _apply_sharded_gate(
+    psi, gate: Gate, layout: _QubitLayout, q_local: int, axis_name: str, n_dev: int
+):
     if gate.name == "diag":
+        phys_qubits = tuple(layout.phys[t] for t in gate.qubits)
         phases, local_qubits = _select_global_control_angles(
-            gate.params, gate.qubits, q_local, axis_name
+            gate.params, phys_qubits, q_local, axis_name
         )
         from qkan_implementation_tpu.sim.statevector import _apply_diag
 
-        return _apply_diag(psi_t, phases, local_qubits, q_local)
+        return _apply_diag(psi, phases, local_qubits, q_local)
 
     if gate.name == "ucry":
-        must_local = [gate.qubits[0]]
-    else:
-        must_local = [t for t in gate.qubits]
-
-    # Exchange any must-be-local qubit that sits in a global position with a
-    # local slot.  Slots not used by the gate are preferred; for ucry a slot
-    # holding a *control* is also fine -- the displaced control becomes a
-    # global control, which the angle-selection path handles for free.
-    remap = {}
-    exchanges = []
-    free_locals = [p for p in range(q_local) if p not in gate.qubits]
-    if gate.name == "ucry":
-        control_slots = [p for p in range(q_local) if p in gate.qubits[1:]]
-        free_locals = control_slots + free_locals  # prefer truly-free slots
-    for t in must_local:
-        if t >= q_local:
-            if not free_locals:
-                raise ValueError(
-                    f"Gate {gate.name} on {gate.qubits} needs more local "
-                    f"qubits than available ({q_local})"
-                )
-            l = free_locals.pop()
-            psi_t = _exchange_global_local(
-                psi_t, t - q_local, l, axis_name, n_dev, q_local
-            )
-            remap[t] = l
-            remap[l] = t  # displaced qubit now lives at the global position
-            exchanges.append((t - q_local, l))
-
-    eff = lambda t: remap.get(t, t)
-
-    if gate.name == "ucry":
-        target = eff(gate.qubits[0])
-        controls = tuple(eff(c) for c in gate.qubits[1:])
+        # only the rotation target must be local; controls select angles
+        # from wherever they live (device bits when global)
+        psi = layout.make_local(psi, gate.qubits[0], pinned=set())
+        phys_controls = tuple(layout.phys[c] for c in gate.qubits[1:])
         thetas, local_controls = _select_global_control_angles(
-            gate.params, controls, q_local, axis_name
+            gate.params, phys_controls, q_local, axis_name
         )
-        psi_t = _apply_ucry(psi_t, thetas, target, local_controls, q_local)
-    else:
-        qubits = tuple(eff(t) for t in gate.qubits)
-        if any(t >= q_local for t in qubits):
-            raise AssertionError("dense gate retained a global qubit")
-        psi_t = _apply_dense(psi_t, _gate_matrix(gate), qubits, q_local)
+        return _apply_ucry(
+            psi, thetas, layout.phys[gate.qubits[0]], local_controls, q_local
+        )
 
-    for dev_bit, l in reversed(exchanges):  # the exchange is an involution
-        psi_t = _exchange_global_local(
-            psi_t, dev_bit, l, axis_name, n_dev, q_local
-        )
-    return psi_t
+    # dense gate: every acting qubit must be local; pin the ones already
+    # local so a later exchange doesn't evict them
+    pinned = {
+        layout.phys[t] for t in gate.qubits if layout.phys[t] < q_local
+    }
+    for t in gate.qubits:
+        psi = layout.make_local(psi, t, pinned)
+        pinned.add(layout.phys[t])
+    phys_qubits = tuple(layout.phys[t] for t in gate.qubits)
+    return _apply_dense(psi, _gate_matrix(gate), phys_qubits, q_local)
+
+
+def count_exchanges(circuit: Circuit, n_devices: int) -> int:
+    """Number of qubit-exchange collectives the layout schedule issues for
+    this circuit on an ``n_devices`` mesh (dry bookkeeping, no execution)."""
+    k = int(np.log2(n_devices))
+    q = circuit.num_qubits
+    q_local = q - k
+    layout = _QubitLayout(q, q_local, "_dry", n_devices)
+
+    class _Null:
+        def reshape(self, *a):
+            return self
+
+        def __getitem__(self, *a):
+            return self
+
+        shape = ()
+
+    # monkey-style dry run: reuse the scheduling logic with exchanges
+    # counted but not executed
+    original = _QubitLayout.exchange
+
+    def fake_exchange(self_, psi, g, l):
+        a, b = self_.occupant[g], self_.occupant[l]
+        self_.occupant[g], self_.occupant[l] = b, a
+        self_.phys[a], self_.phys[b] = l, g
+        self_.exchange_count += 1
+        return psi
+
+    try:
+        _QubitLayout.exchange = fake_exchange
+        psi = _Null()
+        for gate in circuit.gates:
+            if gate.name == "diag":
+                continue
+            if gate.name == "ucry":
+                psi = layout.make_local(psi, gate.qubits[0], pinned=set())
+                continue
+            pinned = {
+                layout.phys[t] for t in gate.qubits if layout.phys[t] < q_local
+            }
+            for t in gate.qubits:
+                psi = layout.make_local(psi, t, pinned)
+                pinned.add(layout.phys[t])
+        layout.restore(psi)
+    finally:
+        _QubitLayout.exchange = original
+    return layout.exchange_count
 
 
 def sharded_simulate(
@@ -168,10 +266,13 @@ def sharded_simulate(
     psi0 = jax.device_put(psi0.astype(dtype), NamedSharding(mesh, P(axis_name)))
 
     def local_fn(block):  # flat [2^q_local] slice on each device
+        layout = _QubitLayout(q, q_local, axis_name, n_dev)
         psi = block
         for gate in circuit.gates:
-            psi = _apply_sharded_gate(psi, gate, q_local, axis_name, n_dev)
-        return psi
+            psi = _apply_sharded_gate(
+                psi, gate, layout, q_local, axis_name, n_dev
+            )
+        return layout.restore(psi).reshape(-1)
 
     fn = jax.jit(
         jax.shard_map(

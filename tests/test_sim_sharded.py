@@ -130,3 +130,48 @@ def test_20_qubit_sharded_run(mesh8):
     # norm preserved, amplitudes finite
     total = float(jnp.sum(jnp.abs(psi) ** 2))
     np.testing.assert_allclose(total, 1.0, atol=1e-6)
+
+
+def test_global_heavy_circuit_with_layout_tracking(mesh8):
+    # Repeated gates on global qubits exercise the lazy-exchange working set
+    # and the final layout restore (incl. global<->global cycles via swaps).
+    q = 6
+    circ = Circuit(q)
+    for _ in range(3):
+        circ.h(5).ry(0.3, 4).cx(5, 4).h(3)
+    circ.swap(5, 3).swap(4, 5)  # permute global qubits among themselves
+    circ.ry(0.2, 5)
+    assert_matches_dense(circ, mesh8)
+
+
+def test_layout_restore_local_permutation(mesh8):
+    # A circuit whose exchanges leave locals permuted: dense results must
+    # still come back in canonical order.
+    q = 6
+    circ = Circuit(q)
+    circ.h(0).h(1).h(2)
+    circ.cx(5, 0).cx(4, 1).cx(3, 2)  # each pulls a global qubit local
+    circ.ry(0.7, 5).ry(0.9, 4)
+    assert_matches_dense(circ, mesh8)
+
+
+def test_exchange_count_working_set():
+    from qkan_implementation_tpu.sim.sharded import count_exchanges
+
+    q = 6  # 8 devices -> 3 global qubits
+    circ = Circuit(q)
+    for _ in range(5):
+        circ.h(5).ry(0.1, 5)  # repeated work on one global qubit
+    # naive exchange-in/exchange-out: 2 per gate = 20 collectives.
+    # the layout keeps qubit 5 local after the first exchange: 1 + restore.
+    n = count_exchanges(circ, 8)
+    assert n <= 3, n
+
+    # FABLE circuit: H-ladder on globals + ucry target global + swaps
+    from qkan_implementation_tpu.encoding import fable
+
+    fcirc, _ = fable(np.random.default_rng(0).uniform(-1, 1, (4, 4)))
+    naive = 2 * sum(
+        1 for g in fcirc.gates if any(t >= fcirc.num_qubits - 3 for t in g.qubits)
+    )
+    assert count_exchanges(fcirc, 8) < naive
