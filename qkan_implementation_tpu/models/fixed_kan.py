@@ -77,6 +77,42 @@ def _lstsq(X: jax.Array, y: jax.Array, method: str, ridge: float) -> jax.Array:
     raise ValueError(f"Unknown lstsq method {method!r}")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _layer_gram_kernels(dp1: int, in_dim: int, ridge: float):
+    """Two cached jitted kernels per (degrees, input-dim) shape: a Gram
+    pass over the degree-major design matrix, and a masked leading-block
+    Cholesky solve with a traced block size (one executable serves every
+    cumulative degree)."""
+
+    @jax.jit
+    def gram_fn(basis, y):
+        b = basis.shape[0]
+        X = jnp.swapaxes(basis, 1, 2).reshape(b, dp1 * in_dim)
+        return X.T @ X, X.T @ y, jnp.sum(y**2)
+
+    @jax.jit
+    def solve_fn(G, bvec, yy, k):
+        n = G.shape[0]
+        r = jnp.arange(n)
+        m = r < k
+        mm = m[:, None] & m[None, :]
+        scale = jnp.trace(G) / n + 1e-30
+        Gm = jnp.where(mm, G, 0.0) + jnp.diag(
+            jnp.where(m, ridge * scale, 1.0)
+        )
+        bm = jnp.where(m[:, None], bvec, 0.0)
+        c = jax.scipy.linalg.solve(Gm, bm, assume_a="pos")
+        # residual on the unridged system: yy - 2 c'b + c'Gc over the block
+        Gc = jnp.where(mm, G, 0.0) @ c
+        res = yy - 2.0 * jnp.sum(c * bm) + jnp.sum(c * Gc)
+        return c, res
+
+    return gram_fn, solve_fn
+
+
 def kan_layer_apply(layer_params: dict, x: jax.Array, max_degree: int) -> jax.Array:
     """Apply one KAN layer: [B, in] -> [B, target_dim].
 
@@ -121,18 +157,47 @@ class FixedKAN:
         Equivalent of the (neuron x degree) loop in
         KANLayer.optimize_degrees (reference :127-146); since every neuron
         shares the same transform and target, one solve per degree suffices.
-        Returns (scores [D+1], coeffs list of [in*(d+1), T]).
+        Returns (scores [D+1], coeffs list of [in*(d+1), T] in dim-major
+        layout).
+
+        With ``lstsq_method='normal'`` the whole sweep is two compiled
+        kernels: one Gram/statistics pass, and one masked leading-block
+        Cholesky solve whose block size is a *traced* scalar -- every
+        cumulative degree reuses the same executable (compile count stays
+        constant in max_degree; residuals via the quadratic-form identity).
         """
         cfg = self.config
         basis = chebyshev_basis(x_fit, cfg.max_degree, clip=False)
         b = basis.shape[0]
+        if cfg.lstsq_method != "normal":
+            scores, coeffs = [], []
+            for d in range(cfg.max_degree + 1):
+                X_d = basis[:, :, : d + 1].reshape(b, -1)
+                c = _lstsq(X_d, y, cfg.lstsq_method, cfg.lstsq_ridge)
+                pred = X_d @ c
+                scores.append(float(jnp.mean((y - pred) ** 2)))
+                coeffs.append(c)
+            return np.array(scores), coeffs
+
+        in_dim = basis.shape[1]
+        dp1 = cfg.max_degree + 1
+        t_dim = y.shape[1]
+        gram_fn, solve_fn = _layer_gram_kernels(
+            dp1, in_dim, float(cfg.lstsq_ridge)
+        )
+        # degree-major columns so cumulative degrees are leading blocks
+        G, bvec, yy = gram_fn(basis, y)
         scores, coeffs = [], []
-        for d in range(cfg.max_degree + 1):
-            X_d = basis[:, :, : d + 1].reshape(b, -1)
-            c = _lstsq(X_d, y, cfg.lstsq_method, cfg.lstsq_ridge)
-            pred = X_d @ c
-            scores.append(float(jnp.mean((y - pred) ** 2)))
-            coeffs.append(c)
+        for d in range(dp1):
+            k = (d + 1) * in_dim
+            c, res = solve_fn(G, bvec, yy, k)
+            scores.append(max(float(res), 0.0) / b)
+            # reorder degree-major solution rows into the dim-major layout
+            # the forward pass stores: [d+1, in, T] -> [in, d+1, T]
+            c_dm = jnp.swapaxes(
+                c[:k].reshape(d + 1, in_dim, t_dim), 0, 1
+            ).reshape(k, t_dim)
+            coeffs.append(c_dm)
         return np.array(scores), coeffs
 
     def _evaluate_layer_degrees_quantum(self, x_fit: jax.Array, y: jax.Array):
