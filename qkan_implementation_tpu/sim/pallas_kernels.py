@@ -115,38 +115,86 @@ def _h_pair_kernel(h0_ref, h1_ref, out0_ref, out1_ref):
 def h_gate_pallas(psi: jax.Array, qubit: int, interpret: bool = False):
     """Hadamard on an arbitrary qubit via a strided-pair streaming kernel.
 
-    The statevector is viewed as [outer, 2, inner] with inner = 2^qubit;
-    both halves stream through VMEM tiles.  Requires inner*outer >= one
-    tile; smaller cases take the XLA path.
+    The statevector is viewed as [outer, 2, inner] with inner = 2^qubit and
+    the kernel reads both halves of the *same* array through two BlockSpec
+    index maps (no strided-copy prologue).  Requires inner >= 128 lanes and
+    outer >= 8 sublanes; other cases take the XLA path.
     """
     n = psi.shape[0]
     inner = 2**qubit
     outer = n // (2 * inner)
-    half = psi.reshape(outer, 2, inner)
-    h0 = half[:, 0, :].reshape(-1)
-    h1 = half[:, 1, :].reshape(-1)
-    m = h0.shape[0]
-    if m % TILE != 0:
-        raise ValueError(f"half-size {m} not a multiple of {TILE}")
-    rows = m // LANES
-    spec = pl.BlockSpec(
-        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    if inner % TILE == 0:
+        # large inner: tile entirely within each half
+        rows = inner // TILE
+        v = psi.reshape(outer, 2, rows, SUBLANES, LANES)
+        grid = (outer, rows)
+        blk = (1, 1, 1, SUBLANES, LANES)
+        spec0 = pl.BlockSpec(
+            blk, lambda o, r: (o, 0, r, 0, 0), memory_space=pltpu.VMEM
+        )
+        spec1 = pl.BlockSpec(
+            blk, lambda o, r: (o, 1, r, 0, 0), memory_space=pltpu.VMEM
+        )
+        half_spec = pl.BlockSpec(
+            blk, lambda o, r: (o, 0, r, 0, 0), memory_space=pltpu.VMEM
+        )
+        half_shape = jax.ShapeDtypeStruct(
+            (outer, 1, rows, SUBLANES, LANES), psi.dtype
+        )
+    elif inner % LANES == 0 and outer % SUBLANES == 0:
+        # medium inner: sublanes come from the outer axis
+        v = psi.reshape(outer, 2, inner)
+        grid = (outer // SUBLANES, inner // LANES)
+        blk = (SUBLANES, 1, LANES)
+        spec0 = pl.BlockSpec(
+            blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        )
+        spec1 = pl.BlockSpec(
+            blk, lambda i, j: (i, 1, j), memory_space=pltpu.VMEM
+        )
+        half_spec = pl.BlockSpec(
+            blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        )
+        half_shape = jax.ShapeDtypeStruct((outer, 1, inner), psi.dtype)
+    elif (n // 2) % TILE == 0:
+        # fallback: gather the strided halves into contiguous tiles (one
+        # copy each way; still beats nothing for awkward mid qubits)
+        half = psi.reshape(outer, 2, inner)
+        h0 = half[:, 0, :].reshape(-1)
+        h1 = half[:, 1, :].reshape(-1)
+        rows = (n // 2) // LANES
+        spec = pl.BlockSpec(
+            (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out0, out1 = pl.pallas_call(
+            _h_pair_kernel,
+            grid=(rows // SUBLANES,),
+            in_specs=[spec, spec],
+            out_specs=(spec, spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((rows, LANES), psi.dtype),
+                jax.ShapeDtypeStruct((rows, LANES), psi.dtype),
+            ),
+            interpret=interpret,
+        )(h0.reshape(rows, LANES), h1.reshape(rows, LANES))
+        out = jnp.stack(
+            [out0.reshape(outer, inner), out1.reshape(outer, inner)], axis=1
+        )
+        return out.reshape(-1)
+    else:
+        raise ValueError(
+            f"h_gate_pallas tiling unsupported for qubit {qubit} of {n} "
+            f"amplitudes (use the XLA path)"
+        )
     out0, out1 = pl.pallas_call(
         _h_pair_kernel,
-        grid=(rows // SUBLANES,),
-        in_specs=[spec, spec],
-        out_specs=(spec, spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, LANES), psi.dtype),
-            jax.ShapeDtypeStruct((rows, LANES), psi.dtype),
-        ),
+        grid=grid,
+        in_specs=[spec0, spec1],
+        out_specs=(half_spec, half_spec),
+        out_shape=(half_shape, half_shape),
         interpret=interpret,
-    )(h0.reshape(rows, LANES), h1.reshape(rows, LANES))
-    out = jnp.stack(
-        [out0.reshape(outer, inner), out1.reshape(outer, inner)], axis=1
-    )
-    return out.reshape(-1)
+    )(v, v)
+    return jnp.concatenate([out0, out1], axis=1).reshape(-1)
 
 
 def simulate_fable_pallas(
