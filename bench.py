@@ -41,6 +41,8 @@ def reference_faithful_forward(x, weights, N, K):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +50,8 @@ def main():
 
     N = K = 16
     d = 7
-    B = 262144  # large enough that the MXU, not dispatch, is the limiter
+    quick = os.environ.get("BENCH_QUICK") == "1"  # CPU smoke-test mode
+    B = 4096 if quick else 262144  # large B: MXU, not dispatch, limits
     rng = np.random.default_rng(0)
     x_np = rng.uniform(-1, 1, (B, N))
     w_np = rng.uniform(-1, 1, (d + 1, N * K))
@@ -67,7 +70,7 @@ def main():
     print(f"device={jax.devices()[0]} compile={compile_s:.2f}s", file=sys.stderr)
 
     # steady state: enough iterations to dominate dispatch overhead
-    iters = 200
+    iters = 10 if quick else 200
     t0 = time.time()
     for _ in range(iters):
         v, g = step(w, x)
