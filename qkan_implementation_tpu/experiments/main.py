@@ -142,6 +142,57 @@ def run_experiment(config_path: str):
                     if compr2_scores
                     else val_metrics["comp_r2"]
                 )
+            elif model_config.model_type == "fixed_kan":
+                # multi-layer KAN with QUBO structure search + gradient
+                # refinement -- a harness capability beyond the reference's
+                # qkan/mlp registry
+                from qkan_implementation_tpu.models.fixed_kan import (
+                    FixedKAN,
+                    FixedKANConfig,
+                )
+
+                kan = FixedKAN(
+                    FixedKANConfig(
+                        network_shape=model_config.network_shape,
+                        max_degree=model_config.max_degree or 3,
+                        complexity_weight=model_config.complexity_weight
+                        or 1e-3,
+                        degree_objective="penalized_mse",
+                        consistent_tanh=True,
+                        lstsq_method="normal",
+                    )
+                )
+                kan.optimize(
+                    train_df.to_numpy(),
+                    train_target.to_numpy(),
+                    solver="anneal",
+                    num_reads=model_config.num_reads or 1000,
+                    seed=config.random_seed + trial,
+                )
+                if model_config.n_epochs:
+                    kan.train(
+                        train_df.to_numpy(),
+                        train_target.to_numpy(),
+                        epochs=model_config.n_epochs,
+                        batch_size=model_config.batch_size or 256,
+                        learning_rate=model_config.learning_rate or 1e-2,
+                        loss="mse",
+                    )
+                val_pred = np.asarray(kan(val_df.to_numpy()))
+                train_pred = np.asarray(kan(train_df.to_numpy()))
+                val_metrics = compute_metrics(
+                    val_target.to_numpy(), val_pred, val_weight.to_numpy()
+                )
+                train_metrics = compute_metrics(
+                    train_target.to_numpy(), train_pred, train_weight.to_numpy()
+                )
+                model_params = {
+                    "degrees": [
+                        np.asarray(lp["degrees"]).tolist() for lp in kan.params
+                    ]
+                }
+                mse_score = val_metrics["mse"]
+                r2_score_val = val_metrics["comp_r2"]
             else:
                 raise ValueError(f"Unknown model_type {model_config.model_type!r}")
 

@@ -194,3 +194,46 @@ def test_mnist_fallback_loader():
     one_hot = to_one_hot(y[:5], 10)
     assert one_hot.shape == (5, 10)
     np.testing.assert_array_equal(one_hot.sum(axis=1), np.ones(5))
+
+
+def test_run_experiment_fixed_kan_model(tmp_path):
+    n_features = 4
+    parquet = generate_market_parquet(
+        str(tmp_path / "train.parquet"), n_rows=400, n_features=n_features
+    )
+    cfg_dict = {
+        "name": "fixed_kan_experiment",
+        "data": {
+            "data_path": parquet,
+            "n_rows": 400,
+            "train_ratio": 0.8,
+            "feature_cols": [f"feature_{i:02d}" for i in range(n_features)],
+            "target_col": "responder_6",
+            "weight_col": "weight",
+            "date_col": "date_id",
+        },
+        "models": [
+            {
+                "model_type": "fixed_kan",
+                "network_shape": [n_features, 4, 1],
+                "max_degree": 3,
+                "complexity_weight": 0.001,
+                "num_reads": 32,
+                "n_epochs": 5,
+                "batch_size": 64,
+                "learning_rate": 0.01,
+            }
+        ],
+        "random_seed": 1,
+        "num_trials": 1,
+        "save_path": str(tmp_path / "results"),
+        "log_path": str(tmp_path / "logs"),
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_dict))
+    results = run_experiment(str(cfg_path))
+    assert len(results) == 1
+    r = results[0]
+    assert r.model_name == "fixed_kan_trial_0"
+    assert np.isfinite(r.MSE_Score)
+    assert len(r.model_params["degrees"]) == 2  # two layers
