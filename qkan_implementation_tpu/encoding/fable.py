@@ -111,6 +111,11 @@ def fable(
         (Circuit, alpha): qubits [0..n-1] = system (j, then i after the swap),
         [n..2n-1] = row register, [2n] = rotation ancilla.
     """
+    if np.iscomplexobj(a):
+        raise ValueError(
+            "fable encodes real matrices (the reference contract); "
+            "complex support would need Rz phases in the ladder"
+        )
     a = np.asarray(a, dtype=np.float64)
     if a.ndim != 2:
         raise ValueError("fable expects a 2-D matrix")
