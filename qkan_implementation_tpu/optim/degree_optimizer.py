@@ -300,6 +300,60 @@ class DegreeOptimizer(BaseOptimizer):
             )
         return network_degrees
 
+    def evaluate_degree_cv(
+        self,
+        x_data,
+        y_data,
+        timestamps,
+        weights=None,
+        n_splits: int = 5,
+        strategy: str = "expanding",
+        initial_ratio: float = 0.6,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Cross-validated per-degree scores over time-based folds.
+
+        The reference defines expanding/time-window folds
+        (BaseOptimizer.py:38-99) but never wires them into degree search;
+        here each fold fits on its training window and scores on its
+        validation window, and the per-degree scores average across folds --
+        out-of-sample degree selection for non-stationary market data.
+        """
+        feature_data = _extract_features(x_data).astype(np.float64)
+        y = np.asarray(y_data).reshape(-1, 1).astype(np.float64)
+        w = None if weights is None else np.asarray(weights).reshape(-1)
+
+        if strategy == "expanding":
+            folds = self._get_expanding_window_folds(
+                timestamps, n_splits=n_splits, initial_ratio=initial_ratio
+            )
+        elif strategy == "time":
+            folds = self._get_time_based_folds(timestamps, n_splits=n_splits)
+        else:
+            raise ValueError(f"Unknown strategy {strategy!r}")
+
+        dp1 = self.max_degree + 1
+        scores = np.zeros(dp1)
+        comp_r2 = np.zeros(dp1)
+        used = 0
+        for train_mask, val_mask in folds:
+            if train_mask.sum() == 0 or val_mask.sum() == 0:
+                continue
+            used += 1
+            tr = self._cached_transforms(feature_data[train_mask])
+            va = self._cached_transforms(feature_data[val_mask])
+            y_tr, y_va = y[train_mask], y[val_mask]
+            w_va = None if w is None else w[val_mask]
+            for d in range(dp1):
+                X_tr = np.hstack([tr[deg] for deg in range(d + 1)])
+                X_va = np.hstack([va[deg] for deg in range(d + 1)])
+                coeffs = np.linalg.lstsq(X_tr, y_tr, rcond=None)[0]
+                metrics = self._compute_metrics(y_va, X_va @ coeffs, w_va)
+                scores[d] += metrics["mse"]
+                comp_r2[d] += metrics["comp_r2"]
+        if used == 0:
+            raise ValueError("No non-empty folds")
+        return scores / used, comp_r2 / used
+
     # -- fit / predict ----------------------------------------------------
     def fit(self, x_data, y_data, weights=None, **optimize_kwargs) -> None:
         """Degree search + QKAN weight assembly (reference :42-76)."""

@@ -187,3 +187,29 @@ def test_analyze_and_visualize_network(tmp_path):
     assert fig is not None
     import pathlib
     assert pathlib.Path(save).exists()
+
+
+def test_evaluate_degree_cv():
+    # CV-fold degree scoring: out-of-sample scores should still identify
+    # the true polynomial degree, and overfit degrees should stop improving.
+    rng = np.random.default_rng(5)
+    n = 600
+    dates = np.repeat(np.arange(30), 20)
+    x = rng.uniform(-1, 1, (n, 1))
+    y = (0.8 * x[:, 0] ** 3 - 0.2 * x[:, 0] + 0.05 * rng.normal(size=n)).reshape(-1, 1)
+    df = pd.DataFrame(x, columns=["feature_00"])
+    opt = DegreeOptimizer(network_shape=[1, 1], max_degree=6)
+    scores, comp_r2 = opt.evaluate_degree_cv(
+        df, y, timestamps=dates, n_splits=3, strategy="expanding"
+    )
+    assert scores.shape == (7,)
+    # degree 3 captures the target: large drop by d=3, flat after
+    assert scores[3] < 0.5 * scores[1]
+    assert abs(scores[6] - scores[3]) < 0.05
+    # time-based strategy also works
+    s2, _ = opt.evaluate_degree_cv(
+        df, y, timestamps=dates, n_splits=3, strategy="time"
+    )
+    assert s2.shape == (7,)
+    with pytest.raises(ValueError):
+        opt.evaluate_degree_cv(df, y, timestamps=dates, strategy="nope")
