@@ -61,20 +61,30 @@ def main():
     def loss(w, x):
         return jnp.sum(qkan_layer_forward_batched(x, w, N, K) ** 2)
 
-    step = jax.jit(jax.value_and_grad(loss))
+    grad = jax.grad(loss)
+
+    # Timing methodology: a device-side scan chains `iters` dependent
+    # fwd+bwd steps into ONE dispatch, and a host fetch of the result forces
+    # completion -- immune to dispatch pipelining and to runtimes where
+    # block_until_ready returns early (remote-tunnel backends).
+    iters = 20 if quick else 500
+
+    @jax.jit
+    def chained(w, x):
+        def body(w, _):
+            return w - 1e-7 * grad(w, x), None
+
+        return jax.lax.scan(body, w, None, length=iters)[0]
 
     t0 = time.time()
-    v, g = step(w, x)
-    jax.block_until_ready(g)
+    out = chained(w, x)
+    _ = float(jnp.sum(out))  # force completion
     compile_s = time.time() - t0
     print(f"device={jax.devices()[0]} compile={compile_s:.2f}s", file=sys.stderr)
 
-    # steady state: enough iterations to dominate dispatch overhead
-    iters = 10 if quick else 200
     t0 = time.time()
-    for _ in range(iters):
-        v, g = step(w, x)
-    jax.block_until_ready(g)
+    out = chained(w, x)
+    _ = float(jnp.sum(out))
     ours_layers_per_sec = B * iters / (time.time() - t0)
     print(f"ours: {ours_layers_per_sec:,.0f} fwd+bwd layers/sec", file=sys.stderr)
 

@@ -32,6 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 TILE = LANES * SUBLANES
+# HBM streaming wants large DMA blocks: up to BLOCK_ROWS rows (x LANES x 4B
+# = 256 KB) per grid step, shrinking to fit small inputs.
+BLOCK_ROWS = 512
+
+
+def _rows_per_block(rows: int) -> int:
+    b = BLOCK_ROWS
+    while rows % b != 0:
+        b //= 2
+    return b
 
 
 def _ucry_kernel(psi0_ref, psi1_ref, theta_ref, out0_ref, out1_ref):
@@ -56,13 +66,14 @@ def ucry_msb_pallas(psi: jax.Array, thetas: jax.Array, interpret: bool = False):
     if m % TILE != 0:
         raise ValueError(f"size {m} not a multiple of {TILE}")
     rows = m // LANES
-    grid = rows // SUBLANES
+    block_rows = _rows_per_block(rows)
+    grid = rows // block_rows
     psi0 = psi[:m].reshape(rows, LANES)
     psi1 = psi[m:].reshape(rows, LANES)
     th = thetas.reshape(rows, LANES).astype(psi.dtype)
 
     spec = pl.BlockSpec(
-        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out0, out1 = pl.pallas_call(
         _ucry_kernel,
@@ -89,12 +100,13 @@ def diag_mult_pallas(psi: jax.Array, diag: jax.Array, interpret: bool = False):
     if n % TILE != 0:
         raise ValueError(f"size {n} not a multiple of {TILE}")
     rows = n // LANES
+    block_rows = _rows_per_block(rows)
     spec = pl.BlockSpec(
-        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         _diag_kernel,
-        grid=(rows // SUBLANES,),
+        grid=(rows // block_rows,),
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), psi.dtype),
