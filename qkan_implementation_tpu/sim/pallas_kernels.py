@@ -89,6 +89,54 @@ def ucry_msb_pallas(psi: jax.Array, thetas: jax.Array, interpret: bool = False):
     return jnp.concatenate([out0.reshape(-1), out1.reshape(-1)])
 
 
+def _ucry_cs_kernel(psi0_ref, psi1_ref, c_ref, s_ref, out0_ref, out1_ref):
+    c = c_ref[:]
+    s = s_ref[:]
+    p0 = psi0_ref[:]
+    p1 = psi1_ref[:]
+    out0_ref[:] = c * p0 - s * p1
+    out1_ref[:] = s * p0 + c * p1
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def ucry_msb_cs_pallas(
+    psi: jax.Array, cos_half: jax.Array, sin_half: jax.Array,
+    interpret: bool = False,
+):
+    """MSB-targeted multiplexed Ry with precomputed cos/sin(theta/2).
+
+    The trig-free variant: the plain kernel is transcendental-bound (~2M
+    cos/sin per gate dominate the 21-qubit timing), so when angles are
+    static -- every FABLE circuit -- the host computes c/s once and the
+    kernel runs at memory speed.  ``simulate(backend='auto')`` uses this
+    path automatically for static-parameter circuits.
+    """
+    m = cos_half.shape[0]
+    if m % TILE != 0:
+        raise ValueError(f"size {m} not a multiple of {TILE}")
+    rows = m // LANES
+    block_rows = _rows_per_block(rows)
+    psi0 = psi[:m].reshape(rows, LANES)
+    psi1 = psi[m:].reshape(rows, LANES)
+    c = cos_half.reshape(rows, LANES).astype(psi.dtype)
+    s = sin_half.reshape(rows, LANES).astype(psi.dtype)
+    spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out0, out1 = pl.pallas_call(
+        _ucry_cs_kernel,
+        grid=(rows // block_rows,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), psi.dtype),
+            jax.ShapeDtypeStruct((rows, LANES), psi.dtype),
+        ),
+        interpret=interpret,
+    )(psi0, psi1, c, s)
+    return jnp.concatenate([out0.reshape(-1), out1.reshape(-1)])
+
+
 def _diag_kernel(psi_ref, diag_ref, out_ref):
     out_ref[:] = psi_ref[:] * diag_ref[:]
 

@@ -237,13 +237,30 @@ def simulate(
     use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
     for gate in circuit.gates:
         if use_pallas and _pallas_eligible(gate, circuit.num_qubits, dtype):
-            from qkan_implementation_tpu.sim.pallas_kernels import ucry_msb_pallas
+            if isinstance(gate.params, np.ndarray):
+                # static angles (every host-built FABLE circuit): precompute
+                # the trig once -- the kernel is transcendental-bound
+                from qkan_implementation_tpu.sim.pallas_kernels import (
+                    ucry_msb_cs_pallas,
+                )
 
-            psi = ucry_msb_pallas(
-                psi,
-                jnp.asarray(gate.params).reshape(-1),
-                interpret=not on_tpu,
-            )
+                half = np.asarray(gate.params).reshape(-1) / 2.0
+                psi = ucry_msb_cs_pallas(
+                    psi,
+                    jnp.asarray(np.cos(half), dtype=psi.dtype),
+                    jnp.asarray(np.sin(half), dtype=psi.dtype),
+                    interpret=not on_tpu,
+                )
+            else:
+                from qkan_implementation_tpu.sim.pallas_kernels import (
+                    ucry_msb_pallas,
+                )
+
+                psi = ucry_msb_pallas(
+                    psi,
+                    jnp.asarray(gate.params).reshape(-1),
+                    interpret=not on_tpu,
+                )
         else:
             psi = apply_gate(psi, gate, circuit.num_qubits)
     return psi

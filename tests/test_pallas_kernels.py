@@ -69,3 +69,38 @@ def test_tile_size_validation():
     psi = jnp.zeros(64, dtype=jnp.float32)
     with pytest.raises(ValueError):
         ucry_msb_pallas(psi, jnp.zeros(32), interpret=True)
+
+
+def test_ucry_cs_variant_matches():
+    from qkan_implementation_tpu.sim.pallas_kernels import ucry_msb_cs_pallas
+
+    rng = np.random.default_rng(9)
+    q = 11
+    dim = 2**q
+    psi = jnp.asarray(rng.normal(size=dim), dtype=jnp.float32)
+    psi = psi / jnp.linalg.norm(psi)
+    thetas = rng.uniform(-np.pi, np.pi, dim // 2)
+    expected = ucry_msb_pallas(
+        psi, jnp.asarray(thetas, dtype=jnp.float32), interpret=True
+    )
+    got = ucry_msb_cs_pallas(
+        psi,
+        jnp.asarray(np.cos(thetas / 2), dtype=jnp.float32),
+        jnp.asarray(np.sin(thetas / 2), dtype=jnp.float32),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+
+def test_simulate_auto_uses_cs_path_for_static_fable():
+    # simulate(backend='pallas') on a static-angle FABLE circuit routes the
+    # ucry through the precomputed-trig kernel; result must match XLA.
+    from qkan_implementation_tpu.encoding import fable
+    from qkan_implementation_tpu.sim import simulate
+
+    rng = np.random.default_rng(10)
+    a = rng.uniform(-1, 1, (32, 32))  # 11-qubit circuit, M=1024 = one tile
+    circ, alpha = fable(a)
+    xla = np.asarray(simulate(circ, backend="xla", dtype=jnp.float32))
+    pallas = np.asarray(simulate(circ, backend="pallas", dtype=jnp.float32))
+    np.testing.assert_allclose(pallas, xla, atol=1e-5)
