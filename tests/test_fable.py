@@ -75,17 +75,19 @@ def test_dense_4x4_nonsymmetric(fused):
     verify_block_encoding(a, tol=1e-10, fused=fused)
 
 
-def test_dilated_chebyshev_1e15():
+@pytest.mark.parametrize("fused", [True, False])
+def test_dilated_chebyshev_1e15(fused):
     # The reference's tightest tolerance: dilated Chebyshev diag, N=4, deg 8,
-    # relative error < 1e-15 (ChebyshevStep.py:117-134).
+    # relative error < 1e-15 (ChebyshevStep.py:117-134).  Met exactly on the
+    # x64 suite (measured floor ~5e-16 fused / ~6e-16 elementary).
     from qkan_implementation_tpu.ops import dilated_chebyshev_diag
 
     rng = np.random.default_rng(42)
     x = rng.uniform(-1, 1, 4)
     diag = np.asarray(dilated_chebyshev_diag(jnp.asarray(x), K=1, degree=8))
     a = np.diag(diag)
-    diff = verify_block_encoding(a, tol=1e-13, fused=True)
-    assert diff < 1e-13
+    diff = verify_block_encoding(a, tol=1e-15, fused=fused)
+    assert diff < 1e-15
 
 
 def test_alpha_rescaling_for_large_entries():
