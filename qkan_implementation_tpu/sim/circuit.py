@@ -76,14 +76,23 @@ class Circuit:
         self.gates.append(Gate("z", (t,)))
         return self
 
+    @staticmethod
+    def _angle(theta):
+        """Concrete angles become floats; traced jax values pass through
+        (the differentiable-circuit path)."""
+        try:
+            return float(theta)
+        except TypeError:
+            return theta
+
     def ry(self, theta: float, t: int):
         self._check(t)
-        self.gates.append(Gate("ry", (t,), (float(theta),)))
+        self.gates.append(Gate("ry", (t,), (self._angle(theta),)))
         return self
 
     def rz(self, theta: float, t: int):
         self._check(t)
-        self.gates.append(Gate("rz", (t,), (float(theta),)))
+        self.gates.append(Gate("rz", (t,), (self._angle(theta),)))
         return self
 
     def cx(self, control: int, target: int):
@@ -98,7 +107,7 @@ class Circuit:
 
     def cry(self, theta: float, control: int, target: int):
         self._check(control, target)
-        self.gates.append(Gate("cry", (control, target), (float(theta),)))
+        self.gates.append(Gate("cry", (control, target), (self._angle(theta),)))
         return self
 
     def swap(self, a: int, b: int):
@@ -179,11 +188,23 @@ GATE_MATRICES = {
 
 
 def ry_matrix(theta: float) -> np.ndarray:
+    if hasattr(theta, "aval"):  # traced angle: build the matrix with jnp
+        import jax.numpy as jnp
+
+        c, s = jnp.cos(theta / 2.0), jnp.sin(theta / 2.0)
+        return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
     c, s = np.cos(theta / 2.0), np.sin(theta / 2.0)
     return np.array([[c, -s], [s, c]])
 
 
 def rz_matrix(theta: float) -> np.ndarray:
+    if hasattr(theta, "aval"):
+        import jax.numpy as jnp
+
+        z = jnp.zeros((), dtype=jnp.complex128)
+        return jnp.diag(
+            jnp.stack([jnp.exp(-0.5j * theta) + z, jnp.exp(0.5j * theta) + z])
+        )
     return np.diag([np.exp(-0.5j * theta), np.exp(0.5j * theta)])
 
 

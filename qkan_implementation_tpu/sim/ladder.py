@@ -32,11 +32,24 @@ class LadderSegment:
     ctrls: np.ndarray  # [L], -1 = no CNOT this step
 
 
+def _static_theta(gate) -> float | None:
+    """The gate's angle as a concrete float, or None if it is traced."""
+    p = gate.params[0] if isinstance(gate.params, (tuple, list)) else gate.params
+    if hasattr(p, "aval"):  # any traced jax value
+        return None
+    try:
+        return float(np.asarray(p).reshape(-1)[0])
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return None
+
+
 def fuse_ladders(circuit: Circuit, min_len: int = 8):
     """Split the gate list into LadderSegments and passthrough gates.
 
     A ladder is a maximal run of ``ry(target)`` / ``cx(*, target)`` gates on
     a common target; runs shorter than ``min_len`` stay as plain gates.
+    Gates with traced (non-concrete) angles break a run -- segments need
+    static angle arrays.
     """
     items = []
     i = 0
@@ -44,7 +57,7 @@ def fuse_ladders(circuit: Circuit, min_len: int = 8):
     while i < len(gates):
         g = gates[i]
         target = None
-        if g.name == "ry":
+        if g.name == "ry" and _static_theta(g) is not None:
             target = g.qubits[0]
         elif g.name == "cx":
             target = g.qubits[1]
@@ -55,9 +68,12 @@ def fuse_ladders(circuit: Circuit, min_len: int = 8):
             while j < len(gates):
                 gj = gates[j]
                 if gj.name == "ry" and gj.qubits[0] == target:
+                    theta = _static_theta(gj)
+                    if theta is None:
+                        break
                     if pending_theta is not None:
                         steps.append((pending_theta, -1))
-                    pending_theta = float(np.asarray(gj.params).reshape(-1)[0])
+                    pending_theta = theta
                 elif gj.name == "cx" and gj.qubits[1] == target:
                     steps.append(
                         (pending_theta if pending_theta is not None else 0.0,

@@ -216,6 +216,14 @@ def _pallas_eligible(gate: Gate, num_qubits: int, dtype) -> bool:
     return tuple(controls) == tuple(range(num_qubits - 2, -1, -1))
 
 
+# Unroll-vs-scan crossover for Ry/CNOT ladders (elementary FABLE emits
+# 2*4^n of them).  Measured on CPU x64: unrolled tracing costs ~1.5s at 524
+# gates and ~8s at 2063 (superlinear), while the scan executor compiles in
+# ~1s flat at any length; remote-TPU compiles amplify the gap further.  Runs
+# >= this length scan-fuse under backend='auto'; exec cost is ~us/gate.
+AUTO_LADDER_MIN = 128
+
+
 def simulate(
     circuit: Circuit,
     psi0: jax.Array | None = None,
@@ -225,18 +233,31 @@ def simulate(
     """Run ``circuit`` on ``psi0`` (default |0...0>); returns the final state.
 
     The gate loop unrolls at trace time (the circuit is static data), so under
-    ``jax.jit`` the whole circuit fuses into one XLA computation.
+    ``jax.jit`` the whole circuit fuses into one XLA computation -- except
+    long Ry/CNOT ladder runs (elementary FABLE circuits trace 2*4^n gates),
+    which ``backend='auto'`` executes as ONE ``lax.scan`` each so compile
+    time stays O(1) in ladder length (see ``sim.ladder``; threshold
+    ``AUTO_LADDER_MIN`` from the measured unroll-vs-scan crossover).
 
-    ``backend``: 'auto' uses the Pallas streaming kernel for eligible gates
-    on TPU (large MSB-targeted ucry); 'xla' forces the pure-XLA lowering;
-    'pallas' additionally allows interpret-mode Pallas off-TPU.
+    ``backend``: 'auto' additionally uses the Pallas streaming kernel for
+    eligible gates on TPU (large MSB-targeted ucry); 'xla' forces the fully
+    unrolled pure-XLA lowering; 'pallas' additionally allows interpret-mode
+    Pallas off-TPU.
     """
     dtype = dtype or default_dtype(circuit)
     psi = zero_state(circuit.num_qubits, dtype) if psi0 is None else psi0.astype(dtype)
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
-    for gate in circuit.gates:
-        if use_pallas and _pallas_eligible(gate, circuit.num_qubits, dtype):
+
+    items = circuit.gates
+    if backend in ("auto", "pallas"):
+        from qkan_implementation_tpu.sim.ladder import apply_ladder, fuse_ladders
+
+        items = fuse_ladders(circuit, min_len=AUTO_LADDER_MIN)
+    for gate in items:
+        if not isinstance(gate, Gate):  # a scan-fused LadderSegment
+            psi = apply_ladder(psi, gate, circuit.num_qubits)
+        elif use_pallas and _pallas_eligible(gate, circuit.num_qubits, dtype):
             if isinstance(gate.params, np.ndarray):
                 # static angles (every host-built FABLE circuit): precompute
                 # the trig once -- the kernel is transcendental-bound
