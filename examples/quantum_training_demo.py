@@ -6,6 +6,10 @@ forward pass physically round-trips the LCU diagonal through its FABLE
 circuit on the statevector engine -- d(loss)/d(weights) flows through
 arccos -> gate application -> amplitude extraction.
 
+Runs at the full headline size N=K=16 (a 17-qubit packed simulation per
+sample; see ``ops.quantum.quantum_extract_diag_packed``) and records
+wall-clock to ``benchmarks/records/quantum_training.json``.
+
 Run:  PYTHONPATH=. QKAN_PLATFORM=cpu python examples/quantum_training_demo.py
 """
 
@@ -13,27 +17,33 @@ from qkan_implementation_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
 
+import json
+import pathlib
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from qkan_implementation_tpu.ops import qkan_layer_forward
-from qkan_implementation_tpu.ops.quantum import qkan_layer_forward_quantum
+from qkan_implementation_tpu.ops import qkan_layer_forward_batched
+from qkan_implementation_tpu.ops.quantum import (
+    qkan_layer_forward_quantum_batched,
+)
 
 
 def main():
-    N = K = 2
-    d = 2
+    N = K = 16
+    d = 7
+    B = 8
+    steps = 60
     rng = np.random.default_rng(0)
     # target: outputs of a hidden "true" weight setting on a few probes
     w_true = jnp.asarray(rng.uniform(-0.8, 0.8, (d + 1, N * K)))
-    xs = jnp.asarray(rng.uniform(-0.9, 0.9, (6, N)))
-    targets = jnp.stack([qkan_layer_forward(x, w_true, N, K) for x in xs])
+    xs = jnp.asarray(rng.uniform(-0.9, 0.9, (B, N)))
+    targets = qkan_layer_forward_batched(xs, w_true, N, K)
 
     def loss(w):
-        preds = jnp.stack(
-            [qkan_layer_forward_quantum(x, w, N, K) for x in xs]
-        )
+        preds = qkan_layer_forward_quantum_batched(xs, w, N, K)
         return jnp.mean((preds - targets) ** 2)
 
     import optax
@@ -43,16 +53,45 @@ def main():
     opt_state = tx.init(w)
     value_and_grad = jax.jit(jax.value_and_grad(loss))
     initial = float(loss(w))
-    print("training QKAN weights through the block-encoding simulator:")
-    for step in range(150):
+    print(
+        f"training QKAN(N={N},K={K},deg={d}) weights through the "
+        f"block-encoding simulator ({2 * int(np.log2(N * K)) + 1}-qubit "
+        f"packed circuits, batch {B}):"
+    )
+    t_compile0 = time.time()
+    l, g = value_and_grad(w)
+    jax.block_until_ready((l, g))
+    compile_s = time.time() - t_compile0
+    t0 = time.time()
+    for step in range(steps):
         l, g = value_and_grad(w)
         updates, opt_state = tx.update(g, opt_state)
         w = jnp.clip(optax.apply_updates(w, updates), -1.0, 1.0)
-        if step % 30 == 0 or step == 149:
+        if step % 10 == 0 or step == steps - 1:
             print(f"  step {step:3d}  loss {float(l):.3e}")
+    train_s = time.time() - t0
     final = float(loss(w))
     print(f"loss: {initial:.3e} -> {final:.3e}")
-    assert final < initial / 100.0, "quantum-path training failed to converge"
+    print(f"compile {compile_s:.1f}s, {steps} steps in {train_s:.1f}s "
+          f"({train_s / steps * 1e3:.0f} ms/step)")
+    assert final < initial / 10.0, "quantum-path training failed to converge"
+
+    record = {
+        "workload": f"gradient training through the simulator, "
+        f"QKAN(N={N},K={K},deg={d}), batch {B}, {steps} Adam steps",
+        "dataset": "synthetic probes (hidden true-weight targets)",
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "compile_s": round(compile_s, 2),
+        "train_s": round(train_s, 2),
+        "ms_per_step": round(train_s / steps * 1e3, 1),
+        "loss_initial": initial,
+        "loss_final": final,
+    }
+    out = pathlib.Path(__file__).resolve().parents[1] / "benchmarks" / "records"
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "quantum_training.json").write_text(json.dumps(record, indent=1))
+    print(f"record -> {out / 'quantum_training.json'}")
     print("OK: gradients through the simulator train the layer")
 
 

