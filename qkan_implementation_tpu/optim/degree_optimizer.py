@@ -99,6 +99,8 @@ class DegreeOptimizer(BaseOptimizer):
         self.feature_means: Optional[np.ndarray] = None
         self.feature_stds: Optional[np.ndarray] = None
         self.qkan_weights: Optional[np.ndarray] = None  # [D+1, N*K]
+        self.qkan_weights_stack: Optional[list] = None  # full-network fit
+        self.optimal_degrees_stack: Optional[list] = None
 
     # -- transforms -------------------------------------------------------
     def _compute_transforms(self, feature_data: np.ndarray) -> Dict[int, np.ndarray]:
@@ -355,34 +357,94 @@ class DegreeOptimizer(BaseOptimizer):
         return scores / used, comp_r2 / used
 
     # -- fit / predict ----------------------------------------------------
-    def fit(self, x_data, y_data, weights=None, **optimize_kwargs) -> None:
-        """Degree search + QKAN weight assembly (reference :42-76)."""
-        self.optimal_degrees = self.optimize_layer(
-            layer_idx=0, x_data=x_data, y_data=y_data, weights=weights,
-            **optimize_kwargs,
-        )
+    @staticmethod
+    def _one_hot_weights(optimal_degrees, N: int, K: int, max_degree: int):
+        """One-hot degree weights in the reference's index convention
+        (DegreeOptimizer.py:63-76): w[d, out*N + in] = 1 iff degree match."""
+        weights_arr = np.zeros((max_degree + 1, N * K))
+        for d in range(max_degree + 1):
+            for out_idx, connections in enumerate(optimal_degrees):
+                for in_idx, degree in enumerate(connections):
+                    if degree == d:
+                        weights_arr[d, out_idx * N + in_idx] = 1.0
+        return weights_arr
+
+    def fit(
+        self, x_data, y_data, weights=None, full_network: bool = False,
+        **optimize_kwargs,
+    ) -> None:
+        """Degree search + QKAN weight assembly (reference :42-76).
+
+        ``full_network=False`` replicates the reference ceiling: only layer 0
+        is optimized even when ``network_shape`` is deeper (the reference's
+        ``optimize_network`` exists but ``fit`` never calls it --
+        DegreeOptimizer.py:42-76 vs :256-275).  ``full_network=True`` exceeds
+        it: every layer is QUBO-optimized greedily on the previous layer's
+        activations (the ``optimize_network`` schedule), the per-layer
+        one-hot weights are wired into a stack of QKAN layers, and
+        ``predict`` runs the whole stack.
+        """
         feature_data = _extract_features(x_data).astype(np.float64)
         self.feature_means = feature_data.mean(axis=0)
         self.feature_stds = feature_data.std(axis=0) + 1e-8
 
-        N = self.network_shape[0]
-        K = self.network_shape[1]
-        weights_arr = np.zeros((self.max_degree + 1, N * K))
-        for d in range(self.max_degree + 1):
-            for out_idx, connections in enumerate(self.optimal_degrees):
-                for in_idx, degree in enumerate(connections):
-                    if degree == d:
-                        # reference weight-index convention (:63-76)
-                        weights_arr[d, out_idx * N + in_idx] = 1.0
-        self.qkan_weights = weights_arr
+        if not full_network or self.num_layers == 1:
+            self.optimal_degrees = self.optimize_layer(
+                layer_idx=0, x_data=x_data, y_data=y_data, weights=weights,
+                **optimize_kwargs,
+            )
+            self.qkan_weights = self._one_hot_weights(
+                self.optimal_degrees,
+                self.network_shape[0],
+                self.network_shape[1],
+                self.max_degree,
+            )
+            self.qkan_weights_stack = None
+            return
+
+        current = (feature_data - self.feature_means) / self.feature_stds
+        stack = []
+        all_degrees = []
+        for layer_idx in range(self.num_layers):
+            N = self.network_shape[layer_idx]
+            K = self.network_shape[layer_idx + 1]
+            # deeper layers see fresh activations: clear the score cache
+            self.degree_scores = {}
+            degrees = self.optimize_layer(
+                layer_idx=layer_idx, x_data=current, y_data=y_data,
+                weights=weights, **optimize_kwargs,
+            )
+            w_arr = self._one_hot_weights(degrees, N, K, self.max_degree)
+            stack.append(w_arr)
+            all_degrees.append(degrees)
+            current = np.asarray(
+                qkan_layer_forward_batched(
+                    jnp.asarray(current), jnp.asarray(w_arr), N, K
+                )
+            )
+        self.optimal_degrees = all_degrees[0]
+        self.optimal_degrees_stack = all_degrees
+        self.qkan_weights = stack[0]
+        self.qkan_weights_stack = stack
 
     def predict(self, x_data) -> np.ndarray:
         """Normalize by stored stats, run the batched QKAN forward
-        (reference :78-95, with the batching bug fixed)."""
+        (reference :78-95, with the batching bug fixed).  After a
+        ``fit(full_network=True)`` the whole layer stack runs."""
         if self.qkan_weights is None:
             raise RuntimeError("Not fitted yet")
         feature_data = _extract_features(x_data).astype(np.float64)
         normalized = (feature_data - self.feature_means) / self.feature_stds
+        stack = getattr(self, "qkan_weights_stack", None)
+        if stack:
+            current = jnp.asarray(normalized)
+            for layer_idx, w_arr in enumerate(stack):
+                N = self.network_shape[layer_idx]
+                K = self.network_shape[layer_idx + 1]
+                current = qkan_layer_forward_batched(
+                    current, jnp.asarray(w_arr), N, K
+                )
+            return np.asarray(current)
         N, K = self.network_shape[0], self.network_shape[1]
         out = qkan_layer_forward_batched(
             jnp.asarray(normalized), jnp.asarray(self.qkan_weights), N, K
@@ -499,6 +561,12 @@ class DegreeOptimizer(BaseOptimizer):
                 "feature_means": self.feature_means.copy(),
                 "feature_stds": self.feature_stds.copy(),
                 "optimal_degrees": [list(row) for row in self.optimal_degrees],
+                "weights_stack": (
+                    [w.copy() for w in self.qkan_weights_stack]
+                    if self.qkan_weights_stack
+                    else None
+                ),
+                "optimal_degrees_stack": self.optimal_degrees_stack,
             }
         state = {
             "network_shape": self.network_shape,
@@ -529,6 +597,8 @@ class DegreeOptimizer(BaseOptimizer):
             self.feature_stds = qp["feature_stds"]
             self.optimal_degrees = qp["optimal_degrees"]
             self.qkan_weights = qp["weights"]
+            self.qkan_weights_stack = qp.get("weights_stack")
+            self.optimal_degrees_stack = qp.get("optimal_degrees_stack")
 
         if self._validate_query(state["query_params"], current_query_params):
             self.degree_scores = state["degree_scores"]

@@ -213,3 +213,54 @@ def test_evaluate_degree_cv():
     assert s2.shape == (7,)
     with pytest.raises(ValueError):
         opt.evaluate_degree_cv(df, y, timestamps=dates, strategy="nope")
+
+
+class TestFullNetworkFit:
+    """fit(full_network=True) exceeds the reference's layer-0 ceiling
+    (DegreeOptimizer.py:42-76 optimizes layer 0 only; :256-275's
+    optimize_network is never wired into fit/predict)."""
+
+    def _data(self):
+        rng = np.random.default_rng(21)
+        x = rng.uniform(-1, 1, (400, 4))
+        y = 0.6 * x[:, 0] ** 2 - 0.4 * x[:, 1] + 0.2 * x[:, 2] * 0 + 0.1
+        return x, y
+
+    def test_stack_shapes_and_predict(self):
+        x, y = self._data()
+        opt = DegreeOptimizer(
+            network_shape=[4, 4, 1], max_degree=3, complexity_weight=0.0
+        )
+        opt.fit(x, y, full_network=True, num_reads=64, num_sweeps=64)
+        assert opt.qkan_weights_stack is not None
+        assert len(opt.qkan_weights_stack) == 2
+        assert opt.qkan_weights_stack[0].shape == (4, 16)
+        assert opt.qkan_weights_stack[1].shape == (4, 4)
+        pred = opt.predict(x)
+        assert pred.shape == (400, 1)
+        assert np.all(np.isfinite(pred))
+
+    def test_layer0_only_default_unchanged(self):
+        x, y = self._data()
+        opt = DegreeOptimizer(
+            network_shape=[4, 4, 1], max_degree=3, complexity_weight=0.0
+        )
+        opt.fit(x, y, num_reads=64, num_sweeps=64)
+        assert opt.qkan_weights_stack is None
+        pred = opt.predict(x)
+        assert pred.shape == (400, 4)  # reference ceiling: first layer only
+
+    def test_save_load_round_trip_stack(self, tmp_path):
+        x, y = self._data()
+        opt = DegreeOptimizer(
+            network_shape=[4, 2, 1], max_degree=2, complexity_weight=0.0
+        )
+        opt.fit(x, y, full_network=True, num_reads=32, num_sweeps=32)
+        want = opt.predict(x)
+        qp = {"n_rows": 1, "columns": ["a"], "sort_by": "a"}
+        path = str(tmp_path / "state.npy")
+        opt.save_state(path, query_params=qp)
+        opt2 = DegreeOptimizer(network_shape=[4, 2, 1], max_degree=2)
+        opt2.load_state(path, current_query_params=qp)
+        got = opt2.predict(x)
+        np.testing.assert_allclose(got, want, atol=1e-12)
