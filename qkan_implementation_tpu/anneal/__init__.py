@@ -12,6 +12,7 @@ from qkan_implementation_tpu.anneal.qubo import (
     decode_degrees,
 )
 from qkan_implementation_tpu.anneal.sa import (
+    parallel_tempering,
     simulated_annealing,
     simulated_annealing_sharded,
     default_beta_range,
@@ -30,6 +31,7 @@ __all__ = [
     "degree_selection_qubo",
     "qubo_energy",
     "decode_degrees",
+    "parallel_tempering",
     "simulated_annealing",
     "simulated_annealing_sharded",
     "default_beta_range",

@@ -204,6 +204,124 @@ def _block_diagonal_J(model: QuboModel, block_size: int):
     return np.stack([J[b, :, b, :] for b in range(nb)])
 
 
+@partial(
+    jax.jit, static_argnames=("num_chains", "num_replicas", "num_sweeps")
+)
+def _tempering_kernel(
+    h, J, betas, key, num_chains: int, num_replicas: int, num_sweeps: int
+):
+    """Parallel tempering: each chain holds a full temperature ladder.
+
+    State [C, T, n]; every replica Metropolis-sweeps at its own fixed beta,
+    then adjacent replicas attempt a state exchange with probability
+    min(1, exp((beta_i - beta_j)(E_i - E_j))) -- hot replicas tunnel over
+    barriers, cold replicas refine, and exchanges carry good basins down
+    the ladder.  Energies are maintained incrementally (E += dE per
+    accepted flip), so exchanges are O(1) per pair.
+    """
+    n = h.shape[0]
+    C, T = num_chains, num_replicas
+    key, init_key = jax.random.split(key)
+    s = jax.random.bernoulli(init_key, 0.5, (C, T, n)).astype(h.dtype)
+    f = h[None, None, :] + jnp.einsum("ctn,nm->ctm", s, J)
+    E = jnp.einsum("ctn,n->ct", s, h) + 0.5 * jnp.einsum(
+        "ctn,nm,ctm->ct", s, J, s
+    )
+
+    even = (jnp.arange(T - 1) % 2) == 0  # pair (t, t+1) parity masks
+
+    def sweep(carry, key):
+        s, f, E = carry
+        key, flip_key = jax.random.split(key)
+
+        def flip_var(carry, i):
+            s, f, E, key = carry
+            key, sub = jax.random.split(key)
+            de = (1.0 - 2.0 * s[:, :, i]) * f[:, :, i]  # [C, T]
+            u = jax.random.uniform(sub, (C, T), dtype=h.dtype)
+            accept = (de <= 0.0) | (u < jnp.exp(-betas[None, :] * de))
+            delta = jnp.where(accept, 1.0 - 2.0 * s[:, :, i], 0.0)
+            s = s.at[:, :, i].add(delta)
+            f = f + delta[:, :, None] * J[i][None, None, :]
+            E = E + jnp.where(accept, de, 0.0)
+            return (s, f, E, key), None
+
+        (s, f, E, key), _ = jax.lax.scan(
+            flip_var, (s, f, E, flip_key), jnp.arange(n)
+        )
+
+        # replica exchange, even pairs then odd pairs
+        for parity in (0, 1):
+            key, ex_key = jax.random.split(key)
+            dB = betas[:-1] - betas[1:]  # [T-1] (negative: beta ascending)
+            dE = E[:, :-1] - E[:, 1:]  # [C, T-1]
+            logp = dB[None, :] * dE
+            u = jax.random.uniform(ex_key, (C, T - 1), dtype=h.dtype)
+            pair_mask = even if parity == 0 else ~even
+            do_swap = (jnp.log(u) < logp) & pair_mask[None, :]  # [C, T-1]
+            # lift the pairwise decision to per-slot swap partners
+            swap_lo = jnp.pad(do_swap, ((0, 0), (0, 1)))  # slot t swaps up
+            swap_hi = jnp.pad(do_swap, ((0, 0), (1, 0)))  # slot t swaps down
+            up = jnp.roll(s, -1, axis=1)
+            down = jnp.roll(s, 1, axis=1)
+            s = jnp.where(
+                swap_lo[:, :, None], up, jnp.where(swap_hi[:, :, None], down, s)
+            )
+            f_up, f_down = jnp.roll(f, -1, axis=1), jnp.roll(f, 1, axis=1)
+            f = jnp.where(
+                swap_lo[:, :, None],
+                f_up,
+                jnp.where(swap_hi[:, :, None], f_down, f),
+            )
+            E_up, E_down = jnp.roll(E, -1, axis=1), jnp.roll(E, 1, axis=1)
+            E = jnp.where(swap_lo, E_up, jnp.where(swap_hi, E_down, E))
+        return (s, f, E), None
+
+    keys = jax.random.split(key, num_sweeps)
+    (s, f, E), _ = jax.lax.scan(sweep, (s, f, E), keys)
+    s_flat = s.reshape(C * T, n)
+    # exact final energies (the incremental E accumulates fp drift)
+    energies = s_flat @ h + 0.5 * jnp.einsum("ri,ij,rj->r", s_flat, J, s_flat)
+    return s_flat, energies
+
+
+def parallel_tempering(
+    model: QuboModel,
+    num_chains: int = 64,
+    num_replicas: int = 16,
+    num_sweeps: int = 1000,
+    beta_range: tuple[float, float] | None = None,
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """Sample a QUBO with on-device parallel tempering (replica exchange).
+
+    The move single-flip SA lacks for rugged, NON-separable QUBOs: a
+    geometric ladder of ``num_replicas`` temperatures per chain with
+    adjacent-replica state exchanges after every sweep.  All
+    chains x replicas run as one batched kernel.  Returns
+    (samples [C*T, n], energies [C*T]) with offset included.
+    """
+    if beta_range is None:
+        beta_range = default_beta_range(model)
+    betas = jnp.asarray(
+        np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
+    )
+    samples, energies = _tempering_kernel(
+        jnp.asarray(model.h, dtype=dtype),
+        jnp.asarray(model.J, dtype=dtype),
+        betas,
+        jax.random.key(seed),
+        num_chains,
+        num_replicas,
+        num_sweeps,
+    )
+    return (
+        np.asarray(samples),
+        np.asarray(energies, dtype=np.float64) + model.offset,
+    )
+
+
 def simulated_annealing_sharded(
     model: QuboModel,
     mesh,

@@ -176,3 +176,54 @@ def test_block_structure_falls_back_when_not_block_diagonal():
         model, num_reads=32, num_sweeps=100, seed=0, block_structure=4
     )
     np.testing.assert_allclose(e, model.energy(s), atol=1e-4)
+
+
+class TestParallelTempering:
+    def test_finds_ground_state_dense_qubo(self):
+        # dense non-separable Gaussian couplings, verified vs brute force
+        from qkan_implementation_tpu.anneal import parallel_tempering
+        from qkan_implementation_tpu.native_bindings import (
+            brute_force_native,
+            native_available,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 16
+        J = rng.normal(0, 1, (n, n))
+        J = J + J.T
+        np.fill_diagonal(J, 0.0)
+        h = rng.normal(0, 1, n)
+        model = QuboModel(h=h, J=J, offset=0.5)
+        samples, energies = parallel_tempering(
+            model, num_chains=16, num_replicas=8, num_sweeps=200, seed=0
+        )
+        assert samples.shape == (16 * 8, n)
+        # returned energies match recomputation (offset included)
+        np.testing.assert_allclose(
+            energies, model.energy(samples), atol=1e-4
+        )
+        if native_available():
+            _, truth = brute_force_native(model)
+            assert energies.min() <= truth + 1e-4
+
+    def test_not_worse_than_plain_sa_small_budget(self):
+        # same chain budget, frustrated instance: exchanges must not hurt
+        from qkan_implementation_tpu.anneal import (
+            parallel_tempering,
+            simulated_annealing,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 48
+        J = rng.normal(0, 1, (n, n))
+        J = J + J.T
+        np.fill_diagonal(J, 0.0)
+        h = rng.normal(0, 0.1, n)
+        model = QuboModel(h=h, J=J, offset=0.0)
+        _, e_pt = parallel_tempering(
+            model, num_chains=8, num_replicas=8, num_sweeps=150, seed=1
+        )
+        _, e_sa = simulated_annealing(
+            model, num_reads=64, num_sweeps=150, seed=1
+        )
+        assert e_pt.min() <= e_sa.min() + 0.3
