@@ -39,7 +39,13 @@ from qkan_implementation_tpu.sim.statevector import (
 
 
 def _exchange_global_local(
-    psi, dev_bit: int, local_pos: int, axis_name: str, n_dev: int, q_local: int
+    psi,
+    dev_bit: int,
+    local_pos: int,
+    axis_name: str,
+    n_dev: int,
+    q_local: int,
+    chunks: int = 1,
 ):
     """Swap global qubit bit ``dev_bit`` (of the device index) with local
     qubit ``local_pos``: one bidirectional pairwise exchange of half a block.
@@ -47,6 +53,12 @@ def _exchange_global_local(
     Amplitude (G=a, l=b) moves to (G=b, l=a); each device keeps the diagonal
     half and trades the off-diagonal half with its hypercube neighbor.
     Operates on the flat local block via an [outer, 2, inner] view.
+
+    ``chunks > 1`` splits the traded half into independent ``ppermute``
+    slices (the overlapped-exchange prototype, VERDICT r1 item 1): XLA's
+    TPU scheduler lowers each to an async collective-permute-start/done
+    pair, so chunk i+1's transfer rides the ICI while chunk i's epilogue
+    computes -- and peak exchange buffer shrinks by the chunk count.
     """
     shape = psi.shape
     inner = 2**local_pos
@@ -55,7 +67,16 @@ def _exchange_global_local(
     h0 = v[:, 0, :]
     h1 = v[:, 1, :]
     send = jnp.where(g == 0, h1, h0)
-    recv = pairwise_exchange(send, axis_name, dev_bit, n_dev)
+    total = send.shape[0] * send.shape[1]
+    if chunks > 1 and total % chunks == 0:
+        flat = send.reshape(-1)
+        parts = [
+            pairwise_exchange(c, axis_name, dev_bit, n_dev)
+            for c in jnp.split(flat, chunks)
+        ]
+        recv = jnp.concatenate(parts).reshape(send.shape)
+    else:
+        recv = pairwise_exchange(send, axis_name, dev_bit, n_dev)
     new0 = jnp.where(g == 0, h0, recv)
     new1 = jnp.where(g == 0, recv, h1)
     return jnp.stack([new0, new1], axis=1).reshape(shape)
@@ -92,11 +113,19 @@ class _QubitLayout:
     then one local static-gather for the residual local permutation.
     """
 
-    def __init__(self, q: int, q_local: int, axis_name: str, n_dev: int):
+    def __init__(
+        self,
+        q: int,
+        q_local: int,
+        axis_name: str,
+        n_dev: int,
+        exchange_chunks: int = 1,
+    ):
         self.q = q
         self.q_local = q_local
         self.axis_name = axis_name
         self.n_dev = n_dev
+        self.exchange_chunks = exchange_chunks
         self.phys = list(range(q))  # phys[logical] = physical position
         self.occupant = list(range(q))  # occupant[physical] = logical qubit
         self.exchange_count = 0  # collectives issued (observability)
@@ -109,6 +138,7 @@ class _QubitLayout:
             self.axis_name,
             self.n_dev,
             self.q_local,
+            chunks=self.exchange_chunks,
         )
         a, b = self.occupant[phys_global], self.occupant[phys_local]
         self.occupant[phys_global], self.occupant[phys_local] = b, a
@@ -116,11 +146,16 @@ class _QubitLayout:
         self.exchange_count += 1
         return psi
 
-    def make_local(self, psi, logical: int, pinned: set):
-        """Ensure ``logical`` lives in the local region; returns psi."""
+    def make_local(self, psi, logical: int, pinned: set, prefer: int | None = None):
+        """Ensure ``logical`` lives in the local region; returns psi.
+
+        ``prefer``: victim slot to use when an exchange is needed (e.g. the
+        local MSB, so a following ucry hits the Pallas fast path)."""
         p = self.phys[logical]
         if p < self.q_local:
             return psi
+        if prefer is not None and prefer not in pinned:
+            return self.exchange(psi, p, prefer)
         # victim: a local slot not pinned by the current gate
         for l in range(self.q_local):
             if l not in pinned:
@@ -155,7 +190,14 @@ class _QubitLayout:
 
 
 def _apply_sharded_gate(
-    psi, gate: Gate, layout: _QubitLayout, q_local: int, axis_name: str, n_dev: int
+    psi,
+    gate: Gate,
+    layout: _QubitLayout,
+    q_local: int,
+    axis_name: str,
+    n_dev: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     if gate.name == "diag":
         phys_qubits = tuple(layout.phys[t] for t in gate.qubits)
@@ -168,15 +210,36 @@ def _apply_sharded_gate(
 
     if gate.name == "ucry":
         # only the rotation target must be local; controls select angles
-        # from wherever they live (device bits when global)
-        psi = layout.make_local(psi, gate.qubits[0], pinned=set())
+        # from wherever they live (device bits when global).  Prefer the
+        # local MSB as the victim slot: FABLE's layout then lands on the
+        # Pallas streaming-kernel fast path inside the shard_map local.
+        psi = layout.make_local(
+            psi, gate.qubits[0], pinned=set(), prefer=q_local - 1
+        )
         phys_controls = tuple(layout.phys[c] for c in gate.qubits[1:])
         thetas, local_controls = _select_global_control_angles(
             gate.params, phys_controls, q_local, axis_name
         )
-        return _apply_ucry(
-            psi, thetas, layout.phys[gate.qubits[0]], local_controls, q_local
-        )
+        target = layout.phys[gate.qubits[0]]
+        if (
+            use_pallas
+            and target == q_local - 1
+            and local_controls == tuple(range(q_local - 2, -1, -1))
+            and not jnp.issubdtype(psi.dtype, jnp.complexfloating)
+        ):
+            from qkan_implementation_tpu.sim.pallas_kernels import (
+                TILE,
+                ucry_msb_pallas,
+            )
+
+            half = 2 ** (q_local - 1)
+            if half % TILE == 0:
+                return ucry_msb_pallas(
+                    psi,
+                    jnp.asarray(thetas, dtype=psi.dtype).reshape(-1),
+                    interpret=interpret,
+                )
+        return _apply_ucry(psi, thetas, target, local_controls, q_local)
 
     # dense gate: every acting qubit must be local; pin the ones already
     # local so a later exchange doesn't evict them
@@ -225,7 +288,9 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
             if gate.name == "diag":
                 continue
             if gate.name == "ucry":
-                psi = layout.make_local(psi, gate.qubits[0], pinned=set())
+                psi = layout.make_local(
+                    psi, gate.qubits[0], pinned=set(), prefer=q_local - 1
+                )
                 continue
             pinned = {
                 layout.phys[t] for t in gate.qubits if layout.phys[t] < q_local
@@ -245,11 +310,20 @@ def sharded_simulate(
     axis_name: str = "d",
     psi0: jax.Array | None = None,
     dtype=None,
+    backend: str = "auto",
+    exchange_chunks: int = 1,
 ) -> jax.Array:
     """Run a circuit on a mesh-sharded statevector; returns the (sharded)
     final flat [2^q] state.
 
     The mesh size must be a power of two and smaller than 2^q.
+
+    ``backend``: 'auto' routes eligible local ucry applications through the
+    Pallas streaming kernel on TPU (inside the ``shard_map`` local);
+    'pallas' forces it (interpret mode off-TPU, for mesh tests); 'xla'
+    keeps the pure-XLA local ops.  ``exchange_chunks`` splits each
+    qubit-remapping exchange into that many independent collective
+    permutes (async-overlap prototype; see ``_exchange_global_local``).
     """
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     k = int(np.log2(n_dev))
@@ -260,17 +334,23 @@ def sharded_simulate(
         raise ValueError(f"Need more qubits ({q}) than mesh bits ({k})")
     q_local = q - k
     dtype = dtype or default_dtype(circuit)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
+    interpret = use_pallas and not on_tpu
 
     if psi0 is None:
         psi0 = zero_state(q, dtype)
     psi0 = jax.device_put(psi0.astype(dtype), NamedSharding(mesh, P(axis_name)))
 
     def local_fn(block):  # flat [2^q_local] slice on each device
-        layout = _QubitLayout(q, q_local, axis_name, n_dev)
+        layout = _QubitLayout(
+            q, q_local, axis_name, n_dev, exchange_chunks=exchange_chunks
+        )
         psi = block
         for gate in circuit.gates:
             psi = _apply_sharded_gate(
-                psi, gate, layout, q_local, axis_name, n_dev
+                psi, gate, layout, q_local, axis_name, n_dev,
+                use_pallas=use_pallas, interpret=interpret,
             )
         return layout.restore(psi).reshape(-1)
 
@@ -280,6 +360,9 @@ def sharded_simulate(
             mesh=mesh,
             in_specs=P(axis_name),
             out_specs=P(axis_name),
+            # pallas_call out_shapes carry no vma annotation; the kernels
+            # here are pure elementwise-local, so the static check is moot
+            check_vma=False,
         )
     )
     return fn(psi0)

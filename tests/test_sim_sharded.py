@@ -175,3 +175,111 @@ def test_exchange_count_working_set():
         1 for g in fcirc.gates if any(t >= fcirc.num_qubits - 3 for t in g.qubits)
     )
     assert count_exchanges(fcirc, 8) < naive
+
+
+def test_exact_amplitudes_15_qubits_random_circuit(mesh8):
+    # VERDICT r1 item 1: amplitude-level sharded-vs-dense equality at
+    # 14-16 qubits (round 1 proved exactness only to 7).
+    rng = np.random.default_rng(15)
+    q = 15
+    circ = Circuit(q)
+    for t in range(q):
+        circ.ry(float(rng.uniform(0, np.pi)), t)
+    for _ in range(30):
+        kind = rng.integers(0, 4)
+        t = int(rng.integers(0, q))
+        c = int((t + 1 + rng.integers(0, q - 1)) % q)
+        if kind == 0:
+            circ.h(t)
+        elif kind == 1:
+            circ.cx(c, t)
+        elif kind == 2:
+            circ.swap(c, t)
+        else:
+            circ.cry(float(rng.uniform(0, np.pi)), c, t)
+    assert_matches_dense(circ, mesh8, atol=1e-12)
+
+
+def test_exact_amplitudes_15_qubit_fable_circuit(mesh8):
+    # A real FABLE block encoding (n=7: 128x128 matrix -> 15 qubits) through
+    # the sharded engine, amplitude-exact vs dense.
+    from qkan_implementation_tpu.encoding import fable
+
+    rng = np.random.default_rng(16)
+    a = np.diag(rng.uniform(-1, 1, 128))
+    circ, alpha = fable(a)
+    assert circ.num_qubits == 15
+    dense = np.asarray(simulate(circ, backend="xla"))
+    shard = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+    np.testing.assert_allclose(shard, dense, atol=1e-12)
+    np.testing.assert_allclose(shard[:128] * alpha * 128, a[:, 0], atol=1e-8)
+
+
+def test_pallas_ucry_inside_shard_map(mesh8):
+    # backend='pallas' routes the FABLE ucry through the streaming kernel
+    # INSIDE the shard_map local (interpret mode on the CPU mesh); the
+    # result must stay amplitude-exact vs dense.
+    from qkan_implementation_tpu.encoding import fable
+    from qkan_implementation_tpu.sim.sharded import _QubitLayout
+
+    rng = np.random.default_rng(17)
+    a = np.diag(rng.uniform(-1, 1, 128))
+    circ, alpha = fable(a)  # 15 qubits; q_local=12 -> half=2048, TILE-aligned
+    dense = np.asarray(simulate(circ, backend="xla", dtype=jnp.float32))
+    shard = np.asarray(
+        jax.device_get(
+            sharded_simulate(circ, mesh8, backend="pallas", dtype=jnp.float32)
+        )
+    )
+    np.testing.assert_allclose(shard, dense, atol=1e-6)
+
+
+def test_chunked_exchange_matches_single(mesh8):
+    # the overlapped-exchange prototype: chunked collective permutes must be
+    # a pure implementation detail
+    rng = np.random.default_rng(18)
+    q = 14
+    circ = Circuit(q)
+    for t in range(q):
+        circ.ry(float(rng.uniform(0, np.pi)), t)
+    circ.h(13).cx(13, 0).h(12).cx(12, 1).swap(11, 2)
+    one = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+    chunked = np.asarray(
+        jax.device_get(sharded_simulate(circ, mesh8, exchange_chunks=4))
+    )
+    np.testing.assert_allclose(chunked, one, atol=1e-13)
+    dense = np.asarray(simulate(circ))
+    np.testing.assert_allclose(chunked, dense, atol=1e-12)
+
+
+def test_24_qubit_marginals_and_expectations(mesh8):
+    # Scale run (16M amplitudes, f32) with physics checks: per-qubit
+    # marginals of a product-plus-CNOT circuit against analytic values.
+    q = 24
+    rng = np.random.default_rng(19)
+    thetas = rng.uniform(0.2, np.pi - 0.2, q)
+    circ = Circuit(q)
+    for t in range(q):
+        circ.ry(float(thetas[t]), t)
+    # entangle across the global/local boundary: CNOT(23 -> 0), CNOT(5 -> 22)
+    circ.cx(23, 0).cx(5, 22)
+    psi = sharded_simulate(circ, mesh8, dtype=jnp.float32)
+
+    p1 = np.sin(thetas / 2.0) ** 2  # pre-CNOT marginals
+    expect = p1.copy()
+    expect[0] = p1[23] * (1 - p1[0]) + (1 - p1[23]) * p1[0]
+    expect[22] = p1[5] * (1 - p1[22]) + (1 - p1[5]) * p1[22]
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("t",))
+    def marginal(psi, t):
+        probs = (psi.astype(jnp.float32) ** 2).reshape(-1, 2, 2**t)
+        return jnp.sum(probs[:, 1, :])
+
+    for t in (0, 5, 11, 22, 23):
+        got = float(marginal(psi, t))
+        np.testing.assert_allclose(got, expect[t], atol=1e-5)
+    # norm preserved at f32
+    total = float(jnp.sum(psi.astype(jnp.float32) ** 2))
+    np.testing.assert_allclose(total, 1.0, atol=1e-4)
