@@ -88,6 +88,56 @@ def main():
     ours_layers_per_sec = B * iters / (time.time() - t0)
     print(f"ours: {ours_layers_per_sec:,.0f} fwd+bwd layers/sec", file=sys.stderr)
 
+    # statevector engine diagnostic (stderr only): multiplexed-Ry gate
+    # applications per second at 21 qubits -- the FABLE hot op (VERDICT r1
+    # item 3: keep a gate-ops/sec line with the headline bench)
+    try:
+        sv_q = 18 if quick else 21
+        half = 2 ** (sv_q - 1)
+        rng_sv = np.random.default_rng(1)
+        cs = jnp.asarray(
+            np.cos(rng_sv.uniform(-np.pi, np.pi, half) / 2), dtype=jnp.float32
+        )
+        sn = jnp.sqrt(1.0 - cs**2)
+        psi_sv = jnp.zeros(2**sv_q, dtype=jnp.float32).at[0].set(1.0)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        gate_iters = 5 if quick else 50
+
+        if on_tpu:
+            from qkan_implementation_tpu.sim.pallas_kernels import (
+                ucry_msb_cs_pallas,
+            )
+
+            def one_gate(p):
+                return ucry_msb_cs_pallas(p, cs, sn)
+        else:
+            def one_gate(p):
+                v = p.reshape(2, half)
+                return jnp.concatenate(
+                    [cs * v[0] - sn * v[1], sn * v[0] + cs * v[1]]
+                )
+
+        @jax.jit
+        def sv_chain(p):
+            def body(p, _):
+                return one_gate(p), None
+
+            return jax.lax.scan(body, p, None, length=gate_iters)[0]
+
+        _ = float(jnp.sum(sv_chain(psi_sv)))  # compile
+        t0 = time.time()
+        _ = float(jnp.sum(sv_chain(psi_sv)))
+        dt = time.time() - t0
+        gops = gate_iters / dt
+        gbps = gate_iters * (2**sv_q) * 4 * 3 / dt / 1e9  # rd psi+cs/sn, wr psi
+        print(
+            f"statevector: {gops:,.0f} multiplexed-Ry gates/s at {sv_q} "
+            f"qubits (~{gbps:.0f} GB/s)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # diagnostics must never break the JSON contract
+        print(f"statevector diagnostic skipped: {e}", file=sys.stderr)
+
     # baseline: reference-faithful NumPy forward (single sample at a time)
     base_iters = 5
     # correctness cross-check first

@@ -1,0 +1,148 @@
+"""Headline-layer implementation shootout on real hardware.
+
+VERDICT r1 item 5: the round-1 headline (one [B, N(D+1)] @ [N(D+1), K]
+matmul) leaves the MXU at ~12% lane occupancy and pays HBM traffic for a
+Chebyshev basis array that never needed to exist.  This benchmark times the
+candidate implementations of QKANLayer(N=16, K=16, deg 7) fwd+bwd with the
+scan-chained methodology (one dispatch, host fetch forces completion):
+
+  xla      -- round-1 baseline: basis materialized, XLA dot
+  remat    -- jax.checkpoint on the basis (recompute in backward)
+  bf16     -- bf16 basis + matmul, f32 accumulation
+  pallas   -- fused VMEM kernel (ops.pallas_layer): HBM sees only x/out
+
+Writes benchmarks/records/layer_variants.json; bench.py's default path is
+chosen from these numbers.
+
+Run: PYTHONPATH=. python benchmarks/layer_variants_bench.py          (TPU)
+     PYTHONPATH=. QKAN_PLATFORM=cpu BENCH_QUICK=1 python benchmarks/layer_variants_bench.py
+"""
+
+from qkan_implementation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import json
+import os
+import pathlib
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
+from qkan_implementation_tpu.ops.qkan_layer import (
+    qkan_layer_forward_batched,
+    qkan_weight_tensor,
+)
+from qkan_implementation_tpu.ops.pallas_layer import (
+    qkan_layer_fused,
+    weights_to_m3,
+)
+
+
+def make_variants(N, K, interpret):
+    def xla(x, w):
+        return qkan_layer_forward_batched(x, w, N, K)
+
+    def remat(x, w):
+        M = qkan_weight_tensor(w, N, K)
+
+        @jax.checkpoint
+        def basis_dot(x):
+            basis = chebyshev_basis(x, w.shape[0] - 1)
+            return jnp.dot(
+                basis.reshape(x.shape[0], -1),
+                M.reshape(K, -1).T,
+                preferred_element_type=basis.dtype,
+            )
+
+        return basis_dot(x)
+
+    def bf16(x, w):
+        M = qkan_weight_tensor(w, N, K)
+        basis = chebyshev_basis(x.astype(jnp.bfloat16), w.shape[0] - 1)
+        return jnp.dot(
+            basis.reshape(x.shape[0], -1),
+            M.reshape(K, -1).T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    def pallas(x, w):
+        return qkan_layer_fused(x, weights_to_m3(w, N, K), interpret)
+
+    return {"xla": xla, "remat": remat, "bf16": bf16, "pallas": pallas}
+
+
+def time_variant(name, fn, x, w, iters):
+    def loss(w, x):
+        return jnp.sum(fn(x, w) ** 2)
+
+    grad = jax.grad(loss)
+
+    @jax.jit
+    def chained(w, x):
+        def body(w, _):
+            return w - 1e-7 * grad(w, x), None
+
+        return jax.lax.scan(body, w, None, length=iters)[0]
+
+    t0 = time.time()
+    out = chained(w, x)
+    _ = float(jnp.sum(out))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = chained(w, x)
+    _ = float(jnp.sum(out))
+    exec_s = time.time() - t0
+    layers_per_sec = x.shape[0] * iters / exec_s
+    print(
+        f"  {name:8s} {layers_per_sec:.3e} layers/s "
+        f"({exec_s / iters * 1e3:.3f} ms/step, compile {compile_s:.1f}s)"
+    )
+    return {
+        "variant": name,
+        "layers_per_sec": layers_per_sec,
+        "ms_per_step": exec_s / iters * 1e3,
+        "compile_s": round(compile_s, 2),
+    }
+
+
+def main():
+    N = K = 16
+    d = 7
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    B = 4096 if quick else 262144
+    iters = 10 if quick else 200
+    on_tpu = jax.devices()[0].platform == "tpu"
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, N)), dtype=jnp.float32)
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)), dtype=jnp.float32)
+
+    print(
+        f"QKANLayer(N={N},K={K},deg={d}) fwd+bwd, B={B}, {iters} chained "
+        f"steps on {jax.devices()[0]}"
+    )
+    # correctness gate first: every variant must match the reference path
+    ref = np.asarray(qkan_layer_forward_batched(x[:512], w, N, K))
+    records = []
+    for name, fn in make_variants(N, K, interpret=not on_tpu).items():
+        got = np.asarray(fn(x[:512], w)).astype(np.float32)
+        err = float(np.max(np.abs(got - ref)))
+        tol = 3e-2 if name == "bf16" else 1e-5
+        assert err < tol, f"{name}: parity error {err}"
+        rec = time_variant(name, fn, x, w, iters)
+        rec["parity_max_err"] = err
+        rec["batch"] = B
+        rec["device"] = str(jax.devices()[0])
+        records.append(rec)
+
+    out = pathlib.Path(__file__).resolve().parent / "records"
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "layer_variants.json").write_text(json.dumps(records, indent=1))
+    print(f"records -> {out / 'layer_variants.json'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,10 @@ wall-clock per phase.
 
 from __future__ import annotations
 
+from qkan_implementation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import argparse
 import json
 import sys
@@ -92,17 +96,34 @@ def main():
         f"degrees[0][:8]={degrees[0][:8]} val MSE per degree={scores}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"market {args.rows//1000}k-row degree-search wall-clock",
-                "value": round(total, 2),
-                "unit": "seconds",
-                "vs_baseline": round(3582.53 / total, 1),
-                "best_degree_val_mse": float(scores[best]),
-                "best_degree_val_comp_r2": float(comp_r2[best]),
-            }
-        )
+    record = {
+        "metric": f"market {args.rows//1000}k-row degree-search wall-clock",
+        "value": round(total, 2),
+        "unit": "seconds",
+        "vs_baseline": round(3582.53 / total, 1),
+        "best_degree_val_mse": float(scores[best]),
+        "best_degree_val_comp_r2": float(comp_r2[best]),
+    }
+    print(json.dumps(record))
+    # committed provenance record (VERDICT r1: regression artifacts)
+    record.update(
+        {
+            "dataset": (
+                args.data
+                if args.data
+                else f"synthetic parquet, {args.rows} rows x "
+                f"{args.features} features (generate_market_parquet)"
+            ),
+            "phases": {k: round(v, 3) for k, v in timer.durations.items()},
+            "device": str(jax.devices()[0]),
+            "reference_baseline_s": 3582.53,
+            "reference_source": "output_result_250k_tail_corrected.txt:524",
+        }
+    )
+    out = Path(__file__).resolve().parent / "records"
+    out.mkdir(parents=True, exist_ok=True)
+    (out / f"market_{args.rows//1000}k.json").write_text(
+        json.dumps(record, indent=1)
     )
 
 

@@ -1,0 +1,113 @@
+"""Committed evidence for the reference's flagship MNIST workload shape.
+
+The reference's headline experiment is FixedKAN [784, 32, 16, 16, 10],
+max_degree 5, 10k train samples on real MNIST, with saved accuracy
+artifacts (fixed_kan_tests.py:293-410; accuracies 0.5127/0.2671 at
+analyze_model_utils.py:233-241).  Real MNIST is unavailable in this
+environment (no network egress), so this runs the SAME workload shape on
+``digits-784``: real handwritten-digit scans (sklearn digits) bilinearly
+upsampled to 28x28 and shift/noise-augmented to 10k samples -- labeled as
+such everywhere, never presented as MNIST (VERDICT r1 provenance item).
+
+Three configurations per run:
+  reference-faithful  -- the reference's exact semantics (degenerate
+                         degree reward and tanh inconsistency included)
+  improved            -- penalized-MSE objective + consistent tanh
+  improved+train      -- plus full-gradient refinement epochs
+
+Artifacts -> benchmarks/records/mnist_shape_{config}.json (+ 64-dim digits
+baseline rows for the quality table).
+
+Run: PYTHONPATH=. python benchmarks/mnist_shape_evidence.py           (TPU)
+     PYTHONPATH=. QKAN_PLATFORM=cpu python benchmarks/mnist_shape_evidence.py --quick
+"""
+
+from qkan_implementation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import argparse
+import json
+import pathlib
+
+import jax
+
+from qkan_implementation_tpu.experiments.mnist import run_mnist_experiment
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny CPU smoke")
+    ap.add_argument("--train-size", type=int, default=10000)
+    args = ap.parse_args()
+
+    train_size = 500 if args.quick else args.train_size
+    shape = [784, 16, 10] if args.quick else [784, 32, 16, 16, 10]
+    num_reads = 64 if args.quick else 1000
+    epochs = 2 if args.quick else 15
+
+    configs = {
+        # the reference's exact config incl. complexity_weight=0.1
+        # (fixed_kan_tests.py:297-303) -- its degree reward is degenerate,
+        # so ~chance accuracy is the faithful outcome
+        "reference_faithful": dict(
+            degree_objective="reference", consistent_tanh=False,
+            complexity_weight=0.1, weight_epochs=0,
+        ),
+        "improved": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=0,
+        ),
+        "improved_trained": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=epochs,
+            weight_trainable="all", learning_rate=0.0005,
+        ),
+    }
+
+    out = pathlib.Path(__file__).resolve().parent / "records"
+    out.mkdir(parents=True, exist_ok=True)
+    for name, overrides in configs.items():
+        print(f"=== {name} ===")
+        res = run_mnist_experiment(
+            network_shape=shape,
+            max_degree=5,
+            train_size=train_size,
+            dataset="digits-784",
+            lstsq_method="normal",
+            num_reads=num_reads,
+            verbose=True,
+            **overrides,
+        )
+        res.pop("_model", None)
+        res["config_name"] = name
+        res["device"] = str(jax.devices()[0])
+        res["note"] = (
+            "dataset is digits-784 (upsampled+augmented sklearn digits), "
+            "NOT MNIST; reference MNIST baselines 0.5127/0.2671 are not "
+            "directly comparable"
+        )
+        (out / f"mnist_shape_{name}.json").write_text(json.dumps(res, indent=1))
+
+    # 64-dim digits quality rows (no upsampling) for the quality table
+    for name, overrides in configs.items():
+        print(f"=== digits-64 {name} ===")
+        res = run_mnist_experiment(
+            network_shape=None,  # -> [64, 32, 16, 16, 10]
+            max_degree=5,
+            train_size=train_size,
+            dataset="auto",
+            lstsq_method="normal",
+            num_reads=num_reads,
+            verbose=True,
+            **overrides,
+        )
+        res.pop("_model", None)
+        res["config_name"] = name
+        res["device"] = str(jax.devices()[0])
+        (out / f"digits64_{name}.json").write_text(json.dumps(res, indent=1))
+    print(f"records -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""On-chip f32 verification of the quantum contracts (VERDICT r1 item 3).
+
+The CPU test suite runs at x64 and pins the reference tolerances (1e-6
+step contracts, 1e-15 dilated Chebyshev -- MulStep.py:165-166,
+ChebyshevStep.py:133).  This script measures what the SAME contracts
+achieve on the real TPU at f32: FABLE round-trips of every pipeline
+stage's diagonal (cheb / mul / lcu / sum), a dense non-symmetric
+encoding, packed diagonal extraction, and the quantum-vs-classical layer
+forward.  Records achieved errors to benchmarks/records/tpu_contracts.json
+(one honest number per contract instead of an untested "should hold").
+
+Run on the chip (single-tenant: one TPU process at a time):
+    PYTHONPATH=. python benchmarks/tpu_contracts.py
+CPU smoke: PYTHONPATH=. QKAN_PLATFORM=cpu python benchmarks/tpu_contracts.py
+"""
+
+from qkan_implementation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import json
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.encoding import fable
+from qkan_implementation_tpu.ops import (
+    dilated_chebyshev_diag,
+    lcu_combine_diag,
+    qkan_layer_forward,
+)
+from qkan_implementation_tpu.ops.qkan_layer import weighted_chebyshev_diag
+from qkan_implementation_tpu.ops.quantum import (
+    qkan_layer_forward_quantum,
+    quantum_extract_diag_packed,
+)
+from qkan_implementation_tpu.sim import unitary
+
+
+def block_error(a: np.ndarray) -> float:
+    """Relative Frobenius error of the f32-simulated block encoding of a
+    (the reference's verify_unitary contract, MulStep.py:115-166)."""
+    a32 = np.asarray(a, dtype=np.float32)
+    circ, alpha = fable(a32)
+    u = np.asarray(unitary(circ, dtype=jnp.float32))
+    n = a32.shape[0]
+    rec = u[:n, :n] * alpha * n
+    denom = np.linalg.norm(a32)
+    if denom < 1e-30:
+        return float(np.linalg.norm(rec))
+    return float(np.linalg.norm(rec - a32) / denom)
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"device: {dev} (platform {dev.platform})")
+    rng = np.random.default_rng(42)
+    results = {"device": str(dev), "platform": dev.platform, "dtype": "float32"}
+
+    # 1. the reference's tightest golden: dilated Chebyshev N=4 deg 8
+    x4 = rng.uniform(-1, 1, 4)
+    diag = np.asarray(dilated_chebyshev_diag(jnp.asarray(x4), K=1, degree=8))
+    results["cheb_dilated_N4_deg8"] = block_error(np.diag(diag))
+
+    # 2. per-stage step contracts at N=K=4, deg 3 (MulStep/LCUStep/SUMStep)
+    N = K = 4
+    d = 3
+    x = jnp.asarray(rng.uniform(-1, 1, N), dtype=jnp.float32)
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)), dtype=jnp.float32)
+    for deg in range(d + 1):
+        mul = np.asarray(weighted_chebyshev_diag(x, w[deg], K, deg))
+        results[f"mul_deg{deg}"] = block_error(np.diag(mul))
+    lcu = np.asarray(lcu_combine_diag(x, w, K))
+    results["lcu"] = block_error(np.diag(lcu))
+    summed = np.asarray(qkan_layer_forward(x, w, N, K))
+    results["sum"] = block_error(np.diag(summed))
+
+    # 3. dense non-symmetric encoding (orientation + structure)
+    a = rng.uniform(-1, 1, (8, 8))
+    results["dense_8x8"] = block_error(a)
+
+    # 4. packed diagonal extraction at N*K=256 (the quantum-mode hot path)
+    big = jnp.asarray(rng.uniform(-1, 1, 256), dtype=jnp.float32)
+    rec = np.asarray(quantum_extract_diag_packed(big))
+    results["packed_extract_256"] = float(
+        np.linalg.norm(rec - np.asarray(big)) / np.linalg.norm(np.asarray(big))
+    )
+
+    # 5. quantum-vs-classical layer forward at N=K=16
+    N = K = 16
+    x16 = jnp.asarray(rng.uniform(-1, 1, N), dtype=jnp.float32)
+    w16 = jnp.asarray(rng.uniform(-1, 1, (8, N * K)), dtype=jnp.float32)
+    q = np.asarray(qkan_layer_forward_quantum(x16, w16, N, K))
+    c = np.asarray(qkan_layer_forward(x16, w16, N, K))
+    results["layer_quantum_vs_classical_N16"] = float(
+        np.max(np.abs(q - c))
+    )
+
+    reference_bars = {
+        "cheb_dilated_N4_deg8": 1e-15,  # ChebyshevStep.py:133 (x64 bar)
+        "mul_deg0": 1e-6,
+        "lcu": 1e-6,
+        "sum": 1e-6,
+        "dense_8x8": 1e-6,
+    }
+    print(f"{'contract':36s} {'achieved(f32)':>14s}  x64-suite bar")
+    for k, v in results.items():
+        if isinstance(v, float):
+            bar = reference_bars.get(k)
+            bar_s = f"{bar:.0e}" if bar else "-"
+            print(f"{k:36s} {v:14.3e}  {bar_s}")
+
+    out = pathlib.Path(__file__).resolve().parent / "records"
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "tpu_contracts.json").write_text(json.dumps(results, indent=1))
+    print(f"records -> {out / 'tpu_contracts.json'}")
+
+
+if __name__ == "__main__":
+    main()

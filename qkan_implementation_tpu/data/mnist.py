@@ -40,6 +40,84 @@ def _find(root: Path, names: list[str]) -> Path | None:
     return None
 
 
+def _bilinear_upsample(imgs: np.ndarray, size: int = 28) -> np.ndarray:
+    """[N, s, s] -> [N, size, size] bilinear (align-corners) upsampling."""
+    s = imgs.shape[1]
+    xs = np.linspace(0.0, s - 1.0, size)
+    i0 = np.floor(xs).astype(int)
+    i1 = np.minimum(i0 + 1, s - 1)
+    f = xs - i0
+    rows = (
+        imgs[:, i0, :] * (1.0 - f)[None, :, None]
+        + imgs[:, i1, :] * f[None, :, None]
+    )
+    return (
+        rows[:, :, i0] * (1.0 - f)[None, None, :]
+        + rows[:, :, i1] * f[None, None, :]
+    )
+
+
+def _augment(x_img: np.ndarray, y: np.ndarray, target: int, seed: int):
+    """Grow a [N, s, s] image set to ``target`` samples with random +/-2 px
+    shifts and mild noise (zero-filled edges).  Returns ([target, s, s],
+    [target])."""
+    rng = np.random.default_rng(seed)
+    n = len(x_img)
+    idx = rng.integers(0, n, target - n)
+    extra = x_img[idx].copy()
+    shifts = rng.integers(-2, 3, (len(extra), 2))
+    for i, (dy, dx) in enumerate(shifts):
+        img = np.roll(extra[i], (dy, dx), axis=(0, 1))
+        if dy > 0:
+            img[:dy] = 0.0
+        elif dy < 0:
+            img[dy:] = 0.0
+        if dx > 0:
+            img[:, :dx] = 0.0
+        elif dx < 0:
+            img[:, dx:] = 0.0
+        extra[i] = img
+    extra = np.clip(
+        extra + rng.normal(0, 0.02, extra.shape), 0.0, 1.0
+    )
+    return (
+        np.concatenate([x_img, extra]),
+        np.concatenate([y, y[idx]]),
+    )
+
+
+def load_digits_784(
+    train: bool = True, augment_to: int | None = None, seed: int = 0
+):
+    """The MNIST-shaped stand-in this environment can actually build:
+    sklearn digits (real 8x8 handwritten-digit scans) bilinearly upsampled
+    to 28x28 = 784 features, optionally augmented (shift/noise) to
+    ``augment_to`` training samples.
+
+    This is NOT MNIST -- results are labeled 'digits-784' (or
+    'digits-784-aug') so they are never presented as MNIST accuracies
+    (VERDICT r1: benchmark provenance).  It does exercise the reference's
+    exact workload shape [784, 32, 16, 16, 10] on real image data
+    (fixed_kan_tests.py:293-410).
+    """
+    from sklearn.datasets import load_digits
+
+    digits = load_digits()
+    imgs = digits.images.astype(np.float64) / 16.0  # [N, 8, 8]
+    y = digits.target.astype(np.int64)
+    n_train = int(0.8 * len(imgs))
+    if train:
+        imgs, y = imgs[:n_train], y[:n_train]
+    else:
+        imgs, y = imgs[n_train:], y[n_train:]
+    source = "digits-784"
+    if train and augment_to and augment_to > len(imgs):
+        imgs, y = _augment(imgs, y, augment_to, seed)
+        source = "digits-784-aug"
+    up = _bilinear_upsample(imgs, 28)
+    return up.reshape(-1, 784), y, {"source": source, "image_dim": 784}
+
+
 def load_mnist(root: str | None = None, train: bool = True):
     """Load (x [N, D] in [0,1], y [N] int labels, meta dict).
 

@@ -44,9 +44,18 @@ def run_mnist_experiment(
     num_reads: int = 1000,
     degree_objective: str = "reference",
     consistent_tanh: bool = False,
+    dataset: str = "auto",
+    lstsq_method: str = "svd",
+    weight_trainable: str = "horizontal",
     verbose: bool = True,
 ) -> Dict:
     """One full structure-optimization + evaluation run.
+
+    ``dataset``: 'auto' resolves real MNIST then digits (data.mnist);
+    'digits-784' runs the reference's exact [784, ...] workload shape on
+    bilinearly upsampled (and, when train_size exceeds the corpus,
+    shift/noise-augmented) sklearn digits -- honestly labeled, never
+    presented as MNIST.
 
     Defaults mirror the reference experiment config
     (fixed_kan_tests.py:297-303): shape [input, 32, 16, 16, 10], degree 5,
@@ -55,8 +64,16 @@ def run_mnist_experiment(
     naming).
     """
     start_time = time.time()
-    x_train_full, y_train_full, meta = load_mnist(root=data_root, train=True)
-    x_test, y_test, _ = load_mnist(root=data_root, train=False)
+    if dataset == "digits-784":
+        from qkan_implementation_tpu.data.mnist import load_digits_784
+
+        x_train_full, y_train_full, meta = load_digits_784(
+            train=True, augment_to=train_size, seed=seed
+        )
+        x_test, y_test, _ = load_digits_784(train=False)
+    else:
+        x_train_full, y_train_full, meta = load_mnist(root=data_root, train=True)
+        x_test, y_test, _ = load_mnist(root=data_root, train=False)
 
     input_dim = meta["image_dim"]
     if network_shape is None:
@@ -76,6 +93,7 @@ def run_mnist_experiment(
         complexity_weight=complexity_weight,
         degree_objective=degree_objective,
         consistent_tanh=consistent_tanh,
+        lstsq_method=lstsq_method,
     )
     kan = FixedKAN(config)
 
@@ -96,11 +114,12 @@ def run_mnist_experiment(
         if verbose:
             print("Phase 2: Training horizontal weights...")
         weight_start = time.time()
-        kan.train_horizontal_weights(
+        kan.train(
             jnp.asarray(x_train),
             jnp.asarray(y_train_labels),
             epochs=weight_epochs,
             learning_rate=learning_rate,
+            trainable=weight_trainable,
             seed=seed,
         )
         weight_time = time.time() - weight_start

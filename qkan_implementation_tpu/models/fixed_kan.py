@@ -185,9 +185,14 @@ class FixedKAN:
         in_dim = basis.shape[1]
         dp1 = cfg.max_degree + 1
         t_dim = y.shape[1]
-        gram_fn, solve_fn = _layer_gram_kernels(
-            dp1, in_dim, float(cfg.lstsq_ridge)
-        )
+        # The design matrix is structurally rank-deficient (T_0 of every
+        # input dim is the same all-ones column), so the Cholesky needs a
+        # ridge above the working precision's conditioning floor: 1e-8
+        # is fine at f64 but NaNs the factorization at f32 (TPU default).
+        ridge = float(cfg.lstsq_ridge)
+        if basis.dtype == jnp.float32:
+            ridge = max(ridge, 3e-6)
+        gram_fn, solve_fn = _layer_gram_kernels(dp1, in_dim, ridge)
         # degree-major columns so cumulative degrees are leading blocks
         G, bvec, yy = gram_fn(basis, y)
         scores, coeffs = [], []
@@ -201,6 +206,27 @@ class FixedKAN:
                 c[:k].reshape(d + 1, in_dim, t_dim), 0, 1
             ).reshape(k, t_dim)
             coeffs.append(c_dm)
+        if not np.all(np.isfinite(scores)):
+            # conditioning defeated the fast path: fall back to exact SVD
+            # lstsq rather than silently selecting degrees from NaN scores
+            return self._evaluate_layer_degrees(
+                x_fit, y
+            ) if cfg.lstsq_method == "svd" else self._svd_fallback(x_fit, y)
+        return np.array(scores), coeffs
+
+    def _svd_fallback(self, x_fit: jax.Array, y: jax.Array):
+        """Exact min-norm lstsq sweep (the 'svd' path) used when the
+        normal-equations Gram solve returns non-finite scores."""
+        cfg = self.config
+        basis = chebyshev_basis(x_fit, cfg.max_degree, clip=False)
+        b = basis.shape[0]
+        scores, coeffs = [], []
+        for d in range(cfg.max_degree + 1):
+            X_d = basis[:, :, : d + 1].reshape(b, -1)
+            c = _lstsq(X_d, y, "svd", cfg.lstsq_ridge)
+            pred = X_d @ c
+            scores.append(float(jnp.mean((y - pred) ** 2)))
+            coeffs.append(c)
         return np.array(scores), coeffs
 
     def _evaluate_layer_degrees_quantum(self, x_fit: jax.Array, y: jax.Array):
@@ -390,6 +416,7 @@ class FixedKAN:
         learning_rate: float = 0.01,
         loss: str = "cross_entropy",
         trainable: str = "all",
+        grad_clip: float = 1.0,
         seed: int = 0,
         verbose: bool = False,
     ) -> list:
@@ -398,7 +425,9 @@ class FixedKAN:
         ``trainable='horizontal'`` reproduces the reference's
         ``train_horizontal_weights`` (only the per-neuron scalars move,
         reference :309-333); ``'all'`` differentiates through every
-        coefficient -- the upgrade the pytree design buys.
+        coefficient -- the upgrade the pytree design buys.  ``grad_clip``
+        applies global-norm clipping (the reference's MLP trainer clips at
+        1.0, train_utils.py:42; deep KAN stacks need it just as much).
         Returns per-epoch average losses.
         """
         import optax
@@ -458,8 +487,16 @@ class FixedKAN:
         else:
             raise ValueError(f"Unknown trainable {trainable!r}")
 
+        inner = (
+            optax.chain(
+                optax.clip_by_global_norm(grad_clip),
+                optax.adam(learning_rate),
+            )
+            if grad_clip
+            else optax.adam(learning_rate)
+        )
         tx = optax.multi_transform(
-            {True: optax.adam(learning_rate), False: optax.set_to_zero()},
+            {True: inner, False: optax.set_to_zero()},
             train_labels,
         )
         params = [

@@ -1,0 +1,183 @@
+"""Pallas-fused batched QKAN layer: basis stays in VMEM, HBM sees only x.
+
+The batched layer (``ops.qkan_layer.qkan_layer_forward_batched``) is one
+[B, N*(D+1)] @ [N*(D+1), K] matmul, but XLA materializes the Chebyshev
+basis [B, N*(D+1)] to HBM between the elementwise producer and the dot --
+at N=16, D=7 that is 8x the input traffic, and the benchmark becomes a
+bandwidth test of an array that never needed to exist.  These kernels
+compute the basis tile-by-tile in VMEM (T_d via the recurrence) and feed
+the MXU directly, for forward AND backward:
+
+    traffic/sample: fwd  x (64B) + out (64B)
+                    bwd  x (64B) + dout (64B) + dx (64B)
+
+vs ~1.5 KB/sample for the materialized pipeline.  The weight tensor is
+tiny ([D+1, N, K], 8 KB) and lives in VMEM for every grid step; dM is
+accumulated across grid steps through output revisiting.
+
+Gradient math (custom VJP):
+    out[b,k]  = sum_{n,d} T_d(x[b,n]) M[d,n,k]
+    dM[d,n,k] = sum_b T_d(x[b,n]) dout[b,k]          (per-degree [N,K] GEMM)
+    dx[b,n]   = sum_d T'_d(x[b,n]) (dout @ M[d]^T)[b,n],  T'_d = d*U_{d-1}
+
+Reference semantics: QKAN_Steps_original/QKANLayer.py:77-135 (the fused
+contraction form; see ops.qkan_layer.qkan_weight_tensor).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_B = 2048  # batch rows per grid step (fits the 16 MB scoped-VMEM limit)
+
+
+def _cheb_tiles(xs, dp1):
+    """T_0..T_{dp1-1} of a [TB, N] tile via the recurrence (all in VMEM)."""
+    ts = [jnp.ones_like(xs), xs]
+    for _ in range(2, dp1):
+        ts.append(2.0 * xs * ts[-1] - ts[-2])
+    return ts[:dp1]
+
+
+def _fwd_kernel(x_ref, m_ref, out_ref):
+    xs = x_ref[:]
+    dp1, n, k = m_ref.shape
+    # degree-major basis tile [TB, (D+1)*N] pairs with m_ref.reshape(-1, K):
+    # ONE wide MXU dot (contraction depth (D+1)*N) instead of D+1 narrow ones
+    basis = jnp.concatenate(_cheb_tiles(xs, dp1), axis=1)
+    out_ref[:] = jnp.dot(
+        basis, m_ref[:].reshape(dp1 * n, k), preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, m_ref, dout_ref, dx_ref, dm_ref):
+    xs = x_ref[:]
+    g = dout_ref[:]
+    dp1, n, k = m_ref.shape
+    basis = jnp.concatenate(_cheb_tiles(xs, dp1), axis=1)  # [TB, dp1*n]
+
+    # dM accumulation across grid steps: zero on first visit, += after
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dm_ref[:] = jnp.zeros_like(dm_ref)
+
+    # dM[d,n,k] += sum_b T_d(x)[b,n] g[b,k]: one [dp1*n, TB] @ [TB, k]
+    dm_ref[:] += jnp.dot(
+        basis.T, g, preferred_element_type=jnp.float32
+    ).reshape(dp1, n, k).astype(dm_ref.dtype)
+
+    # dx[b,n] = sum_d T'_d(x)[b,n] * (g @ M[d]^T)[b,n], T'_d = d * U_{d-1}
+    us = [jnp.ones_like(xs), 2.0 * xs]
+    for _ in range(3, dp1):
+        us.append(2.0 * xs * us[-1] - us[-2])
+    dbasis = jnp.concatenate(
+        [jnp.zeros_like(xs)] + [float(d) * us[d - 1] for d in range(1, dp1)],
+        axis=1,
+    )  # [TB, dp1*n], degree-major
+    gm = jnp.dot(
+        g, m_ref[:].reshape(dp1 * n, k).T, preferred_element_type=jnp.float32
+    )  # [TB, dp1*n]
+    dx_ref[:] = jnp.sum(
+        (dbasis * gm).reshape(xs.shape[0], dp1, n), axis=1
+    ).astype(dx_ref.dtype)
+
+
+def _pad_batch(x, tile):
+    b = x.shape[0]
+    pad = (-b) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+    return x, b
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def qkan_layer_fused(x: jax.Array, m3: jax.Array, interpret: bool = False):
+    """Fused batched layer forward: [B, N] x [D+1, N, K] -> [B, K].
+
+    ``m3`` is the layer contraction tensor in degree-major layout
+    (``qkan_weight_tensor(weights, N, K)`` transposed to [D+1, N, K]).
+    Fully differentiable in both arguments (fused backward kernel).
+    """
+    return _fused_fwd(x, m3, interpret)[0]
+
+
+def _fused_fwd(x, m3, interpret):
+    xp, b = _pad_batch(x, TILE_B)
+    bp = xp.shape[0]
+    grid = bp // TILE_B
+    n = x.shape[1]
+    k = m3.shape[2]
+    x_spec = pl.BlockSpec(
+        (TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    m_spec = pl.BlockSpec(
+        m3.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(grid,),
+        in_specs=[x_spec, m_spec],
+        out_specs=pl.BlockSpec(
+            (TILE_B, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, k), x.dtype),
+        interpret=interpret,
+    )(xp, m3)
+    return out[:b], (x, m3)
+
+
+def _fused_bwd(interpret, res, dout):
+    x, m3 = res
+    xp, b = _pad_batch(x, TILE_B)
+    doutp, _ = _pad_batch(dout, TILE_B)
+    bp = xp.shape[0]
+    grid = bp // TILE_B
+    n = x.shape[1]
+    k = m3.shape[2]
+    x_spec = pl.BlockSpec(
+        (TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    m_spec = pl.BlockSpec(
+        m3.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (TILE_B, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    dx, dm = pl.pallas_call(
+        _bwd_kernel,
+        grid=(grid,),
+        in_specs=[x_spec, m_spec, g_spec],
+        out_specs=(
+            pl.BlockSpec((TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m3.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, n), x.dtype),
+            jax.ShapeDtypeStruct(m3.shape, m3.dtype),
+        ),
+        interpret=interpret,
+    )(xp, m3, doutp)
+    return dx[:b], dm
+
+
+qkan_layer_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def weights_to_m3(weights: jax.Array, N: int, K: int) -> jax.Array:
+    """Per-degree weight vectors [D+1, N*K] -> fused tensor [D+1, N, K]."""
+    from qkan_implementation_tpu.ops.qkan_layer import qkan_weight_tensor
+
+    return jnp.transpose(qkan_weight_tensor(weights, N, K), (2, 1, 0))
+
+
+def qkan_layer_forward_batched_fused(
+    x: jax.Array, weights: jax.Array, N: int, K: int, interpret: bool = False
+) -> jax.Array:
+    """Drop-in fused equivalent of ``qkan_layer_forward_batched``."""
+    return qkan_layer_fused(x, weights_to_m3(weights, N, K), interpret)

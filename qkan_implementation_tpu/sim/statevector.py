@@ -120,7 +120,16 @@ def _apply_dense(psi, matrix, qubits, num_qubits):
     psi_v = psi.reshape(shape)
     contract_axes = [axes[t] for t in qubits]
     m = jnp.asarray(matrix, dtype=psi.dtype).reshape((2,) * (2 * k))
-    out = jnp.tensordot(m, psi_v, axes=(list(range(k, 2 * k)), contract_axes))
+    # HIGHEST precision: TPU matmuls otherwise multiply in bf16, which
+    # degrades every gate application to ~1e-3 (measured on-chip by
+    # benchmarks/tpu_contracts.py); the contraction is tiny, exactness
+    # is the contract.
+    out = jnp.tensordot(
+        m,
+        psi_v,
+        axes=(list(range(k, 2 * k)), contract_axes),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     # tensordot puts the gate's output axes first, in qubits order
     out = jnp.moveaxis(out, list(range(k)), contract_axes)
     return out.reshape(psi.shape)

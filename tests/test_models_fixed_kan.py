@@ -279,3 +279,26 @@ def test_use_quantum_optimization_path():
     np.testing.assert_allclose(
         np.asarray(kan_q(x)), np.asarray(kan_c(x)), atol=1e-5
     )
+
+
+def test_gram_scoring_finite_and_matches_svd_at_f32():
+    # Regression: the digits design matrix is structurally rank-deficient
+    # (identical T_0 columns), and at f32 the 1e-8-ridge Cholesky NaN'd,
+    # silently collapsing every degree to 0 on TPU (round-2 fix: dtype-aware
+    # ridge + SVD fallback).
+    from qkan_implementation_tpu.data.mnist import load_mnist, to_one_hot
+
+    x, y, _ = load_mnist(train=True)
+    x32 = jnp.asarray(x[:300], dtype=jnp.float32)
+    y32 = jnp.asarray(to_one_hot(y[:300], 10), dtype=jnp.float32)
+    scores = {}
+    for method in ("svd", "normal"):
+        cfg = FixedKANConfig(
+            network_shape=[64, 8, 10], max_degree=4, lstsq_method=method
+        )
+        s, _ = FixedKAN(cfg)._evaluate_layer_degrees(jnp.tanh(x32), y32)
+        assert np.all(np.isfinite(s)), (method, s)
+        scores[method] = s
+    np.testing.assert_allclose(scores["normal"], scores["svd"], rtol=1e-3)
+    # and the scores must actually distinguish degrees
+    assert scores["svd"][0] > scores["svd"][-1] * 1.5
