@@ -58,10 +58,14 @@ def main():
             degree_objective="penalized_mse", consistent_tanh=True,
             complexity_weight=0.001, weight_epochs=0,
         ),
+        # fan-in-scaled per-layer Adam lr: without it the wide first
+        # layer's outputs drift past tanh saturation and the stack
+        # collapses (see FixedKAN.train docstring)
         "improved_trained": dict(
             degree_objective="penalized_mse", consistent_tanh=True,
             complexity_weight=0.001, weight_epochs=epochs,
-            weight_trainable="all", learning_rate=0.0005,
+            weight_trainable="all", weight_lr_scale="fanin",
+            learning_rate=0.002,
         ),
     }
 
@@ -106,6 +110,32 @@ def main():
         res["config_name"] = name
         res["device"] = str(jax.devices()[0])
         (out / f"digits64_{name}.json").write_text(json.dumps(res, indent=1))
+
+    # shallow-shape quality rows: the deep reference architecture (every
+    # layer greedily fit to the same y) caps accuracy; a [in, 16, 10]
+    # stack shows what the optimizer+trainer reach when the architecture
+    # is not the bottleneck
+    for tag, ds, shp in (
+        ("digits784_shallow", "digits-784", [784, 16, 10]),
+        ("digits64_shallow", "auto", [64, 16, 10]),
+    ):
+        print(f"=== {tag} improved_trained ===")
+        res = run_mnist_experiment(
+            network_shape=shp,
+            max_degree=5,
+            train_size=train_size,
+            dataset=ds,
+            lstsq_method="normal",
+            num_reads=num_reads,
+            verbose=True,
+            **configs["improved_trained"],
+        )
+        res.pop("_model", None)
+        res["config_name"] = "improved_trained_shallow"
+        res["device"] = str(jax.devices()[0])
+        (out / f"{tag}_improved_trained.json").write_text(
+            json.dumps(res, indent=1)
+        )
     print(f"records -> {out}")
 
 

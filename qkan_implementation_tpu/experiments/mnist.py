@@ -47,6 +47,7 @@ def run_mnist_experiment(
     dataset: str = "auto",
     lstsq_method: str = "svd",
     weight_trainable: str = "horizontal",
+    weight_lr_scale: str = "none",
     verbose: bool = True,
 ) -> Dict:
     """One full structure-optimization + evaluation run.
@@ -120,6 +121,7 @@ def run_mnist_experiment(
             epochs=weight_epochs,
             learning_rate=learning_rate,
             trainable=weight_trainable,
+            lr_scale=weight_lr_scale,
             seed=seed,
         )
         weight_time = time.time() - weight_start

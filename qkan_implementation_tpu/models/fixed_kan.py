@@ -417,6 +417,7 @@ class FixedKAN:
         loss: str = "cross_entropy",
         trainable: str = "all",
         grad_clip: float = 1.0,
+        lr_scale: str = "none",
         seed: int = 0,
         verbose: bool = False,
     ) -> list:
@@ -428,6 +429,13 @@ class FixedKAN:
         coefficient -- the upgrade the pytree design buys.  ``grad_clip``
         applies global-norm clipping (the reference's MLP trainer clips at
         1.0, train_utils.py:42; deep KAN stacks need it just as much).
+
+        ``lr_scale='fanin'`` divides each layer's coefficient lr by its
+        summation fan-in (in_dim * (D+1) * out_neurons, normalized to the
+        last layer's): Adam's scale-free per-param steps otherwise drift a
+        wide layer's OUTPUT by lr * fan_in per epoch, saturating the next
+        layer's tanh and collapsing deep stacks (measured: [784,...] layer
+        outputs hit |100| within an epoch at lr 2e-4).
         Returns per-epoch average losses.
         """
         import optax
@@ -476,29 +484,38 @@ class FixedKAN:
 
         if trainable == "horizontal":
             train_labels = [
-                {"coefficients": False, "horizontal_weights": True}
+                {"coefficients": "off", "horizontal_weights": "hw"}
                 for _ in self.params
             ]
         elif trainable == "all":
             train_labels = [
-                {"coefficients": True, "horizontal_weights": True}
-                for _ in self.params
+                {"coefficients": f"coef{i}", "horizontal_weights": "hw"}
+                for i in range(len(self.params))
             ]
         else:
             raise ValueError(f"Unknown trainable {trainable!r}")
 
-        inner = (
-            optax.chain(
-                optax.clip_by_global_norm(grad_clip),
-                optax.adam(learning_rate),
-            )
-            if grad_clip
-            else optax.adam(learning_rate)
-        )
-        tx = optax.multi_transform(
-            {True: inner, False: optax.set_to_zero()},
-            train_labels,
-        )
+        def make_adam(lr):
+            if grad_clip:
+                return optax.chain(
+                    optax.clip_by_global_norm(grad_clip), optax.adam(lr)
+                )
+            return optax.adam(lr)
+
+        transforms = {"off": optax.set_to_zero(), "hw": make_adam(learning_rate)}
+        if lr_scale == "fanin":
+            dp1 = max_degree + 1
+            fanins = [
+                float(lp["coefficients"].shape[1] * dp1 * lp["coefficients"].shape[0])
+                for lp in self.params
+            ]
+            ref = fanins[-1]
+            for i, f in enumerate(fanins):
+                transforms[f"coef{i}"] = make_adam(learning_rate * ref / f)
+        else:
+            for i in range(len(self.params)):
+                transforms[f"coef{i}"] = make_adam(learning_rate)
+        tx = optax.multi_transform(transforms, train_labels)
         params = [
             {k: v for k, v in lp.items() if k != "degrees"} for lp in self.params
         ]

@@ -302,3 +302,31 @@ def test_gram_scoring_finite_and_matches_svd_at_f32():
     np.testing.assert_allclose(scores["normal"], scores["svd"], rtol=1e-3)
     # and the scores must actually distinguish degrees
     assert scores["svd"][0] > scores["svd"][-1] * 1.5
+
+
+def test_fanin_lr_scaling_stabilizes_deep_training():
+    # Adam on a wide layer drifts its output by ~lr*fan_in per epoch,
+    # saturating the next tanh; lr_scale='fanin' must keep deep training
+    # from degrading the structure-optimized accuracy.
+    from qkan_implementation_tpu.data.mnist import load_digits_784, to_one_hot
+
+    x, y, _ = load_digits_784(train=True, augment_to=800, seed=0)
+    xt, yt, _ = load_digits_784(train=False)
+    cfg = FixedKANConfig(
+        network_shape=[784, 8, 10], max_degree=3, lstsq_method="normal",
+        degree_objective="penalized_mse", consistent_tanh=True,
+        complexity_weight=0.001,
+    )
+    m = FixedKAN(cfg)
+    m.optimize(jnp.asarray(x), jnp.asarray(to_one_hot(y, 10)), solver="exact")
+    base = float(
+        (np.asarray(m(jnp.asarray(xt))).argmax(1) == yt).mean()
+    )
+    m.train(
+        jnp.asarray(x), jnp.asarray(y), epochs=4, learning_rate=2e-3,
+        trainable="all", lr_scale="fanin",
+    )
+    trained = float(
+        (np.asarray(m(jnp.asarray(xt))).argmax(1) == yt).mean()
+    )
+    assert trained >= base - 0.02, (base, trained)
