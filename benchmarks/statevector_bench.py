@@ -10,7 +10,13 @@ runtime is Qiskit Aer's C++ gate loop (SURVEY.md section 3.2); run on TPU:
 
 from __future__ import annotations
 
+from qkan_implementation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import argparse
+import json
+import pathlib
 import time
 
 import numpy as np
@@ -89,6 +95,10 @@ def main():
 
     for k, v in results.items():
         print(f"{k}: {v:,.3f}")
+    results.update({"qubits": q, "device": str(jax.devices()[0])})
+    out = pathlib.Path(__file__).resolve().parent / "records"
+    out.mkdir(parents=True, exist_ok=True)
+    (out / f"statevector_q{q}.json").write_text(json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":

@@ -45,21 +45,21 @@ def _cheb_tiles(xs, dp1):
     return ts[:dp1]
 
 
-def _fwd_kernel(x_ref, m_ref, out_ref):
+def _fwd_kernel(dp1, x_ref, m_ref, out_ref):
     xs = x_ref[:]
-    dp1, n, k = m_ref.shape
-    # degree-major basis tile [TB, (D+1)*N] pairs with m_ref.reshape(-1, K):
-    # ONE wide MXU dot (contraction depth (D+1)*N) instead of D+1 narrow ones
+    # degree-major basis tile [TB, (D+1)*N] pairs with the 2-D [dp1*N, K]
+    # weight block: ONE wide MXU dot (contraction depth (D+1)*N) instead of
+    # D+1 narrow ones.  (m stays 2-D: Mosaic rejects 2D<->3D vector casts.)
     basis = jnp.concatenate(_cheb_tiles(xs, dp1), axis=1)
     out_ref[:] = jnp.dot(
-        basis, m_ref[:].reshape(dp1 * n, k), preferred_element_type=jnp.float32
+        basis, m_ref[:], preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
-def _bwd_kernel(x_ref, m_ref, dout_ref, dx_ref, dm_ref):
+def _bwd_kernel(dp1, x_ref, m_ref, dout_ref, dx_ref, dm_ref):
     xs = x_ref[:]
     g = dout_ref[:]
-    dp1, n, k = m_ref.shape
+    n = xs.shape[1]
     basis = jnp.concatenate(_cheb_tiles(xs, dp1), axis=1)  # [TB, dp1*n]
 
     # dM accumulation across grid steps: zero on first visit, += after
@@ -67,25 +67,25 @@ def _bwd_kernel(x_ref, m_ref, dout_ref, dx_ref, dm_ref):
     def _():
         dm_ref[:] = jnp.zeros_like(dm_ref)
 
-    # dM[d,n,k] += sum_b T_d(x)[b,n] g[b,k]: one [dp1*n, TB] @ [TB, k]
+    # dM[dn, k] += sum_b basis[b, dn] g[b, k]: one [dp1*n, TB] @ [TB, k]
     dm_ref[:] += jnp.dot(
         basis.T, g, preferred_element_type=jnp.float32
-    ).reshape(dp1, n, k).astype(dm_ref.dtype)
+    ).astype(dm_ref.dtype)
 
-    # dx[b,n] = sum_d T'_d(x)[b,n] * (g @ M[d]^T)[b,n], T'_d = d * U_{d-1}
+    # dx[b,n] = sum_d T'_d(x)[b,n] * (g @ M[d]^T)[b,n], T'_d = d * U_{d-1};
+    # per-degree [TB,k]@[k,n] matmuls (row slices of m are cheap; no
+    # in-kernel 3-D reshapes)
     us = [jnp.ones_like(xs), 2.0 * xs]
     for _ in range(3, dp1):
         us.append(2.0 * xs * us[-1] - us[-2])
-    dbasis = jnp.concatenate(
-        [jnp.zeros_like(xs)] + [float(d) * us[d - 1] for d in range(1, dp1)],
-        axis=1,
-    )  # [TB, dp1*n], degree-major
-    gm = jnp.dot(
-        g, m_ref[:].reshape(dp1 * n, k).T, preferred_element_type=jnp.float32
-    )  # [TB, dp1*n]
-    dx_ref[:] = jnp.sum(
-        (dbasis * gm).reshape(xs.shape[0], dp1, n), axis=1
-    ).astype(dx_ref.dtype)
+    dx = jnp.zeros(xs.shape, dtype=jnp.float32)
+    for d in range(1, dp1):
+        gm_d = jnp.dot(
+            g, m_ref[d * n : (d + 1) * n, :].T,
+            preferred_element_type=jnp.float32,
+        )
+        dx += (float(d) * us[d - 1]) * gm_d
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _pad_batch(x, tile):
@@ -112,15 +112,16 @@ def _fused_fwd(x, m3, interpret):
     bp = xp.shape[0]
     grid = bp // TILE_B
     n = x.shape[1]
-    k = m3.shape[2]
+    dp1, _, k = m3.shape
+    m2 = m3.reshape(dp1 * n, k)  # kernels take the 2-D layout
     x_spec = pl.BlockSpec(
         (TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     m_spec = pl.BlockSpec(
-        m3.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        m2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, dp1),
         grid=(grid,),
         in_specs=[x_spec, m_spec],
         out_specs=pl.BlockSpec(
@@ -128,7 +129,7 @@ def _fused_fwd(x, m3, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((bp, k), x.dtype),
         interpret=interpret,
-    )(xp, m3)
+    )(xp, m2)
     return out[:b], (x, m3)
 
 
@@ -139,31 +140,32 @@ def _fused_bwd(interpret, res, dout):
     bp = xp.shape[0]
     grid = bp // TILE_B
     n = x.shape[1]
-    k = m3.shape[2]
+    dp1, _, k = m3.shape
+    m2 = m3.reshape(dp1 * n, k)
     x_spec = pl.BlockSpec(
         (TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     m_spec = pl.BlockSpec(
-        m3.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        m2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     g_spec = pl.BlockSpec(
         (TILE_B, k), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     dx, dm = pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, dp1),
         grid=(grid,),
         in_specs=[x_spec, m_spec, g_spec],
         out_specs=(
             pl.BlockSpec((TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(m3.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bp, n), x.dtype),
-            jax.ShapeDtypeStruct(m3.shape, m3.dtype),
+            jax.ShapeDtypeStruct(m2.shape, m3.dtype),
         ),
         interpret=interpret,
-    )(xp, m3, doutp)
-    return dx[:b], dm
+    )(xp, m2, doutp)
+    return dx[:b], dm.reshape(m3.shape)
 
 
 qkan_layer_fused.defvjp(_fused_fwd, _fused_bwd)
