@@ -105,11 +105,11 @@ def main():
 
         if on_tpu:
             from qkan_implementation_tpu.sim.pallas_kernels import (
-                ucry_msb_cs_pallas,
+                ucry_msb_cs_pallas_pair,
             )
 
             def one_gate(p):
-                return ucry_msb_cs_pallas(p, cs, sn)
+                return ucry_msb_cs_pallas_pair(p, cs, sn)
         else:
             def one_gate(p):
                 v = p.reshape(2, half)

@@ -34,6 +34,7 @@ import jax
 
 from qkan_implementation_tpu.anneal import (
     QuboModel,
+    greedy_descent,
     parallel_tempering,
     simulated_annealing,
 )
@@ -89,22 +90,31 @@ def run(n: int, seed: int, sweeps: int, reads: int) -> list[dict]:
     parallel_tempering(
         model, num_chains=2, num_replicas=4, num_sweeps=8, seed=seed
     )
+    def polished(fn):
+        samples, _ = fn()
+        samples = greedy_descent(model, samples)
+        return samples, model.energy(samples)
+
     record(
         "sa_jax",
-        lambda: simulated_annealing(
-            model, num_reads=reads, num_sweeps=sweeps, seed=seed
+        lambda: polished(
+            lambda: simulated_annealing(
+                model, num_reads=reads, num_sweeps=sweeps, seed=seed
+            )
         ),
     )
     # same total chain budget: chains x replicas = reads
     replicas = 16
     record(
         "tempering_jax",
-        lambda: parallel_tempering(
-            model,
-            num_chains=max(1, reads // replicas),
-            num_replicas=replicas,
-            num_sweeps=sweeps,
-            seed=seed,
+        lambda: polished(
+            lambda: parallel_tempering(
+                model,
+                num_chains=max(1, reads // replicas),
+                num_replicas=replicas,
+                num_sweeps=sweeps,
+                seed=seed,
+            )
         ),
     )
     if native_available():

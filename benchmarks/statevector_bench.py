@@ -37,8 +37,11 @@ def main():
         h_gate_pallas,
         ucry_msb_pallas,
     )
+    from qkan_implementation_tpu.sim.pallas_kernels import (
+        ucry_msb_cs_pallas_pair,
+    )
     from qkan_implementation_tpu.sim.statevector import apply_gate
-    from qkan_implementation_tpu.utils.profiling import timeit_jit
+    from qkan_implementation_tpu.utils.profiling import timeit_chained
 
     q = args.qubits
     dim = 2**q
@@ -52,27 +55,36 @@ def main():
 
     results = {}
     if dim // 2 >= TILE:
-        dt = timeit_jit(
+        dt = timeit_chained(
             lambda p: ucry_msb_pallas(p, thetas, interpret=not on_tpu),
             psi,
             iters=args.iters,
         )
         results["pallas_ucry_ms"] = dt * 1e3
         results["pallas_ucry_gbps"] = dim * 3 * 4 / dt / 1e9
+        cs = jnp.cos(thetas / 2.0)
+        sn = jnp.sin(thetas / 2.0)
+        dt = timeit_chained(
+            lambda p: ucry_msb_cs_pallas_pair(p, cs, sn, interpret=not on_tpu),
+            psi,
+            iters=args.iters,
+        )
+        results["pallas_ucry_cs_pair_ms"] = dt * 1e3
+        results["pallas_ucry_cs_pair_gbps"] = dim * 2 * 4 / dt / 1e9
 
     gate = Gate("ucry", (q - 1, *range(q - 2, -1, -1)), np.asarray(thetas))
-    dt = timeit_jit(
-        jax.jit(lambda p: apply_gate(p, gate, q)), psi, iters=args.iters
+    dt = timeit_chained(
+        lambda p: apply_gate(p, gate, q), psi, iters=args.iters
     )
     results["xla_ucry_ms"] = dt * 1e3
 
     h_gate = Gate("h", (q // 2,))
-    dt = timeit_jit(
-        jax.jit(lambda p: apply_gate(p, h_gate, q)), psi, iters=args.iters
+    dt = timeit_chained(
+        lambda p: apply_gate(p, h_gate, q), psi, iters=args.iters
     )
     results["xla_h_ms"] = dt * 1e3
     if dim // 2 >= TILE and (2 ** (q // 2)) % 128 == 0:
-        dt = timeit_jit(
+        dt = timeit_chained(
             lambda p: h_gate_pallas(p, q // 2, interpret=not on_tpu),
             psi,
             iters=args.iters,
@@ -88,8 +100,9 @@ def main():
         n = (q - 1) // 2
         a = rng.uniform(-1, 1, (2**n, 2**n))
         circ, _ = fable(a)
-        f = jax.jit(lambda p: simulate(circ, psi0=p))
-        dt = timeit_jit(f, psi, iters=max(args.iters // 5, 5))
+        dt = timeit_chained(
+            lambda p: simulate(circ, psi0=p), psi, iters=max(args.iters // 5, 5)
+        )
         results["fable_sim_ms"] = dt * 1e3
         results["fable_gates_per_sec"] = circ.gate_count / dt
 

@@ -12,6 +12,7 @@ from qkan_implementation_tpu.anneal.qubo import (
     decode_degrees,
 )
 from qkan_implementation_tpu.anneal.sa import (
+    greedy_descent,
     parallel_tempering,
     simulated_annealing,
     simulated_annealing_sharded,
@@ -31,6 +32,7 @@ __all__ = [
     "degree_selection_qubo",
     "qubo_energy",
     "decode_degrees",
+    "greedy_descent",
     "parallel_tempering",
     "simulated_annealing",
     "simulated_annealing_sharded",

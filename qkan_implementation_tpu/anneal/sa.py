@@ -372,6 +372,44 @@ def simulated_annealing_sharded(
     )
 
 
+@jax.jit
+def _greedy_kernel(h, J, s):
+    def round_(carry):
+        s, _ = carry
+        f = h[None, :] + s @ J  # [R, n]
+        de = (1.0 - 2.0 * s) * f  # dE of flipping each bit
+        best = jnp.argmin(de, axis=1)  # steepest single flip per sample
+        gain = jnp.take_along_axis(de, best[:, None], axis=1)[:, 0]
+        flip = gain < -1e-12
+        delta = jnp.where(
+            flip[:, None] & (jnp.arange(s.shape[1])[None, :] == best[:, None]),
+            1.0 - 2.0 * s,
+            0.0,
+        )
+        return s + delta, jnp.any(flip)
+
+    def cond(carry):
+        return carry[1]
+
+    s, _ = jax.lax.while_loop(
+        cond, lambda c: round_(c), (s, jnp.asarray(True))
+    )
+    return s
+
+
+def greedy_descent(model: QuboModel, samples: np.ndarray) -> np.ndarray:
+    """Steepest-descent single-flip polish to a local optimum, vectorized
+    over samples (what neal's C++ post-pass effectively buys on dense
+    QUBOs; closes the sub-1e-2 gaps batched SA leaves at its coldest
+    temperature)."""
+    s = _greedy_kernel(
+        jnp.asarray(model.h, dtype=jnp.float32),
+        jnp.asarray(model.J, dtype=jnp.float32),
+        jnp.asarray(samples, dtype=jnp.float32),
+    )
+    return np.asarray(s, dtype=np.float64)
+
+
 def polish_one_hot_blocks(
     model: QuboModel, samples: np.ndarray, block_size: int
 ) -> np.ndarray:

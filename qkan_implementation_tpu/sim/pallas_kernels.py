@@ -137,6 +137,54 @@ def ucry_msb_cs_pallas(
     return jnp.concatenate([out0.reshape(-1), out1.reshape(-1)])
 
 
+def _ucry_cs_pair_kernel(v_ref, c_ref, s_ref, out_ref):
+    p0 = v_ref[0]
+    p1 = v_ref[1]
+    c = c_ref[:]
+    s = s_ref[:]
+    out_ref[0] = c * p0 - s * p1
+    out_ref[1] = s * p0 + c * p1
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def ucry_msb_cs_pallas_pair(
+    psi: jax.Array, cos_half: jax.Array, sin_half: jax.Array,
+    interpret: bool = False,
+):
+    """Sliceless trig-free MSB multiplexed Ry: both halves ride ONE block.
+
+    ``ucry_msb_cs_pallas`` pre-slices psi[:m] / psi[m:] and concatenates the
+    results -- three extra full-state HBM passes that XLA does not fuse into
+    the pallas_call (measured: 0.68 ms/gate scan-chained at 21 qubits vs the
+    0.05 ms kernel).  Here the flat state reshapes (free, contiguous) to
+    [2, rows, LANES] and each grid step's BlockSpec carries BOTH halves, so
+    HBM sees exactly psi read + cos/sin read + psi write.
+    """
+    m = cos_half.shape[0]
+    if m % TILE != 0:
+        raise ValueError(f"size {m} not a multiple of {TILE}")
+    rows = m // LANES
+    block_rows = _rows_per_block(rows)
+    v = psi.reshape(2, rows, LANES)
+    c = cos_half.reshape(rows, LANES).astype(psi.dtype)
+    s = sin_half.reshape(rows, LANES).astype(psi.dtype)
+    pair_spec = pl.BlockSpec(
+        (2, block_rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    half_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _ucry_cs_pair_kernel,
+        grid=(rows // block_rows,),
+        in_specs=[pair_spec, half_spec, half_spec],
+        out_specs=pair_spec,
+        out_shape=jax.ShapeDtypeStruct((2, rows, LANES), psi.dtype),
+        interpret=interpret,
+    )(v, c, s)
+    return out.reshape(-1)
+
+
 def _diag_kernel(psi_ref, diag_ref, out_ref):
     out_ref[:] = psi_ref[:] * diag_ref[:]
 

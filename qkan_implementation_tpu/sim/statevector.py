@@ -269,13 +269,14 @@ def simulate(
         elif use_pallas and _pallas_eligible(gate, circuit.num_qubits, dtype):
             if isinstance(gate.params, np.ndarray):
                 # static angles (every host-built FABLE circuit): precompute
-                # the trig once -- the kernel is transcendental-bound
+                # the trig once -- the kernel is transcendental-bound; the
+                # pair variant keeps HBM traffic to psi r/w + cos/sin reads
                 from qkan_implementation_tpu.sim.pallas_kernels import (
-                    ucry_msb_cs_pallas,
+                    ucry_msb_cs_pallas_pair,
                 )
 
                 half = np.asarray(gate.params).reshape(-1) / 2.0
-                psi = ucry_msb_cs_pallas(
+                psi = ucry_msb_cs_pallas_pair(
                     psi,
                     jnp.asarray(np.cos(half), dtype=psi.dtype),
                     jnp.asarray(np.sin(half), dtype=psi.dtype),

@@ -73,6 +73,33 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def timeit_chained(fn, x, iters: int = 50) -> float:
+    """Steady-state seconds/call of a shape-preserving ``x -> x`` function,
+    measured as ONE device-side ``lax.scan`` chain of ``iters`` dependent
+    applications ending in a scalar reduction fetched to the host.
+
+    ``timeit_jit`` relies on ``block_until_ready``, which this environment's
+    remote-tunnel backend can satisfy before device work completes --
+    producing impossible numbers (a measured 16 TB/s "bandwidth" at 25
+    qubits).  Chaining makes every step data-dependent and the host fetch
+    of the final scalar forces real completion.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return fn(c), None
+
+        final, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(jnp.abs(final))
+
+    _ = float(chain(x))  # compile
+    start = time.perf_counter()
+    _ = float(chain(x))
+    return (time.perf_counter() - start) / iters
+
+
 def timeit_jit(fn, *args, iters: int = 50, warmup: int = 2) -> float:
     """Steady-state seconds/call of a jitted function (blocks on the last
     result; dispatch pipelining is included, matching how throughput is

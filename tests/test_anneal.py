@@ -227,3 +227,33 @@ class TestParallelTempering:
             model, num_reads=64, num_sweeps=150, seed=1
         )
         assert e_pt.min() <= e_sa.min() + 0.3
+
+
+def test_greedy_descent_reaches_local_optimum():
+    from qkan_implementation_tpu.anneal import greedy_descent, simulated_annealing
+    from qkan_implementation_tpu.native_bindings import (
+        brute_force_native,
+        native_available,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 18
+    J = rng.normal(0, 1 / np.sqrt(n), (n, n))
+    J = J + J.T
+    np.fill_diagonal(J, 0.0)
+    h = rng.normal(0, 1, n)
+    model = QuboModel(h=h, J=J, offset=0.0)
+    samples, energies = simulated_annealing(
+        model, num_reads=64, num_sweeps=60, seed=0
+    )
+    polished = greedy_descent(model, samples)
+    ep = model.energy(polished)
+    assert ep.min() <= energies.min() + 1e-9
+    # every polished sample is a single-flip local optimum
+    best = polished[np.argmin(ep)]
+    f = model.h + model.J @ best
+    de = (1.0 - 2.0 * best) * f
+    assert np.all(de >= -1e-9)
+    if native_available():
+        _, truth = brute_force_native(model)
+        assert ep.min() <= truth + 1e-6
