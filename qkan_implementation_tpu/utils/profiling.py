@@ -74,30 +74,44 @@ def device_trace(log_dir: str):
 
 
 def timeit_chained(fn, x, iters: int = 50) -> float:
-    """Steady-state seconds/call of a shape-preserving ``x -> x`` function,
-    measured as ONE device-side ``lax.scan`` chain of ``iters`` dependent
-    applications ending in a scalar reduction fetched to the host.
+    """Steady-state seconds/call of a shape-preserving ``x -> x`` function:
+    slope timing over two device-side ``lax.scan`` chain lengths.
 
-    ``timeit_jit`` relies on ``block_until_ready``, which this environment's
-    remote-tunnel backend can satisfy before device work completes --
-    producing impossible numbers (a measured 16 TB/s "bandwidth" at 25
-    qubits).  Chaining makes every step data-dependent and the host fetch
-    of the final scalar forces real completion.
+    Two hazards this method removes (both measured on this environment):
+    ``timeit_jit``'s ``block_until_ready`` can return before remote device
+    work completes (an impossible 16 TB/s at 25 qubits), and a single
+    chained run is dominated by the tunnel's ~25 ms fixed fetch cost
+    (0.05 ms kernels read as 0.5 ms).  Chaining makes every step
+    data-dependent; the (long - short) difference cancels the fixed cost.
     """
     import jax.numpy as jnp
 
-    @jax.jit
-    def chain(x):
-        def body(c, _):
-            return fn(c), None
+    def make(n):
+        @jax.jit
+        def chain(x):
+            def body(c, _):
+                return fn(c), None
 
-        final, _ = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(jnp.abs(final))
+            final, _ = jax.lax.scan(body, x, None, length=n)
+            return jnp.sum(jnp.abs(final))
 
-    _ = float(chain(x))  # compile
+        return chain
+
+    short_n, long_n = iters, iters * 6
+    c_short, c_long = make(short_n), make(long_n)
+    _ = float(c_short(x))  # compile
+    _ = float(c_long(x))
+    t_short = min(
+        _timed(lambda: float(c_short(x))) for _ in range(2)
+    )
+    t_long = min(_timed(lambda: float(c_long(x))) for _ in range(2))
+    return max(t_long - t_short, 1e-12) / (long_n - short_n)
+
+
+def _timed(thunk) -> float:
     start = time.perf_counter()
-    _ = float(chain(x))
-    return (time.perf_counter() - start) / iters
+    thunk()
+    return time.perf_counter() - start
 
 
 def timeit_jit(fn, *args, iters: int = 50, warmup: int = 2) -> float:
