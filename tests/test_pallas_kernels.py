@@ -104,3 +104,32 @@ def test_simulate_auto_uses_cs_path_for_static_fable():
     xla = np.asarray(simulate(circ, backend="xla", dtype=jnp.float32))
     pallas = np.asarray(simulate(circ, backend="pallas", dtype=jnp.float32))
     np.testing.assert_allclose(pallas, xla, atol=1e-5)
+
+
+def test_ucry_pair_matches_flat_and_xla():
+    # the sliceless pair variant must agree with the flat-slice kernel and
+    # the XLA lowering (it is simulate()'s static-angle fast path on TPU)
+    from qkan_implementation_tpu.sim.pallas_kernels import (
+        ucry_msb_cs_pallas,
+        ucry_msb_cs_pallas_pair,
+    )
+    from qkan_implementation_tpu.sim.statevector import _apply_ucry
+
+    rng = np.random.default_rng(3)
+    q = 12
+    dim = 2**q
+    psi = jnp.asarray(rng.normal(size=dim), dtype=jnp.float32)
+    psi = psi / jnp.linalg.norm(psi)
+    thetas = rng.uniform(-np.pi, np.pi, dim // 2)
+    cs = jnp.asarray(np.cos(thetas / 2), dtype=jnp.float32)
+    sn = jnp.asarray(np.sin(thetas / 2), dtype=jnp.float32)
+
+    want = np.asarray(
+        _apply_ucry(
+            psi, jnp.asarray(thetas), q - 1, tuple(range(q - 2, -1, -1)), q
+        )
+    )
+    flat = np.asarray(ucry_msb_cs_pallas(psi, cs, sn, interpret=True))
+    pair = np.asarray(ucry_msb_cs_pallas_pair(psi, cs, sn, interpret=True))
+    np.testing.assert_allclose(flat, want, atol=1e-6)
+    np.testing.assert_allclose(pair, want, atol=1e-6)
