@@ -14,6 +14,7 @@ from qkan_implementation_tpu.anneal.qubo import (
 from qkan_implementation_tpu.anneal.sa import (
     greedy_descent,
     parallel_tempering,
+    parallel_tempering_sharded,
     simulated_annealing,
     simulated_annealing_sharded,
     default_beta_range,
@@ -34,6 +35,7 @@ __all__ = [
     "decode_degrees",
     "greedy_descent",
     "parallel_tempering",
+    "parallel_tempering_sharded",
     "simulated_annealing",
     "simulated_annealing_sharded",
     "default_beta_range",

@@ -322,6 +322,54 @@ def parallel_tempering(
     )
 
 
+def parallel_tempering_sharded(
+    model: QuboModel,
+    mesh,
+    axis_name: str = "d",
+    num_chains: int = 64,
+    num_replicas: int = 16,
+    num_sweeps: int = 1000,
+    beta_range: tuple[float, float] | None = None,
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """Mesh-sharded parallel tempering: chains split across devices, each
+    device running full temperature ladders locally (replica exchange never
+    crosses devices, so the only collective is the final gather) -- the
+    tempering analog of ``simulated_annealing_sharded``.
+
+    Returns (samples [C'*T, n], energies) with C' = ceil(C / n_dev) * n_dev.
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    chains_local = -(-num_chains // n_dev)
+    if beta_range is None:
+        beta_range = default_beta_range(model)
+    betas = jnp.asarray(
+        np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
+    )
+    h = jnp.asarray(model.h, dtype=dtype)
+    J = jnp.asarray(model.J, dtype=dtype)
+    keys = jax.random.split(jax.random.key(seed), n_dev)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(keys_local):
+        return _tempering_kernel(
+            h, J, betas, keys_local[0], chains_local, num_replicas, num_sweeps
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name)
+        )
+    )
+    samples, energies = fn(keys)
+    return (
+        np.asarray(samples),
+        np.asarray(energies, dtype=np.float64) + model.offset,
+    )
+
+
 def simulated_annealing_sharded(
     model: QuboModel,
     mesh,

@@ -78,6 +78,9 @@ class DataPipeline:
         tgt_col = [f"{cfg.target_col}_normalized"]
         train = df[train_mask]
         val = df[val_mask]
+        # date series kept for time-fold CV consumers (degree_cv option)
+        self.last_train_dates = train[cfg.date_col].to_numpy()
+        self.last_val_dates = val[cfg.date_col].to_numpy()
         return (
             train[feat_cols],
             train[tgt_col],

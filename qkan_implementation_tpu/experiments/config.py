@@ -40,6 +40,9 @@ class ModelConfig:
     batch_size: Optional[int] = None
     n_epochs: Optional[int] = None
     num_reads: Optional[int] = None  # annealer chains (reference default 1000)
+    # cross-validated degree scoring over time folds, e.g.
+    # {n_splits: 5, strategy: expanding}; None = plain in-sample scoring
+    degree_cv: Optional[dict] = None
 
     @classmethod
     def from_dict(cls, data: dict) -> "ModelConfig":

@@ -79,6 +79,21 @@ def run_experiment(config_path: str):
                     significance_threshold=model_config.significance_threshold
                     or 0.05,
                 )
+                cv_scores = None
+                if model_config.degree_cv:
+                    cv = dict(model_config.degree_cv)
+                    cv_scores, _ = model.evaluate_degree_cv(
+                        x_data=train_df,
+                        y_data=train_target.to_numpy(),
+                        timestamps=pipeline.last_train_dates,
+                        weights=train_weight.to_numpy(),
+                        n_splits=int(cv.get("n_splits", 5)),
+                        strategy=cv.get("strategy", "expanding"),
+                    )
+                    logger.info(
+                        f"CV degree scores ({cv.get('strategy', 'expanding')},"
+                        f" {cv.get('n_splits', 5)} folds): {cv_scores}"
+                    )
                 optimal_degrees = model.optimize_layer(
                     layer_idx=0,
                     x_data=train_df,
@@ -86,6 +101,7 @@ def run_experiment(config_path: str):
                     weights=train_weight.to_numpy(),
                     num_reads=model_config.num_reads or 1000,
                     seed=config.random_seed + trial,
+                    scores=cv_scores,
                 )
                 scores, compr2_scores = model.evaluate_degree(
                     x_data=val_df,

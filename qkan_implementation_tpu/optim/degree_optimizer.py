@@ -262,13 +262,21 @@ class DegreeOptimizer(BaseOptimizer):
         num_reads: int = 1000,
         num_sweeps: int = 1000,
         seed: int = 0,
+        scores=None,
     ) -> List[List[int]]:
-        """Optimize degrees for one layer (reference :183-254)."""
+        """Optimize degrees for one layer (reference :183-254).
+
+        ``scores``: precomputed per-degree scores (e.g. from
+        ``evaluate_degree_cv`` for out-of-sample selection); None scores
+        in-sample like the reference."""
         input_dim = self.network_shape[layer_idx]
         output_dim = self.network_shape[layer_idx + 1]
         num_functions = input_dim * output_dim
 
-        scores, _ = self.evaluate_degree(x_data, y_data, weights)
+        if scores is None:
+            scores, _ = self.evaluate_degree(x_data, y_data, weights)
+        else:
+            scores = np.asarray(scores)
         is_definitive, definitive_degree = self.is_degree_definitive(scores)
 
         model = degree_selection_qubo(

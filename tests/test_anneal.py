@@ -257,3 +257,35 @@ def test_greedy_descent_reaches_local_optimum():
     if native_available():
         _, truth = brute_force_native(model)
         assert ep.min() <= truth + 1e-6
+
+
+def test_parallel_tempering_sharded_matches_quality():
+    import jax
+    from qkan_implementation_tpu.parallel import make_mesh
+    from qkan_implementation_tpu.anneal import parallel_tempering_sharded
+    from qkan_implementation_tpu.native_bindings import (
+        brute_force_native,
+        native_available,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8, axis_name="d")
+    rng = np.random.default_rng(5)
+    n = 16
+    J = rng.normal(0, 1, (n, n))
+    J = J + J.T
+    np.fill_diagonal(J, 0.0)
+    h = rng.normal(0, 1, n)
+    model = QuboModel(h=h, J=J, offset=0.0)
+    samples, energies = parallel_tempering_sharded(
+        mesh=mesh, model=model, num_chains=16, num_replicas=4,
+        num_sweeps=150, seed=0,
+    )
+    assert samples.shape[0] == 16 * 4  # ceil(16/8)*8 chains x 4 replicas
+    np.testing.assert_allclose(energies, model.energy(samples), atol=1e-3)
+    if native_available():
+        _, truth = brute_force_native(model)
+        assert energies.min() <= truth + 1e-3

@@ -237,3 +237,47 @@ def test_run_experiment_fixed_kan_model(tmp_path):
     assert r.model_name == "fixed_kan_trial_0"
     assert np.isfinite(r.MSE_Score)
     assert len(r.model_params["degrees"]) == 2  # two layers
+
+
+def test_run_experiment_with_degree_cv(tmp_path):
+    # the CV-fold degree-scoring config option: scores come from
+    # evaluate_degree_cv over time folds instead of in-sample
+    import yaml
+
+    from qkan_implementation_tpu.data.pipeline import generate_market_parquet
+    from qkan_implementation_tpu.experiments.main import run_experiment
+
+    parquet = generate_market_parquet(
+        tmp_path / "data.parquet", n_rows=1200, n_features=6, seed=0
+    )
+    cfg = {
+        "name": "cv_test",
+        "data": {
+            "data_path": str(parquet),
+            "n_rows": 1200,
+            "train_ratio": 0.7,
+            "feature_cols": [f"feature_{i:02d}" for i in range(6)],
+            "target_col": "responder_6",
+            "weight_col": "weight",
+            "date_col": "date_id",
+        },
+        "models": [
+            {
+                "model_type": "qkan",
+                "network_shape": [6, 1],
+                "max_degree": 3,
+                "complexity_weight": 0.0,
+                "num_reads": 16,
+                "degree_cv": {"n_splits": 3, "strategy": "expanding"},
+            }
+        ],
+        "num_trials": 1,
+        "random_seed": 1,
+        "save_path": str(tmp_path / "out"),
+        "log_path": str(tmp_path / "out" / "log.txt"),
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    results = run_experiment(str(cfg_path))
+    assert len(results) == 1
+    assert np.isfinite(results[0].MSE_Score)
