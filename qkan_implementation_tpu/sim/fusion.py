@@ -1,0 +1,141 @@
+"""Register-level gate fusion for the dense statevector engine.
+
+FABLE circuits (encoding.fable) are layered: an H wall on the row register
+(n gates), the fused ucry, a register swap (n swap gates), and a second H
+wall.  Executed gate-by-gate that is 3n+1 full-state HBM passes; fused it
+is THREE: one Walsh-Hadamard contraction per H wall (an MXU matmul over a
+2^k register axis) and one static-gather bit permutation for the swap run.
+At 25 qubits this takes the full block-encoding simulation from ~200 ms to
+a handful of bandwidth-bound passes.
+
+Pseudo-ops produced by ``fuse_register_ops``:
+
+- ``HRegister(qubits)``: H on every listed qubit, applied per contiguous
+  qubit segment as a [outer, 2^k, inner] x [2^k, 2^k] tensordot.
+- ``BitPermutation(perm)``: amplitude index remap new_bit[i] = old_bit
+  perm[i], applied as one gather with a statically precomputed index.
+
+Reference semantics unchanged: the pass is an executor optimization; tests
+pin fused-vs-unfused equality on random and FABLE circuits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qkan_implementation_tpu.sim.circuit import Circuit, Gate
+
+
+@dataclass(frozen=True)
+class HRegister:
+    qubits: Tuple[int, ...]  # sorted ascending, distinct
+
+
+@dataclass(frozen=True)
+class BitPermutation:
+    # perm[new_position] = old_position (bit sources per destination bit)
+    perm: Tuple[int, ...]
+
+
+def _compose_swap(perm: list, a: int, b: int) -> None:
+    perm[a], perm[b] = perm[b], perm[a]
+
+
+def fuse_register_ops(gates, num_qubits: int, min_h: int = 2, min_swaps: int = 2):
+    """Rewrite maximal H-walls and swap-runs into register pseudo-ops.
+
+    Runs shorter than the thresholds stay as plain gates (a lone H is
+    cheaper unfused).
+    """
+    items = []
+    i = 0
+    n = len(gates)
+    while i < n:
+        g = gates[i]
+        if isinstance(g, Gate) and g.name == "h":
+            qs = []
+            j = i
+            while (
+                j < n
+                and isinstance(gates[j], Gate)
+                and gates[j].name == "h"
+                and gates[j].qubits[0] not in qs
+            ):
+                qs.append(gates[j].qubits[0])
+                j += 1
+            if len(qs) >= min_h:
+                items.append(HRegister(tuple(sorted(qs))))
+                i = j
+                continue
+        if isinstance(g, Gate) and g.name == "swap":
+            perm = list(range(num_qubits))
+            j = i
+            while j < n and isinstance(gates[j], Gate) and gates[j].name == "swap":
+                _compose_swap(perm, gates[j].qubits[0], gates[j].qubits[1])
+                j += 1
+            if j - i >= min_swaps:
+                items.append(BitPermutation(tuple(perm)))
+                i = j
+                continue
+        items.append(g)
+        i += 1
+    return items
+
+
+def _contiguous_segments(qubits: Tuple[int, ...]):
+    segs = []
+    start = prev = qubits[0]
+    for q in qubits[1:]:
+        if q == prev + 1:
+            prev = q
+            continue
+        segs.append((start, prev))
+        start = prev = q
+    segs.append((start, prev))
+    return segs
+
+
+def _hadamard_matrix(k: int) -> np.ndarray:
+    h = np.array([[1.0, 1.0], [1.0, -1.0]]) / np.sqrt(2.0)
+    m = np.array([[1.0]])
+    for _ in range(k):
+        m = np.kron(m, h)
+    return m
+
+
+def apply_h_register(psi: jax.Array, op: HRegister, num_qubits: int) -> jax.Array:
+    """One tensordot per contiguous qubit segment (capped at 2^10 blocks:
+    larger registers split so the transform matrix stays small)."""
+    shape = psi.shape
+    for lo, hi in _contiguous_segments(op.qubits):
+        while lo <= hi:
+            k = min(hi - lo + 1, 10)
+            inner = 2**lo
+            block = 2**k
+            outer = psi.size // (inner * block)
+            v = psi.reshape(outer, block, inner)
+            m = jnp.asarray(_hadamard_matrix(k), dtype=psi.dtype)
+            # HIGHEST: TPU matmuls multiply in bf16 by default (see
+            # statevector._apply_dense)
+            psi = jnp.einsum(
+                "ab,obi->oai", m, v, precision=jax.lax.Precision.HIGHEST
+            ).reshape(-1)
+            lo += k
+    return psi.reshape(shape)
+
+
+def apply_bit_permutation(
+    psi: jax.Array, op: BitPermutation, num_qubits: int
+) -> jax.Array:
+    """One static gather: out[idx] = psi[src(idx)] with
+    src's bit perm[i] at position i gathered from idx's bit i."""
+    idx = np.arange(psi.size, dtype=np.int64)
+    src = np.zeros_like(idx)
+    for new_pos, old_pos in enumerate(op.perm):
+        src |= ((idx >> new_pos) & 1) << old_pos
+    return psi.reshape(-1)[jnp.asarray(src)].reshape(psi.shape)

@@ -260,12 +260,27 @@ def simulate(
 
     items = circuit.gates
     if backend in ("auto", "pallas"):
+        from qkan_implementation_tpu.sim.fusion import fuse_register_ops
         from qkan_implementation_tpu.sim.ladder import apply_ladder, fuse_ladders
 
-        items = fuse_ladders(circuit, min_len=AUTO_LADDER_MIN)
+        items = fuse_register_ops(
+            fuse_ladders(circuit, min_len=AUTO_LADDER_MIN), circuit.num_qubits
+        )
     for gate in items:
-        if not isinstance(gate, Gate):  # a scan-fused LadderSegment
-            psi = apply_ladder(psi, gate, circuit.num_qubits)
+        if not isinstance(gate, Gate):  # a fused pseudo-op
+            from qkan_implementation_tpu.sim.fusion import (
+                BitPermutation,
+                HRegister,
+                apply_bit_permutation,
+                apply_h_register,
+            )
+
+            if isinstance(gate, HRegister):
+                psi = apply_h_register(psi, gate, circuit.num_qubits)
+            elif isinstance(gate, BitPermutation):
+                psi = apply_bit_permutation(psi, gate, circuit.num_qubits)
+            else:  # a scan-fused LadderSegment
+                psi = apply_ladder(psi, gate, circuit.num_qubits)
         elif use_pallas and _pallas_eligible(gate, circuit.num_qubits, dtype):
             if isinstance(gate.params, np.ndarray):
                 # static angles (every host-built FABLE circuit): precompute

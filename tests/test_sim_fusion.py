@@ -1,0 +1,79 @@
+"""Register-fusion pass: H-walls and swap-runs vs the unfused engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.encoding import fable
+from qkan_implementation_tpu.sim import Circuit, simulate, unitary
+from qkan_implementation_tpu.sim.fusion import (
+    BitPermutation,
+    HRegister,
+    fuse_register_ops,
+)
+
+
+def _rand_state(q, seed=0):
+    rng = np.random.default_rng(seed)
+    psi = rng.normal(size=2**q)
+    return jnp.asarray(psi / np.linalg.norm(psi))
+
+
+def test_fable_fused_circuit_collapses_to_pseudo_ops():
+    rng = np.random.default_rng(1)
+    circ, _ = fable(rng.uniform(-1, 1, (8, 8)))  # 7 qubits
+    items = fuse_register_ops(circ.gates, circ.num_qubits)
+    kinds = [type(i).__name__ for i in items]
+    # H wall, ucry, swap run, H wall -> 4 items
+    assert kinds.count("HRegister") == 2
+    assert kinds.count("BitPermutation") == 1
+    assert len(items) == 4, kinds
+
+
+def test_auto_backend_matches_xla_on_fable():
+    rng = np.random.default_rng(2)
+    a = rng.uniform(-1, 1, (8, 8))
+    circ, alpha = fable(a)
+    psi0 = _rand_state(circ.num_qubits, 3)
+    want = np.asarray(simulate(circ, psi0=psi0, backend="xla"))
+    got = np.asarray(simulate(circ, psi0=psi0, backend="auto"))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # block contract still holds end to end through the fused path
+    u_col0 = np.asarray(simulate(circ, backend="auto"))
+    np.testing.assert_allclose(u_col0[:8] * alpha * 8, a[:, 0], atol=1e-8)
+
+
+def test_auto_backend_matches_xla_on_random_mixed_circuit():
+    rng = np.random.default_rng(4)
+    q = 9
+    circ = Circuit(q)
+    for t in range(q):
+        circ.h(t)  # H wall
+    circ.swap(0, 5).swap(1, 6).swap(2, 7)  # swap run
+    circ.cry(0.7, 3, 8)
+    circ.h(2).h(2)  # duplicate qubit breaks the run (two walls of 1)
+    circ.ry(0.3, 4)
+    for t in (1, 3, 5):
+        circ.h(t)
+    psi0 = _rand_state(q, 5)
+    want = np.asarray(simulate(circ, psi0=psi0, backend="xla"))
+    got = np.asarray(simulate(circ, psi0=psi0, backend="auto"))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_unitary_through_fused_path_stays_unitary():
+    rng = np.random.default_rng(6)
+    circ, alpha = fable(np.diag(rng.uniform(-1, 1, 8)))
+    u = np.asarray(unitary(circ))
+    np.testing.assert_allclose(u @ u.T, np.eye(u.shape[0]), atol=1e-9)
+
+
+def test_noncontiguous_h_register_segments():
+    q = 14  # force the segment cap path too (>10 contiguous)
+    circ = Circuit(q)
+    for t in range(q):
+        circ.h(t)
+    psi0 = _rand_state(q, 7)
+    want = np.asarray(simulate(circ, psi0=psi0, backend="xla"))
+    got = np.asarray(simulate(circ, psi0=psi0, backend="auto"))
+    np.testing.assert_allclose(got, want, atol=1e-12)
