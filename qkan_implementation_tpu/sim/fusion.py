@@ -132,10 +132,16 @@ def apply_h_register(psi: jax.Array, op: HRegister, num_qubits: int) -> jax.Arra
 def apply_bit_permutation(
     psi: jax.Array, op: BitPermutation, num_qubits: int
 ) -> jax.Array:
-    """One static gather: out[idx] = psi[src(idx)] with
-    src's bit perm[i] at position i gathered from idx's bit i."""
-    idx = np.arange(psi.size, dtype=np.int64)
-    src = np.zeros_like(idx)
-    for new_pos, old_pos in enumerate(op.perm):
-        src |= ((idx >> new_pos) & 1) << old_pos
-    return psi.reshape(-1)[jnp.asarray(src)].reshape(psi.shape)
+    """One gather: out[idx] = psi[src(idx)], src's bit op.perm[i] taken
+    from idx's bit i.  Indices are built from a device-side iota (a host
+    numpy constant would embed 2^q * 8 bytes into the program -- 268 MB at
+    25 qubits); only positions the permutation actually moves contribute
+    terms, so the index math stays a handful of fused shift/ands."""
+    idx = jnp.arange(psi.size, dtype=jnp.int32 if psi.size < 2**31 else jnp.int64)
+    moved = [(n, o) for n, o in enumerate(op.perm) if n != o]
+    src = idx
+    for new_pos, old_pos in moved:
+        src = src & ~(1 << old_pos)  # clear the destination bit
+    for new_pos, old_pos in moved:
+        src = src | (((idx >> new_pos) & 1) << old_pos)
+    return psi.reshape(-1)[src].reshape(psi.shape)
