@@ -129,14 +129,44 @@ def apply_h_register(psi: jax.Array, op: HRegister, num_qubits: int) -> jax.Arra
     return psi.reshape(shape)
 
 
+def _permutation_blocks(perm: Tuple[int, ...]):
+    """Contiguous runs of the bit map: [(old_start, new_start, length)]."""
+    blocks = []
+    i = 0
+    q = len(perm)
+    while i < q:
+        start = perm[i]
+        length = 1
+        while i + length < q and perm[i + length] == start + length:
+            length += 1
+        blocks.append((start, i, length))
+        i += length
+    return blocks
+
+
 def apply_bit_permutation(
     psi: jax.Array, op: BitPermutation, num_qubits: int
 ) -> jax.Array:
-    """One gather: out[idx] = psi[src(idx)], src's bit op.perm[i] taken
-    from idx's bit i.  Indices are built from a device-side iota (a host
-    numpy constant would embed 2^q * 8 bytes into the program -- 268 MB at
-    25 qubits); only positions the permutation actually moves contribute
-    terms, so the index math stays a handful of fused shift/ands."""
+    """Amplitude remap out[idx] bit i = psi[...] bit op.perm[i].
+
+    Few-block permutations (register swaps: 3 blocks) lower to a low-rank
+    reshape + transpose, which XLA tiles at near memory bandwidth; TPU
+    gathers on random-looking indices are an order of magnitude slower.
+    Many-block permutations fall back to one gather with device-side
+    iota index math (a host index constant would embed 2^q * 8 B into the
+    program -- 268 MB at 25 qubits)."""
+    blocks = _permutation_blocks(op.perm)
+    if len(blocks) <= 10:
+        # view axes major->minor = source blocks by descending old_start
+        src_order = sorted(blocks, key=lambda b: -b[0])
+        shape = [2 ** b[2] for b in src_order]
+        axis_of_block = {b: i for i, b in enumerate(src_order)}
+        # output axes major->minor = blocks by descending new_start
+        dst_order = sorted(blocks, key=lambda b: -b[1])
+        axes = [axis_of_block[b] for b in dst_order]
+        return (
+            psi.reshape(shape).transpose(axes).reshape(psi.shape)
+        )
     idx = jnp.arange(psi.size, dtype=jnp.int32 if psi.size < 2**31 else jnp.int64)
     moved = [(n, o) for n, o in enumerate(op.perm) if n != o]
     src = idx
