@@ -54,14 +54,39 @@ def _ucry_kernel(psi0_ref, psi1_ref, theta_ref, out0_ref, out1_ref):
     out1_ref[:] = s * p0 + c * p1
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def ucry_msb_pallas(psi: jax.Array, thetas: jax.Array, interpret: bool = False):
     """Apply a uniformly-controlled Ry targeting the MSB qubit.
 
     ``psi``: flat [2*M] real statevector; ``thetas``: [M] angles indexed by
     the low bits.  M must be a multiple of the 8x128 tile (true for any
     FABLE circuit with >= 10 low qubits; smaller sizes take the XLA path).
+
+    Differentiable in both arguments (custom VJP: the psi-cotangent is the
+    inverse rotation, run through the same kernel; dL/dtheta =
+    (g1*y0 - g0*y1)/2 elementwise) -- pallas_call has no autodiff rule of
+    its own, and the traced-angle path is the quantum-training hot op.
     """
+    return _ucry_msb_impl(psi, thetas, interpret)
+
+
+def _ucry_fwd(psi, thetas, interpret):
+    out = _ucry_msb_impl(psi, thetas, interpret)
+    return out, (out, thetas)
+
+
+def _ucry_bwd(interpret, res, g):
+    out, thetas = res
+    m = thetas.shape[0]
+    dpsi = _ucry_msb_impl(g, -thetas, interpret)
+    g0, g1 = g[:m], g[m:]
+    y0, y1 = out[:m], out[m:]
+    dtheta = 0.5 * (g1 * y0 - g0 * y1)
+    return dpsi, dtheta.astype(thetas.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _ucry_msb_impl(psi: jax.Array, thetas: jax.Array, interpret: bool = False):
     m = thetas.shape[0]
     if m % TILE != 0:
         raise ValueError(f"size {m} not a multiple of {TILE}")
@@ -87,6 +112,9 @@ def ucry_msb_pallas(psi: jax.Array, thetas: jax.Array, interpret: bool = False):
         interpret=interpret,
     )(psi0, psi1, th)
     return jnp.concatenate([out0.reshape(-1), out1.reshape(-1)])
+
+
+ucry_msb_pallas.defvjp(_ucry_fwd, _ucry_bwd)
 
 
 def _ucry_cs_kernel(psi0_ref, psi1_ref, c_ref, s_ref, out0_ref, out1_ref):
@@ -146,12 +174,15 @@ def _ucry_cs_pair_kernel(v_ref, c_ref, s_ref, out_ref):
     out_ref[1] = s * p0 + c * p1
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
 def ucry_msb_cs_pallas_pair(
     psi: jax.Array, cos_half: jax.Array, sin_half: jax.Array,
     interpret: bool = False,
 ):
     """Sliceless trig-free MSB multiplexed Ry: both halves ride ONE block.
+
+    Differentiable (custom VJP): the psi-cotangent is the inverse rotation
+    through the same kernel; c/s cotangents are elementwise products.
 
     ``ucry_msb_cs_pallas`` pre-slices psi[:m] / psi[m:] and concatenates the
     results -- three extra full-state HBM passes that XLA does not fuse into
@@ -183,6 +214,27 @@ def ucry_msb_cs_pallas_pair(
         interpret=interpret,
     )(v, c, s)
     return out.reshape(-1)
+
+
+def _ucry_pair_fwd(psi, cos_half, sin_half, interpret):
+    out = ucry_msb_cs_pallas_pair.__wrapped__(
+        psi, cos_half, sin_half, interpret
+    )
+    return out, (psi, cos_half, sin_half)
+
+
+def _ucry_pair_bwd(interpret, res, g):
+    psi, c, s = res
+    m = c.shape[0]
+    dpsi = ucry_msb_cs_pallas_pair.__wrapped__(g, c, -s, interpret)
+    g0, g1 = g[:m], g[m:]
+    p0, p1 = psi[:m], psi[m:]
+    dc = g0 * p0 + g1 * p1
+    ds = g1 * p0 - g0 * p1
+    return dpsi, dc.astype(c.dtype), ds.astype(s.dtype)
+
+
+ucry_msb_cs_pallas_pair.defvjp(_ucry_pair_fwd, _ucry_pair_bwd)
 
 
 def _diag_kernel(psi_ref, diag_ref, out_ref):

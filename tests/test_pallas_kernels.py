@@ -133,3 +133,45 @@ def test_ucry_pair_matches_flat_and_xla():
     pair = np.asarray(ucry_msb_cs_pallas_pair(psi, cs, sn, interpret=True))
     np.testing.assert_allclose(flat, want, atol=1e-6)
     np.testing.assert_allclose(pair, want, atol=1e-6)
+
+
+def test_ucry_kernels_differentiable():
+    # custom VJPs: gradients through the Pallas kernels must match the XLA
+    # lowering (TPU quantum training routes traced-angle ucry through the
+    # kernel; pallas_call has no autodiff rule of its own)
+    from qkan_implementation_tpu.sim.pallas_kernels import (
+        ucry_msb_cs_pallas_pair,
+        ucry_msb_pallas,
+    )
+    from qkan_implementation_tpu.sim.statevector import _apply_ucry
+
+    q = 11
+    dim = 2**q
+    rng = np.random.default_rng(5)
+    psi = jnp.asarray(rng.normal(size=dim), dtype=jnp.float32)
+    th = jnp.asarray(rng.uniform(-3, 3, dim // 2), dtype=jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=dim), dtype=jnp.float32)
+
+    def loss_ref(psi, th):
+        out = _apply_ucry(psi, th, q - 1, tuple(range(q - 2, -1, -1)), q)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_trig(psi, th):
+        return jnp.sum((ucry_msb_pallas(psi, th, True) - tgt) ** 2)
+
+    def loss_pair(psi, th):
+        return jnp.sum(
+            (
+                ucry_msb_cs_pallas_pair(
+                    psi, jnp.cos(th / 2), jnp.sin(th / 2), True
+                )
+                - tgt
+            )
+            ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(psi, th)
+    for loss in (loss_trig, loss_pair):
+        g = jax.grad(loss, argnums=(0, 1))(psi, th)
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g_ref[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(g_ref[1]), atol=1e-5)
