@@ -90,8 +90,9 @@ def main():
     }
     out = pathlib.Path(__file__).resolve().parents[1] / "benchmarks" / "records"
     out.mkdir(parents=True, exist_ok=True)
-    (out / "quantum_training.json").write_text(json.dumps(record, indent=1))
-    print(f"record -> {out / 'quantum_training.json'}")
+    name = f"quantum_training_{jax.devices()[0].platform}.json"
+    (out / name).write_text(json.dumps(record, indent=1))
+    print(f"record -> {out / name}")
     print("OK: gradients through the simulator train the layer")
 
 
