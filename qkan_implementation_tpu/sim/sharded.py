@@ -229,11 +229,29 @@ def _apply_sharded_gate(
         ):
             from qkan_implementation_tpu.sim.pallas_kernels import (
                 TILE,
+                ucry_msb_cs_pallas_pair,
                 ucry_msb_pallas,
             )
 
             half = 2 ** (q_local - 1)
             if half % TILE == 0:
+                if isinstance(gate.params, np.ndarray):
+                    # static angles: precompute the trig once on the host,
+                    # device-bit-select cos/sin like the angles, and run
+                    # the sliceless trig-free kernel
+                    host_half = np.asarray(gate.params).reshape(-1) / 2.0
+                    cs, _ = _select_global_control_angles(
+                        np.cos(host_half), phys_controls, q_local, axis_name
+                    )
+                    sn, _ = _select_global_control_angles(
+                        np.sin(host_half), phys_controls, q_local, axis_name
+                    )
+                    return ucry_msb_cs_pallas_pair(
+                        psi,
+                        jnp.asarray(cs, dtype=psi.dtype).reshape(-1),
+                        jnp.asarray(sn, dtype=psi.dtype).reshape(-1),
+                        interpret=interpret,
+                    )
                 return ucry_msb_pallas(
                     psi,
                     jnp.asarray(thetas, dtype=psi.dtype).reshape(-1),
