@@ -137,34 +137,15 @@ def main():
                     [cs * v[0] - sn * v[1], sn * v[0] + cs * v[1]]
                 )
 
-        def sv_chain(n):
-            @jax.jit
-            def chain(p):
-                def body(p, _):
-                    return one_gate(p), None
+        from qkan_implementation_tpu.utils.profiling import timeit_chained
 
-                return jnp.sum(jnp.abs(jax.lax.scan(body, p, None, length=n)[0]))
-
-            return chain
-
-        # slope timing: the remote tunnel adds a ~25 ms fixed cost per
-        # fetch, so per-gate time = (T(long) - T(short)) / (long - short)
-        short_n, long_n = gate_iters, gate_iters * 6
-        c_short, c_long = sv_chain(short_n), sv_chain(long_n)
-        _ = float(c_short(psi_sv))
-        _ = float(c_long(psi_sv))
-        t0 = time.time()
-        _ = float(c_short(psi_sv))
-        t_short = time.time() - t0
-        t0 = time.time()
-        _ = float(c_long(psi_sv))
-        t_long = time.time() - t0
-        slope = (t_long - t_short) / (long_n - short_n)
-        if slope <= 0.05 * t_long / long_n:  # noise-dominated difference
-            dt = t_long / long_n  # upper bound (includes fixed costs)
+        dt = timeit_chained(one_gate, psi_sv, iters=gate_iters)
+        # timeit_chained clamps noise-dominated slopes to ~0; report the
+        # safe per-step bound in that case
+        if dt < 1e-9:
             bound = "<="
+            dt = 1e-9
         else:
-            dt = slope
             bound = "~"
         gops = 1.0 / dt
         gbps = (2**sv_q) * 4 * 3 / dt / 1e9  # rd psi+cs/sn, wr psi

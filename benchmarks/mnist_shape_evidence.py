@@ -65,7 +65,7 @@ def main():
             degree_objective="penalized_mse", consistent_tanh=True,
             complexity_weight=0.001, weight_epochs=epochs,
             weight_trainable="all", weight_lr_scale="fanin",
-            learning_rate=0.002,
+            weight_grad_clip=1.0, learning_rate=0.002,
         ),
     }
 

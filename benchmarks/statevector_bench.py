@@ -70,7 +70,7 @@ def main():
             iters=args.iters,
         )
         results["pallas_ucry_cs_pair_ms"] = dt * 1e3
-        results["pallas_ucry_cs_pair_gbps"] = dim * 2 * 4 / dt / 1e9
+        results["pallas_ucry_cs_pair_gbps"] = dim * 3 * 4 / dt / 1e9
 
     gate = Gate("ucry", (q - 1, *range(q - 2, -1, -1)), np.asarray(thetas))
     dt = timeit_chained(

@@ -48,6 +48,7 @@ def run_mnist_experiment(
     lstsq_method: str = "svd",
     weight_trainable: str = "horizontal",
     weight_lr_scale: str = "none",
+    weight_grad_clip: float | None = None,
     verbose: bool = True,
 ) -> Dict:
     """One full structure-optimization + evaluation run.
@@ -122,6 +123,7 @@ def run_mnist_experiment(
             learning_rate=learning_rate,
             trainable=weight_trainable,
             lr_scale=weight_lr_scale,
+            grad_clip=weight_grad_clip,
             seed=seed,
         )
         weight_time = time.time() - weight_start

@@ -173,14 +173,7 @@ class FixedKAN:
         basis = chebyshev_basis(x_fit, cfg.max_degree, clip=False)
         b = basis.shape[0]
         if cfg.lstsq_method != "normal":
-            scores, coeffs = [], []
-            for d in range(cfg.max_degree + 1):
-                X_d = basis[:, :, : d + 1].reshape(b, -1)
-                c = _lstsq(X_d, y, cfg.lstsq_method, cfg.lstsq_ridge)
-                pred = X_d @ c
-                scores.append(float(jnp.mean((y - pred) ** 2)))
-                coeffs.append(c)
-            return np.array(scores), coeffs
+            return self._svd_fallback(x_fit, y, method=cfg.lstsq_method)
 
         in_dim = basis.shape[1]
         dp1 = cfg.max_degree + 1
@@ -209,21 +202,19 @@ class FixedKAN:
         if not np.all(np.isfinite(scores)):
             # conditioning defeated the fast path: fall back to exact SVD
             # lstsq rather than silently selecting degrees from NaN scores
-            return self._evaluate_layer_degrees(
-                x_fit, y
-            ) if cfg.lstsq_method == "svd" else self._svd_fallback(x_fit, y)
+            return self._svd_fallback(x_fit, y)
         return np.array(scores), coeffs
 
-    def _svd_fallback(self, x_fit: jax.Array, y: jax.Array):
-        """Exact min-norm lstsq sweep (the 'svd' path) used when the
-        normal-equations Gram solve returns non-finite scores."""
+    def _svd_fallback(self, x_fit: jax.Array, y: jax.Array, method: str = "svd"):
+        """Per-degree lstsq sweep: the 'svd' scoring path, and the fallback
+        when the normal-equations Gram solve returns non-finite scores."""
         cfg = self.config
         basis = chebyshev_basis(x_fit, cfg.max_degree, clip=False)
         b = basis.shape[0]
         scores, coeffs = [], []
         for d in range(cfg.max_degree + 1):
             X_d = basis[:, :, : d + 1].reshape(b, -1)
-            c = _lstsq(X_d, y, "svd", cfg.lstsq_ridge)
+            c = _lstsq(X_d, y, method, cfg.lstsq_ridge)
             pred = X_d @ c
             scores.append(float(jnp.mean((y - pred) ** 2)))
             coeffs.append(c)
@@ -416,7 +407,7 @@ class FixedKAN:
         learning_rate: float = 0.01,
         loss: str = "cross_entropy",
         trainable: str = "all",
-        grad_clip: float = 1.0,
+        grad_clip: float | None = None,
         lr_scale: str = "none",
         seed: int = 0,
         verbose: bool = False,
@@ -427,8 +418,10 @@ class FixedKAN:
         ``train_horizontal_weights`` (only the per-neuron scalars move,
         reference :309-333); ``'all'`` differentiates through every
         coefficient -- the upgrade the pytree design buys.  ``grad_clip``
-        applies global-norm clipping (the reference's MLP trainer clips at
-        1.0, train_utils.py:42; deep KAN stacks need it just as much).
+        (opt-in, like every behavior extension here) applies global-norm
+        clipping; deep stacks benefit, and the reference's own MLP trainer
+        clips at 1.0 (train_utils.py:42).  The default (None) keeps the
+        reference's unclipped Adam semantics.
 
         ``lr_scale='fanin'`` divides each layer's coefficient lr by its
         summation fan-in (in_dim * (D+1) * out_neurons, normalized to the

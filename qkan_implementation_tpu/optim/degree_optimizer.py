@@ -345,12 +345,16 @@ class DegreeOptimizer(BaseOptimizer):
         scores = np.zeros(dp1)
         comp_r2 = np.zeros(dp1)
         used = 0
+        # one cached full-data basis, sliced per fold (per-fold caching
+        # would retain ~2*n_splits near-full float64 bases for the
+        # optimizer's lifetime on million-row data)
+        full = self._cached_transforms(feature_data)
         for train_mask, val_mask in folds:
             if train_mask.sum() == 0 or val_mask.sum() == 0:
                 continue
             used += 1
-            tr = self._cached_transforms(feature_data[train_mask])
-            va = self._cached_transforms(feature_data[val_mask])
+            tr = {d: t[train_mask] for d, t in full.items()}
+            va = {d: t[val_mask] for d, t in full.items()}
             y_tr, y_va = y[train_mask], y[val_mask]
             w_va = None if w is None else w[val_mask]
             for d in range(dp1):

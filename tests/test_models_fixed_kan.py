@@ -324,7 +324,7 @@ def test_fanin_lr_scaling_stabilizes_deep_training():
     )
     m.train(
         jnp.asarray(x), jnp.asarray(y), epochs=4, learning_rate=2e-3,
-        trainable="all", lr_scale="fanin",
+        trainable="all", lr_scale="fanin", grad_clip=1.0,
     )
     trained = float(
         (np.asarray(m(jnp.asarray(xt))).argmax(1) == yt).mean()
