@@ -259,6 +259,16 @@ def _apply_sharded_gate(
                 )
         return _apply_ucry(psi, thetas, target, local_controls, q_local)
 
+    if gate.name == "swap":
+        # a swap is pure relabeling: exchange the two logicals' physical
+        # homes in the layout -- zero compute, zero communication; the
+        # final ``restore`` realizes whatever net permutation remains
+        a, b = gate.qubits
+        pa, pb = layout.phys[a], layout.phys[b]
+        layout.phys[a], layout.phys[b] = pb, pa
+        layout.occupant[pa], layout.occupant[pb] = b, a
+        return psi
+
     # dense gate: every acting qubit must be local; pin the ones already
     # local so a later exchange doesn't evict them
     pinned = {
@@ -269,6 +279,37 @@ def _apply_sharded_gate(
         pinned.add(layout.phys[t])
     phys_qubits = tuple(layout.phys[t] for t in gate.qubits)
     return _apply_dense(psi, _gate_matrix(gate), phys_qubits, q_local)
+
+
+def _h_wall_run(gates, start: int, q_local: int):
+    """Maximal run of H gates on distinct qubits starting at ``start``
+    (None/[] if shorter than 2 or larger than the local region)."""
+    qs = []
+    j = start
+    while (
+        j < len(gates)
+        and gates[j].name == "h"
+        and gates[j].qubits[0] not in qs
+    ):
+        qs.append(gates[j].qubits[0])
+        j += 1
+    if 2 <= len(qs) < q_local:
+        return qs
+    return None
+
+
+def _apply_h_wall(psi, logicals, layout: _QubitLayout, q_local: int):
+    """Fused H wall: make every wall qubit local (one exchange each for the
+    global ones), then ONE Walsh-Hadamard register contraction instead of
+    len(logicals) full-block passes (sim.fusion.apply_h_register)."""
+    from qkan_implementation_tpu.sim.fusion import HRegister, apply_h_register
+
+    pinned = set()
+    for t in logicals:
+        psi = layout.make_local(psi, t, pinned)
+        pinned.add(layout.phys[t])
+    pos = tuple(sorted(layout.phys[t] for t in logicals))
+    return apply_h_register(psi, HRegister(pos), q_local)
 
 
 def count_exchanges(circuit: Circuit, n_devices: int) -> int:
@@ -302,8 +343,26 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
     try:
         _QubitLayout.exchange = fake_exchange
         psi = _Null()
-        for gate in circuit.gates:
+        gates = circuit.gates
+        i = 0
+        while i < len(gates):
+            run = _h_wall_run(gates, i, q_local)
+            if run:
+                pinned = set()
+                for t in run:
+                    psi = layout.make_local(psi, t, pinned)
+                    pinned.add(layout.phys[t])
+                i += len(run)
+                continue
+            gate = gates[i]
+            i += 1
             if gate.name == "diag":
+                continue
+            if gate.name == "swap":  # free relabel (see _apply_sharded_gate)
+                a, b = gate.qubits
+                pa, pb = layout.phys[a], layout.phys[b]
+                layout.phys[a], layout.phys[b] = pb, pa
+                layout.occupant[pa], layout.occupant[pb] = b, a
                 continue
             if gate.name == "ucry":
                 psi = layout.make_local(
@@ -365,11 +424,19 @@ def sharded_simulate(
             q, q_local, axis_name, n_dev, exchange_chunks=exchange_chunks
         )
         psi = block
-        for gate in circuit.gates:
+        gates = circuit.gates
+        i = 0
+        while i < len(gates):
+            run = _h_wall_run(gates, i, q_local)
+            if run:
+                psi = _apply_h_wall(psi, run, layout, q_local)
+                i += len(run)
+                continue
             psi = _apply_sharded_gate(
-                psi, gate, layout, q_local, axis_name, n_dev,
+                psi, gates[i], layout, q_local, axis_name, n_dev,
                 use_pallas=use_pallas, interpret=interpret,
             )
+            i += 1
         return layout.restore(psi).reshape(-1)
 
     fn = jax.jit(
