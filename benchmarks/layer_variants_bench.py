@@ -110,7 +110,13 @@ def time_variant(name, fn, x, w, iters):
 
 
 def main():
-    N = K = 16
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--K", type=int, default=16, help="output width (16 = the reference workload; 128 fills the MXU lanes)")
+    args = ap.parse_args()
+    N = 16
+    K = args.K
     d = 7
     quick = os.environ.get("BENCH_QUICK") == "1"
     B = 4096 if quick else 262144
@@ -124,6 +130,10 @@ def main():
         f"QKANLayer(N={N},K={K},deg={d}) fwd+bwd, B={B}, {iters} chained "
         f"steps on {jax.devices()[0]}"
     )
+    if K != 16:
+        print(
+            f"  (K={K}: MXU-lane-occupancy probe; the reference workload is K=16)"
+        )
     # correctness gate first: every variant must match the reference path
     ref = np.asarray(qkan_layer_forward_batched(x[:512], w, N, K))
     records = []
@@ -140,8 +150,9 @@ def main():
 
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
-    (out / "layer_variants.json").write_text(json.dumps(records, indent=1))
-    print(f"records -> {out / 'layer_variants.json'}")
+    name = "layer_variants.json" if K == 16 else f"layer_variants_K{K}.json"
+    (out / name).write_text(json.dumps(records, indent=1))
+    print(f"records -> {out / name}")
 
 
 if __name__ == "__main__":

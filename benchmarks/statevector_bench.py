@@ -55,19 +55,23 @@ def main():
 
     results = {}
     if dim // 2 >= TILE:
+        # big parameter arrays ride as arguments (closed-over constants
+        # overflow the remote compiler's request limit at 26+ qubits)
         dt = timeit_chained(
-            lambda p: ucry_msb_pallas(p, thetas, interpret=not on_tpu),
+            lambda p, th: ucry_msb_pallas(p, th, interpret=not on_tpu),
             psi,
             iters=args.iters,
+            consts=(thetas,),
         )
         results["pallas_ucry_ms"] = dt * 1e3
         results["pallas_ucry_gbps"] = dim * 3 * 4 / dt / 1e9
         cs = jnp.cos(thetas / 2.0)
         sn = jnp.sin(thetas / 2.0)
         dt = timeit_chained(
-            lambda p: ucry_msb_cs_pallas_pair(p, cs, sn, interpret=not on_tpu),
+            lambda p, c, s: ucry_msb_cs_pallas_pair(p, c, s, interpret=not on_tpu),
             psi,
             iters=args.iters,
+            consts=(cs, sn),
         )
         results["pallas_ucry_cs_pair_ms"] = dt * 1e3
         results["pallas_ucry_cs_pair_gbps"] = dim * 3 * 4 / dt / 1e9
@@ -92,8 +96,10 @@ def main():
         results["pallas_h_ms"] = dt * 1e3
 
     # Full FABLE simulation (auto backend): circuit has 2n+1 = q qubits when
-    # the encoded block is 2^((q-1)/2).
-    if q % 2 == 1:
+    # the encoded block is 2^((q-1)/2).  Static circuit params become
+    # program constants, so this row stops at 25 qubits (remote-compile
+    # body limit).
+    if q % 2 == 1 and q <= 25:
         from qkan_implementation_tpu.encoding import fable
         from qkan_implementation_tpu.sim import simulate
 

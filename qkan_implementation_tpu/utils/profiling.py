@@ -73,9 +73,14 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def timeit_chained(fn, x, iters: int = 50) -> float:
+def timeit_chained(fn, x, iters: int = 50, consts: tuple = ()) -> float:
     """Steady-state seconds/call of a shape-preserving ``x -> x`` function:
     slope timing over two device-side ``lax.scan`` chain lengths.
+
+    ``consts``: large arrays the op needs besides ``x`` -- pass them HERE
+    rather than closing over them: closed-over device arrays bake into the
+    serialized program as constants, and the remote compiler rejects
+    bodies past ~0.5 GB (HTTP 413 at 27 qubits).
 
     Two hazards this method removes (both measured on this environment):
     ``timeit_jit``'s ``block_until_ready`` can return before remote device
@@ -88,9 +93,9 @@ def timeit_chained(fn, x, iters: int = 50) -> float:
 
     def make(n):
         @jax.jit
-        def chain(x):
+        def chain(x, *cs):
             def body(c, _):
-                return fn(c), None
+                return fn(c, *cs), None
 
             final, _ = jax.lax.scan(body, x, None, length=n)
             return jnp.sum(jnp.abs(final))
@@ -99,12 +104,14 @@ def timeit_chained(fn, x, iters: int = 50) -> float:
 
     short_n, long_n = iters, iters * 6
     c_short, c_long = make(short_n), make(long_n)
-    _ = float(c_short(x))  # compile
-    _ = float(c_long(x))
+    _ = float(c_short(x, *consts))  # compile
+    _ = float(c_long(x, *consts))
     t_short = min(
-        _timed(lambda: float(c_short(x))) for _ in range(2)
+        _timed(lambda: float(c_short(x, *consts))) for _ in range(2)
     )
-    t_long = min(_timed(lambda: float(c_long(x))) for _ in range(2))
+    t_long = min(
+        _timed(lambda: float(c_long(x, *consts))) for _ in range(2)
+    )
     return max(t_long - t_short, 1e-12) / (long_n - short_n)
 
 
