@@ -76,9 +76,14 @@ def main():
         results["pallas_ucry_cs_pair_ms"] = dt * 1e3
         results["pallas_ucry_cs_pair_gbps"] = dim * 3 * 4 / dt / 1e9
 
-    gate = Gate("ucry", (q - 1, *range(q - 2, -1, -1)), np.asarray(thetas))
+    from qkan_implementation_tpu.sim.statevector import _apply_ucry
+
+    controls = tuple(range(q - 2, -1, -1))
     dt = timeit_chained(
-        lambda p: apply_gate(p, gate, q), psi, iters=args.iters
+        lambda p, th: _apply_ucry(p, th, q - 1, controls, q),
+        psi,
+        iters=args.iters,
+        consts=(thetas,),
     )
     results["xla_ucry_ms"] = dt * 1e3
 
