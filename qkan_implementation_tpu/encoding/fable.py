@@ -92,6 +92,26 @@ def _ctrl_bit(i: int, k: int) -> int:
     return int(diff).bit_length() - 1
 
 
+def fable_runtime_params(a: np.ndarray):
+    """Host-side FABLE parameters for the runtime-argument executor
+    (``sim.fusion.simulate_fable_runtime``): returns
+    (cos_half [4^n], sin_half [4^n], alpha, n) for the padded matrix.
+
+    The circuit objects produced by :func:`fable` carry their angles as
+    static data, which bakes into compiled programs as constants -- fine
+    until the remote compiler's request limit (~0.5 GB, hit at 13+
+    encoded qubits).  These arrays instead ride as runtime arguments.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("fable expects a 2-D matrix")
+    a = _pad_to_pow2(a)
+    n = int(np.log2(a.shape[0]))
+    alpha = fable_alpha(a)
+    half = np.arccos(np.clip(a.reshape(-1) / alpha, -1.0, 1.0))
+    return np.cos(half), np.sin(half), alpha, n
+
+
 def fable(
     a: np.ndarray,
     compression_threshold: float = 0.0,

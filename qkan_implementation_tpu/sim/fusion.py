@@ -175,3 +175,61 @@ def apply_bit_permutation(
     for new_pos, old_pos in moved:
         src = src | (((idx >> new_pos) & 1) << old_pos)
     return psi.reshape(-1)[src].reshape(psi.shape)
+
+
+def simulate_fable_runtime(
+    cos_half: jax.Array,
+    sin_half: jax.Array,
+    n: int,
+    psi0: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused FABLE block-encoding simulation with RUNTIME rotation params.
+
+    The fused circuit is exactly: H wall on the row register, one MSB
+    multiplexed Ry, the register-swap permutation, H wall again -- so it
+    executes here directly from (cos_half, sin_half) arrays produced by
+    ``encoding.fable_runtime_params``, with the rotation parameters as
+    traced arguments instead of program constants (past ~13 encoded
+    qubits, constant-carrying circuits exceed the remote compiler's
+    request limit).  Differentiable w.r.t. cos_half/sin_half and psi0.
+    """
+    import jax.numpy as jnp
+
+    q = 2 * n + 1
+    m = cos_half.shape[0]
+    if m != 4**n:
+        raise ValueError(f"expected 4^{n} parameters, got {m}")
+    if psi0 is None:
+        from qkan_implementation_tpu.sim.statevector import zero_state
+
+        psi = zero_state(q, cos_half.dtype)
+    else:
+        psi = psi0
+    hreg = HRegister(tuple(range(n, 2 * n)))
+    perm = BitPermutation(
+        tuple(list(range(n, 2 * n)) + list(range(n)) + [2 * n])
+    )
+
+    psi = apply_h_register(psi, hreg, q)
+    from qkan_implementation_tpu.sim.pallas_kernels import TILE
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if m % TILE == 0 and (on_tpu or interpret) and not jnp.issubdtype(
+        psi.dtype, jnp.complexfloating
+    ):
+        from qkan_implementation_tpu.sim.pallas_kernels import (
+            ucry_msb_cs_pallas_pair,
+        )
+
+        psi = ucry_msb_cs_pallas_pair(
+            psi, cos_half.astype(psi.dtype), sin_half.astype(psi.dtype),
+            interpret=interpret,
+        )
+    else:
+        v = psi.reshape(2, m)
+        c = cos_half.astype(psi.dtype)
+        s = sin_half.astype(psi.dtype)
+        psi = jnp.concatenate([c * v[0] - s * v[1], s * v[0] + c * v[1]])
+    psi = apply_bit_permutation(psi, perm, q)
+    return apply_h_register(psi, hreg, q)

@@ -77,3 +77,42 @@ def test_noncontiguous_h_register_segments():
     want = np.asarray(simulate(circ, psi0=psi0, backend="xla"))
     got = np.asarray(simulate(circ, psi0=psi0, backend="auto"))
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_runtime_fable_executor_matches_circuit():
+    from qkan_implementation_tpu.encoding.fable import fable_runtime_params
+    from qkan_implementation_tpu.sim.fusion import simulate_fable_runtime
+
+    rng = np.random.default_rng(9)
+    a = rng.uniform(-1, 1, (8, 8))
+    circ, alpha = fable(a)
+    cs, sn, alpha2, n = fable_runtime_params(a)
+    assert alpha2 == alpha and n == 3
+    psi0 = _rand_state(circ.num_qubits, 10)
+    want = np.asarray(simulate(circ, psi0=psi0, backend="xla"))
+    # params as TRACED jit arguments (the whole point)
+    f = jax.jit(
+        lambda c, s, p: simulate_fable_runtime(c, s, n, psi0=p)
+    )
+    got = np.asarray(f(jnp.asarray(cs), jnp.asarray(sn), psi0))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_runtime_fable_executor_differentiable():
+    from qkan_implementation_tpu.encoding.fable import fable_runtime_params
+    from qkan_implementation_tpu.sim.fusion import simulate_fable_runtime
+
+    rng = np.random.default_rng(11)
+    a = np.diag(rng.uniform(-0.9, 0.9, 8))
+    cs, sn, alpha, n = fable_runtime_params(a)
+
+    def loss(cs, sn):
+        psi = simulate_fable_runtime(jnp.asarray(cs), jnp.asarray(sn), n)
+        return jnp.sum(psi[:8] ** 2)
+
+    g_cs, g_sn = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(cs), jnp.asarray(sn)
+    )
+    assert np.any(np.abs(np.asarray(g_cs)) > 1e-8)
+    assert np.all(np.isfinite(np.asarray(g_cs)))
+    assert np.all(np.isfinite(np.asarray(g_sn)))
