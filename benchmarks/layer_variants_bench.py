@@ -114,8 +114,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--K", type=int, default=16, help="output width (16 = the reference workload; 128 fills the MXU lanes)")
+    ap.add_argument("--N", type=int, default=16, help="input width (8 = the BASELINE north-star small point)")
     args = ap.parse_args()
-    N = 16
+    N = args.N
     K = args.K
     d = 7
     quick = os.environ.get("BENCH_QUICK") == "1"
@@ -150,7 +151,11 @@ def main():
 
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
-    name = "layer_variants.json" if K == 16 else f"layer_variants_K{K}.json"
+    name = (
+        "layer_variants.json"
+        if (N, K) == (16, 16)
+        else f"layer_variants_N{N}K{K}.json"
+    )
     (out / name).write_text(json.dumps(records, indent=1))
     print(f"records -> {out / name}")
 

@@ -282,20 +282,21 @@ def _apply_sharded_gate(
 
 
 def _h_wall_run(gates, start: int, q_local: int):
-    """Maximal run of H gates on distinct qubits starting at ``start``
-    (None/[] if shorter than 2 or larger than the local region)."""
+    """Maximal run of H gates on distinct qubits starting at ``start``,
+    capped at q_local - 1 qubits (walls wider than the local region fuse
+    in chunks; the next loop iteration picks up the remainder).  None if
+    shorter than 2."""
     qs = []
     j = start
     while (
         j < len(gates)
         and gates[j].name == "h"
         and gates[j].qubits[0] not in qs
+        and len(qs) < q_local - 1
     ):
         qs.append(gates[j].qubits[0])
         j += 1
-    if 2 <= len(qs) < q_local:
-        return qs
-    return None
+    return qs if len(qs) >= 2 else None
 
 
 def _apply_h_wall(psi, logicals, layout: _QubitLayout, q_local: int):
