@@ -171,6 +171,74 @@ def _fused_bwd(interpret, res, dout):
 qkan_layer_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _bwd_dw_kernel(dp1, x_ref, dout_ref, dm_ref):
+    """Weight-cotangent-only backward: the per-degree dx matmuls and the
+    dx stream are skipped entirely -- HBM sees x + dout in, dM out."""
+    xs = x_ref[:]
+    g = dout_ref[:]
+    basis = jnp.concatenate(_cheb_tiles(xs, dp1), axis=1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dm_ref[:] = jnp.zeros_like(dm_ref)
+
+    dm_ref[:] += jnp.dot(
+        basis.T, g, preferred_element_type=jnp.float32
+    ).astype(dm_ref.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def qkan_layer_fused_dw(x: jax.Array, m3: jax.Array, interpret: bool = False):
+    """Forward identical to ``qkan_layer_fused``; backward produces ONLY the
+    weight cotangent (dx comes back as zeros).
+
+    For weight-only training loops where ``x`` is input data (or already
+    detached): layer 0 of a network, single-layer fits, last-layer tuning.
+    The backward kernel drops the D per-degree [B,K]@[K,N] dx matmuls and
+    the dx output stream -- per sample the backward pass reads x + dout and
+    writes nothing but the accumulated [D+1, N, K] dM tile.
+
+    WARNING: do NOT compose under layers whose inputs carry gradient -- the
+    zero dx silently truncates the chain rule there; use
+    ``qkan_layer_fused`` for hidden layers.
+    """
+    return _fused_fwd(x, m3, interpret)[0]
+
+
+def _fused_dw_fwd(x, m3, interpret):
+    return _fused_fwd(x, m3, interpret)
+
+
+def _fused_dw_bwd(interpret, res, dout):
+    x, m3 = res
+    xp, b = _pad_batch(x, TILE_B)
+    doutp, _ = _pad_batch(dout, TILE_B)
+    bp = xp.shape[0]
+    grid = bp // TILE_B
+    n = x.shape[1]
+    dp1, _, k = m3.shape
+    x_spec = pl.BlockSpec(
+        (TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (TILE_B, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    dm = pl.pallas_call(
+        partial(_bwd_dw_kernel, dp1),
+        grid=(grid,),
+        in_specs=[x_spec, g_spec],
+        out_specs=pl.BlockSpec(
+            (dp1 * n, k), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((dp1 * n, k), m3.dtype),
+        interpret=interpret,
+    )(xp, doutp)
+    return jnp.zeros_like(x), dm.reshape(m3.shape)
+
+
+qkan_layer_fused_dw.defvjp(_fused_dw_fwd, _fused_dw_bwd)
+
+
 def weights_to_m3(weights: jax.Array, N: int, K: int) -> jax.Array:
     """Per-degree weight vectors [D+1, N*K] -> fused tensor [D+1, N, K]."""
     from qkan_implementation_tpu.ops.qkan_layer import qkan_weight_tensor

@@ -63,7 +63,7 @@ def _gram_chunk_kernel(max_degree: int, f: int, k: int):
             X.T @ yj,
             Xw.T @ X,
             Xw.T @ yj,
-            jnp.sum(w * yj**2),
+            jnp.sum(w * yj**2, axis=0),  # per-target energy [T]
             jnp.sum(w),
         )
 
@@ -138,10 +138,21 @@ class DegreeOptimizer(BaseOptimizer):
           O(rows * F^2) total instead of O(D * rows * F^2) lstsq sweeps,
           with residuals from the quadratic-form identity (no second data
           pass).  ``method='svd'`` keeps exact min-norm lstsq semantics.
+
+        ``y_data`` may be [n] (reference semantics) or [n, T] multi-target:
+        scores pool the weighted residuals across all T columns (both
+        methods agree), so multi-output networks can drive degree search
+        with their full output block instead of a collapsed scalar.
         """
         feature_data = _extract_features(x_data).astype(np.float64)
-        y = np.asarray(y_data).reshape(-1, 1).astype(np.float64)
-        cache_key = (feature_data.shape, hash(feature_data.tobytes()))
+        y = np.asarray(y_data, dtype=np.float64)
+        y = y.reshape(-1, 1) if y.ndim == 1 else y
+        cache_key = (
+            feature_data.shape,
+            hash(feature_data.tobytes()),
+            y.shape,
+            hash(y.tobytes()),
+        )
         if cache_key in self.degree_scores and self.data_same:
             return self.degree_scores[cache_key]
 
@@ -178,6 +189,7 @@ class DegreeOptimizer(BaseOptimizer):
         datasets).
         """
         n, f = feature_data.shape
+        n_targets = y.shape[1]
         dp1 = self.max_degree + 1
         k = dp1 * f
         chunk = self._CHUNK
@@ -190,10 +202,10 @@ class DegreeOptimizer(BaseOptimizer):
         chunk_stats = _gram_chunk_kernel(self.max_degree, f, k)
 
         G = np.zeros((k, k))
-        b = np.zeros((k, 1))
+        b = np.zeros((k, n_targets))
         Gw = np.zeros((k, k))
-        bw = np.zeros((k, 1))
-        yyw = 0.0
+        bw = np.zeros((k, n_targets))
+        yyw = np.zeros(n_targets)  # per-target weighted energy
         w_total = 0.0
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
@@ -204,7 +216,7 @@ class DegreeOptimizer(BaseOptimizer):
             if end - start < chunk:  # pad the tail to the static shape
                 pad = chunk - (end - start)
                 xs = np.concatenate([xs, np.zeros((pad, f))])
-                ys = np.concatenate([ys, np.zeros((pad, 1))])
+                ys = np.concatenate([ys, np.zeros((pad, n_targets))])
                 ws = np.concatenate([ws, np.zeros((pad, 1))])
                 ms = np.concatenate([ms, np.zeros((pad, 1))])
             cg, cb, cgw, cbw, cyyw, cwt = chunk_stats(
@@ -214,15 +226,9 @@ class DegreeOptimizer(BaseOptimizer):
             b += np.asarray(cb)
             Gw += np.asarray(cgw)
             bw += np.asarray(cbw)
-            yyw += float(cyyw)
+            yyw += np.asarray(cyyw)
             w_total += float(cwt)
-        yy = yyw  # weighted stats double as unweighted when w == 1
-        G = np.asarray(G)
-        b = np.asarray(b)
-        Gw = np.asarray(Gw)
-        bw = np.asarray(bw)
-        yy = float(yy)
-        yyw = float(yyw)
+        yyw_sum = float(yyw.sum())
         w_total = float(w_total)
 
         scores = np.zeros(dp1)
@@ -231,13 +237,17 @@ class DegreeOptimizer(BaseOptimizer):
             k = (d + 1) * f
             Gd = G[:k, :k]
             ridge = 1e-10 * (np.trace(Gd) / k + 1e-30)
-            c = np.linalg.solve(Gd + ridge * np.eye(k), b[:k])
-            # weighted residual via quadratic forms:
+            c = np.linalg.solve(Gd + ridge * np.eye(k), b[:k])  # [k, T]
+            # weighted residual per target via quadratic forms:
             # sum w (y - Xc)^2 = y'Wy - 2 c'X'Wy + c'X'WX c
-            res_w = yyw - 2 * float(c.T @ bw[:k]) + float(c.T @ Gw[:k, :k] @ c)
-            res_w = max(res_w, 0.0)
-            scores[d] = res_w / w_total
-            comp_r2[d] = 1.0 - res_w / yyw if yyw > 1e-30 else 0.0
+            res_w = (
+                yyw
+                - 2 * np.einsum("kt,kt->t", c, bw[:k])
+                + np.einsum("kt,kj,jt->t", c, Gw[:k, :k], c)
+            )
+            res_w = float(np.maximum(res_w, 0.0).sum())  # pooled over targets
+            scores[d] = res_w / (w_total * n_targets)
+            comp_r2[d] = 1.0 - res_w / yyw_sum if yyw_sum > 1e-30 else 0.0
         return scores, comp_r2
 
     def is_degree_definitive(self, scores: np.ndarray) -> Tuple[bool, int]:
@@ -329,7 +339,8 @@ class DegreeOptimizer(BaseOptimizer):
         out-of-sample degree selection for non-stationary market data.
         """
         feature_data = _extract_features(x_data).astype(np.float64)
-        y = np.asarray(y_data).reshape(-1, 1).astype(np.float64)
+        y = np.asarray(y_data, dtype=np.float64)
+        y = y.reshape(-1, 1) if y.ndim == 1 else y
         w = None if weights is None else np.asarray(weights).reshape(-1)
 
         if strategy == "expanding":
@@ -553,6 +564,13 @@ class DegreeOptimizer(BaseOptimizer):
 
     # -- metrics ----------------------------------------------------------
     def _compute_metrics(self, y_true, y_pred, weights=None) -> Dict[str, float]:
+        y = np.asarray(y_true)
+        if weights is not None and y.ndim == 2 and y.shape[1] > 1:
+            # multi-target: per-row weights apply to every target column
+            # (pooled metrics match the gram path's residual pooling)
+            weights = np.repeat(
+                np.asarray(weights).reshape(-1, 1), y.shape[1], axis=1
+            )
         return compute_metrics(y_true, y_pred, weights)
 
     # -- persistence ------------------------------------------------------

@@ -1,0 +1,293 @@
+"""Fused RDMA exchange + multiplexed-Ry: comm/compute overlap on the ICI.
+
+The sharded engine's qubit-remapping exchange (``sim.sharded``) moves a
+global qubit into the local region so a gate can act on it.  The collective
+path is two full steps: a ``ppermute`` of half the local block, THEN the
+gate pass over the whole block -- the ICI sits idle during compute and the
+VPU sits idle during the exchange.  The dominant consumer of exchanges is
+FABLE's fused multiplexed Ry when its rotation target is a global qubit
+(reference ``QKAN_Steps_original/MulStep.py:115-166`` runs these at every
+layer), and for that case the two steps fuse into ONE Pallas kernel:
+
+- the half-block each device must send is *contiguous* when the exchange
+  victim is the local MSB (the slot ``sim.sharded`` already prefers), so the
+  send is a straight chunked RDMA out of HBM;
+- the rotation pairs each kept amplitude elementwise with exactly the
+  amplitude being received (post-exchange slot 0 / slot 1 of the target
+  qubit), so as soon as chunk ``i`` lands its rotated output chunks can be
+  computed and written while chunk ``i+1`` is still in flight.
+
+Protocol per device (double-buffered, 2 VMEM slots per stream):
+
+    barrier(partner)                      # partner's buffers are alive
+    start send 0, 1   (RDMA: my half -> partner recv slot i%2)
+    start keep/cos/sin fetches 0, 1 (local HBM -> VMEM)
+    for i in chunks:
+        wait recv[i%2], keep[i%2], cs[i%2], sn[i%2]
+        rotate: (p0, p1) = kept/received by device bit; write out VMEM
+        start out DMA chunk i;  signal capacity -> partner
+        start send i+2 (after capacity credit + send i complete), fetches i+2
+
+Flow control: a device may not send chunk ``i+2`` until its partner has
+consumed chunk ``i`` from the shared recv slot (REGULAR capacity
+semaphore, remote-signaled).  Both devices run the same program in
+lockstep, so credits are always granted post-compute and the protocol is
+deadlock-free.
+
+HBM traffic per device: read keep half + cos + sin, write both output
+halves; the sent half streams HBM->ICI and lands in the partner's VMEM --
+one full-block read + one full-block write, the same as a *local* fused
+ucry pass.  The exchange rides free under the compute.
+
+Tested against the collective path on the 8-virtual-device CPU mesh via
+Pallas TPU interpret mode (which simulates remote DMAs and semaphores).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qkan_implementation_tpu.sim.pallas_kernels import LANES, SUBLANES, TILE
+
+# Rows of 128 lanes per chunk; 6 double-buffered streams (recv, keep, cos,
+# sin, out0, out1) x 2 slots x 256 rows x 128 lanes x 4 B = 1.5 MB VMEM.
+CHUNK_ROWS = 256
+
+_COLLECTIVE_ID = 7  # barrier-semaphore group for the exchange kernels
+
+
+def _chunk_rows_for(rows: int) -> int:
+    c = min(CHUNK_ROWS, rows)
+    while rows % c != 0:
+        c //= 2
+    return c
+
+
+def _fused_kernel(
+    dev_bit: int,
+    axis_name: str,
+    nchunks: int,
+    chunk_rows: int,
+    x_ref,      # [2, rows, LANES] ANY (HBM): my block, halves by local MSB
+    cs_ref,     # [rows, LANES] ANY: cos(theta/2), device-selected
+    sn_ref,     # [rows, LANES] ANY: sin(theta/2)
+    o_ref,      # [2, rows, LANES] ANY: rotated block, halves by target qubit
+    recv_buf,   # VMEM [2, chunk_rows, LANES]
+    keep_buf,   # VMEM [2, chunk_rows, LANES]
+    cs_buf,     # VMEM [2, chunk_rows, LANES]
+    sn_buf,     # VMEM [2, chunk_rows, LANES]
+    out_buf,    # VMEM [2, 2, chunk_rows, LANES] (slot, target-bit)
+    send_sem,   # DMA [2]
+    recv_sem,   # DMA [2]
+    keep_sem,   # DMA [2]
+    cs_sem,     # DMA [2]
+    sn_sem,     # DMA [2]
+    out_sem,    # DMA [2, 2]
+    cap_sem,    # REGULAR: capacity credits from partner
+):
+    my = jax.lax.axis_index(axis_name)
+    partner = my ^ (1 << dev_bit)
+    g = (my >> dev_bit) & 1
+
+    # Partner's out/recv buffers must exist before any RDMA targets them.
+    bar = pltpu.get_barrier_semaphore()
+    pltpu.semaphore_signal(
+        bar, inc=1, device_id=partner,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    pltpu.semaphore_wait(bar, 1)
+
+    def send_rdma(i, slot):
+        # my half (1-g), chunk i -> partner's recv slot.  The partner (bit
+        # 1-g) merges it as its post-exchange target-bit-(1-g)... which by
+        # symmetry is MY g; both sides compute the same descriptor shape.
+        return pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[1 - g, pl.ds(i * chunk_rows, chunk_rows)],
+            dst_ref=recv_buf.at[slot],
+            send_sem=send_sem.at[slot],
+            recv_sem=recv_sem.at[slot],
+            device_id=partner,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def keep_dma(i, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[g, pl.ds(i * chunk_rows, chunk_rows)],
+            keep_buf.at[slot],
+            keep_sem.at[slot],
+        )
+
+    def cs_dma(i, slot):
+        return pltpu.make_async_copy(
+            cs_ref.at[pl.ds(i * chunk_rows, chunk_rows)],
+            cs_buf.at[slot],
+            cs_sem.at[slot],
+        )
+
+    def sn_dma(i, slot):
+        return pltpu.make_async_copy(
+            sn_ref.at[pl.ds(i * chunk_rows, chunk_rows)],
+            sn_buf.at[slot],
+            sn_sem.at[slot],
+        )
+
+    def out_dma(i, slot, t):
+        return pltpu.make_async_copy(
+            out_buf.at[slot, t],
+            o_ref.at[t, pl.ds(i * chunk_rows, chunk_rows)],
+            out_sem.at[slot, t],
+        )
+
+    def start_chunk(i, slot):
+        send_rdma(i, slot).start()
+        keep_dma(i, slot).start()
+        cs_dma(i, slot).start()
+        sn_dma(i, slot).start()
+
+    # Prologue: fill both slots.
+    start_chunk(0, 0)
+    if nchunks > 1:
+        start_chunk(1, 1)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        # Reusing out_buf[slot]: chunk i-2's writeback must have drained.
+        @pl.when(i >= 2)
+        def _():
+            out_dma(i - 2, slot, 0).wait()
+            out_dma(i - 2, slot, 1).wait()
+
+        send_rdma(i, slot).wait_recv()
+        keep_dma(i, slot).wait()
+        cs_dma(i, slot).wait()
+        sn_dma(i, slot).wait()
+
+        kept = keep_buf[slot]
+        received = recv_buf[slot]
+        # Post-exchange, my block holds target-bit = anything, old-MSB = g:
+        # kept is (target=g), received is (target=1-g).
+        p0 = jnp.where(g == 0, kept, received)
+        p1 = jnp.where(g == 0, received, kept)
+        c = cs_buf[slot]
+        s = sn_buf[slot]
+        out_buf[slot, 0] = c * p0 - s * p1
+        out_buf[slot, 1] = s * p0 + c * p1
+        out_dma(i, slot, 0).start()
+        out_dma(i, slot, 1).start()
+
+        # recv_buf[slot] consumed: grant the partner a send credit.
+        pltpu.semaphore_signal(
+            cap_sem, inc=1, device_id=partner,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+        @pl.when(i + 2 < nchunks)
+        def _():
+            # Slot reuse: my send i must have left (send_sem) and the
+            # partner must have freed its recv slot (capacity credit).
+            send_rdma(i, slot).wait_send()
+            pltpu.semaphore_wait(cap_sem, 1)
+            start_chunk(i + 2, slot)
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    # Epilogue: drain the last sends, credits, and output writebacks.
+    last = nchunks - 1
+    send_rdma(last, jax.lax.rem(last, 2)).wait_send()
+    if nchunks > 1:
+        send_rdma(last - 1, jax.lax.rem(last - 1, 2)).wait_send()
+        pltpu.semaphore_wait(cap_sem, 2)
+        out_dma(last - 1, jax.lax.rem(last - 1, 2), 0).wait()
+        out_dma(last - 1, jax.lax.rem(last - 1, 2), 1).wait()
+    else:
+        pltpu.semaphore_wait(cap_sem, 1)
+    out_dma(last, jax.lax.rem(last, 2), 0).wait()
+    out_dma(last, jax.lax.rem(last, 2), 1).wait()
+
+
+def ucry_exchange_eligible(block_size: int) -> bool:
+    """The fused kernel needs tile-aligned halves (M = block/2)."""
+    return block_size >= 2 * TILE and (block_size // 2) % TILE == 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dev_bit", "axis_name", "n_dev", "interpret"),
+)
+def ucry_exchange_fused_rdma(
+    block: jax.Array,
+    cos_half: jax.Array,
+    sin_half: jax.Array,
+    dev_bit: int,
+    axis_name: str,
+    n_dev: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exchange global qubit ``dev_bit`` with the local MSB and apply the
+    multiplexed Ry targeting it, in one comm-overlapped kernel.
+
+    ``block``: this device's flat [2^q_local] real slice (halves indexed by
+    the local MSB).  ``cos_half``/``sin_half``: [2^(q_local-1)] per-device
+    rotation coefficients (global control axes already selected by device
+    bits, exactly as ``sim.sharded._select_global_control_angles`` emits).
+    Must be called inside ``shard_map`` with ``axis_name`` in scope, by
+    every device (all devices pair up across ``dev_bit``).
+
+    Returns the rotated block in post-exchange layout: local MSB = the
+    (previously global) rotation target; the old local-MSB qubit now lives
+    at global position ``dev_bit`` -- the caller's layout tracker records
+    the swap.
+    """
+    m = cos_half.shape[0]
+    if block.shape[0] != 2 * m:
+        raise ValueError(
+            f"block {block.shape[0]} does not match 2x{m} angles"
+        )
+    if m % TILE != 0:
+        raise ValueError(f"half size {m} not a multiple of {TILE}")
+    rows = m // LANES
+    chunk_rows = _chunk_rows_for(rows)
+    nchunks = rows // chunk_rows
+    v = block.reshape(2, rows, LANES)
+    cs = cos_half.reshape(rows, LANES).astype(block.dtype)
+    sn = sin_half.reshape(rows, LANES).astype(block.dtype)
+
+    buf = lambda: pltpu.VMEM((2, chunk_rows, LANES), block.dtype)
+    out = pl.pallas_call(
+        partial(_fused_kernel, dev_bit, axis_name, nchunks, chunk_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((2, rows, LANES), block.dtype),
+        scratch_shapes=[
+            buf(),  # recv
+            buf(),  # keep
+            buf(),  # cos
+            buf(),  # sin
+            pltpu.VMEM((2, 2, chunk_rows, LANES), block.dtype),  # out
+            pltpu.SemaphoreType.DMA((2,)),  # send
+            pltpu.SemaphoreType.DMA((2,)),  # recv
+            pltpu.SemaphoreType.DMA((2,)),  # keep
+            pltpu.SemaphoreType.DMA((2,)),  # cos
+            pltpu.SemaphoreType.DMA((2,)),  # sin
+            pltpu.SemaphoreType.DMA((2, 2)),  # out
+            pltpu.SemaphoreType.REGULAR,  # capacity
+        ],
+        compiler_params=pltpu.CompilerParams(
+            collective_id=_COLLECTIVE_ID, has_side_effects=True
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(v, cs, sn)
+    return out.reshape(-1)

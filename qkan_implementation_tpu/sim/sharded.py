@@ -198,6 +198,7 @@ def _apply_sharded_gate(
     n_dev: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    use_rdma: bool = False,
 ):
     if gate.name == "diag":
         phys_qubits = tuple(layout.phys[t] for t in gate.qubits)
@@ -209,6 +210,61 @@ def _apply_sharded_gate(
         return _apply_diag(psi, phases, local_qubits, q_local)
 
     if gate.name == "ucry":
+        # A ucry whose target is still GLOBAL is the fused-RDMA case: the
+        # exchange that would localize it and the rotation itself collapse
+        # into one comm-overlapped kernel (sim.rdma), with the sent half
+        # streaming over the ICI while received chunks rotate.  FABLE's
+        # fused ucry always targets the top qubit -- global on any mesh.
+        t_phys = layout.phys[gate.qubits[0]]
+        if (
+            use_rdma
+            and t_phys >= q_local
+            and not jnp.issubdtype(psi.dtype, jnp.complexfloating)
+        ):
+            from qkan_implementation_tpu.sim.rdma import (
+                ucry_exchange_eligible,
+                ucry_exchange_fused_rdma,
+            )
+
+            if ucry_exchange_eligible(2**q_local):
+                victim = q_local - 1
+                dev_bit = t_phys - q_local
+                # bookkeeping swap first (data moves inside the kernel)
+                a, b = layout.occupant[t_phys], layout.occupant[victim]
+                layout.occupant[t_phys], layout.occupant[victim] = b, a
+                layout.phys[a], layout.phys[b] = victim, t_phys
+                phys_controls = tuple(
+                    layout.phys[c] for c in gate.qubits[1:]
+                )
+                probe, local_controls = _select_global_control_angles(
+                    gate.params, phys_controls, q_local, axis_name
+                )
+                if local_controls == tuple(range(q_local - 2, -1, -1)):
+                    layout.exchange_count += 1
+                    if isinstance(gate.params, np.ndarray):
+                        host_half = np.asarray(gate.params).reshape(-1) / 2.0
+                        cs, _ = _select_global_control_angles(
+                            np.cos(host_half), phys_controls, q_local,
+                            axis_name,
+                        )
+                        sn, _ = _select_global_control_angles(
+                            np.sin(host_half), phys_controls, q_local,
+                            axis_name,
+                        )
+                    else:
+                        cs, sn = jnp.cos(probe / 2.0), jnp.sin(probe / 2.0)
+                    return ucry_exchange_fused_rdma(
+                        psi,
+                        jnp.asarray(cs, dtype=psi.dtype).reshape(-1),
+                        jnp.asarray(sn, dtype=psi.dtype).reshape(-1),
+                        dev_bit,
+                        axis_name,
+                        n_dev,
+                        interpret=interpret,
+                    )
+                # control structure unsupported: undo the bookkeeping swap
+                layout.occupant[t_phys], layout.occupant[victim] = a, b
+                layout.phys[a], layout.phys[b] = t_phys, victim
         # only the rotation target must be local; controls select angles
         # from wherever they live (device bits when global).  Prefer the
         # local MSB as the victim slot: FABLE's layout then lands on the
@@ -390,6 +446,7 @@ def sharded_simulate(
     dtype=None,
     backend: str = "auto",
     exchange_chunks: int = 1,
+    exchange_impl: str = "collective",
 ) -> jax.Array:
     """Run a circuit on a mesh-sharded statevector; returns the (sharded)
     final flat [2^q] state.
@@ -402,6 +459,9 @@ def sharded_simulate(
     keeps the pure-XLA local ops.  ``exchange_chunks`` splits each
     qubit-remapping exchange into that many independent collective
     permutes (async-overlap prototype; see ``_exchange_global_local``).
+    ``exchange_impl``: 'rdma' fuses global-target ucry applications with
+    their localizing exchange into the double-buffered Pallas RDMA kernel
+    (``sim.rdma``); 'collective' keeps the two-step ppermute + gate path.
     """
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     k = int(np.log2(n_dev))
@@ -414,7 +474,10 @@ def sharded_simulate(
     dtype = dtype or default_dtype(circuit)
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
-    interpret = use_pallas and not on_tpu
+    if exchange_impl not in ("collective", "rdma"):
+        raise ValueError(f"unknown exchange_impl {exchange_impl!r}")
+    use_rdma = exchange_impl == "rdma"
+    interpret = (use_pallas or use_rdma) and not on_tpu
 
     if psi0 is None:
         psi0 = zero_state(q, dtype)
@@ -436,6 +499,7 @@ def sharded_simulate(
             psi = _apply_sharded_gate(
                 psi, gates[i], layout, q_local, axis_name, n_dev,
                 use_pallas=use_pallas, interpret=interpret,
+                use_rdma=use_rdma,
             )
             i += 1
         return layout.restore(psi).reshape(-1)

@@ -264,3 +264,59 @@ class TestFullNetworkFit:
         opt2.load_state(path, current_query_params=qp)
         got = opt2.predict(x)
         np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+class TestMultiTarget:
+    """Multi-target degree scoring: y may be [n, T]; residuals pool across
+    targets identically in both scoring methods (beyond the reference,
+    whose evaluate_degree flattens y to a scalar column)."""
+
+    def _data(self, n=300, seed=5):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(-1, 1, (n, 2))
+        y = np.stack(
+            [
+                0.7 * x[:, 0] ** 3 - 0.2 * x[:, 1],
+                0.5 * x[:, 1] ** 2 + 0.1 * x[:, 0],
+            ],
+            axis=1,
+        )
+        return x, y
+
+    def test_gram_matches_svd(self):
+        x, y = self._data()
+        a = DegreeOptimizer(network_shape=[2, 2], max_degree=4)
+        s_svd, r_svd = a.evaluate_degree(x, y, method="svd")
+        b = DegreeOptimizer(network_shape=[2, 2], max_degree=4)
+        s_gram, r_gram = b.evaluate_degree(x, y, method="gram")
+        np.testing.assert_allclose(s_gram, s_svd, rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(r_gram, r_svd, rtol=1e-6, atol=1e-10)
+
+    def test_weighted_gram_matches_svd(self):
+        x, y = self._data()
+        rng = np.random.default_rng(1)
+        w = rng.uniform(0.2, 2.0, x.shape[0])
+        a = DegreeOptimizer(network_shape=[2, 2], max_degree=3)
+        s_svd, _ = a.evaluate_degree(x, y, weights=w, method="svd")
+        b = DegreeOptimizer(network_shape=[2, 2], max_degree=3)
+        s_gram, _ = b.evaluate_degree(x, y, weights=w, method="gram")
+        np.testing.assert_allclose(s_gram, s_svd, rtol=1e-6, atol=1e-10)
+
+    def test_scalar_column_matches_flat(self):
+        # [n] and [n, 1] must score identically (reference semantics kept)
+        x, y = self._data()
+        a = DegreeOptimizer(network_shape=[2, 2], max_degree=3)
+        s1, _ = a.evaluate_degree(x, y[:, 0], method="svd")
+        b = DegreeOptimizer(network_shape=[2, 2], max_degree=3)
+        s2, _ = b.evaluate_degree(x, y[:, 0:1], method="svd")
+        np.testing.assert_allclose(s1, s2, atol=1e-12)
+
+    def test_full_network_multi_output_fit(self):
+        x, y = self._data(n=400)
+        opt = DegreeOptimizer(
+            network_shape=[2, 4, 2], max_degree=3, complexity_weight=0.0
+        )
+        opt.fit(x, y, full_network=True, num_reads=64, num_sweeps=64)
+        pred = opt.predict(x)
+        assert pred.shape == (400, 2)
+        assert np.all(np.isfinite(pred))
