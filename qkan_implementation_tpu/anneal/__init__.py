@@ -14,6 +14,7 @@ from qkan_implementation_tpu.anneal.qubo import (
 from qkan_implementation_tpu.anneal.sa import (
     greedy_descent,
     parallel_tempering,
+    parallel_tempering_mesh_ladder,
     parallel_tempering_sharded,
     simulated_annealing,
     simulated_annealing_sharded,
@@ -35,6 +36,7 @@ __all__ = [
     "decode_degrees",
     "greedy_descent",
     "parallel_tempering",
+    "parallel_tempering_mesh_ladder",
     "parallel_tempering_sharded",
     "simulated_annealing",
     "simulated_annealing_sharded",

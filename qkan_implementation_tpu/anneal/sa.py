@@ -370,6 +370,204 @@ def parallel_tempering_sharded(
     )
 
 
+def _tempering_mesh_kernel(
+    h,
+    J,
+    betas_local,
+    base_key,
+    axis_name: str,
+    n_dev: int,
+    num_chains: int,
+    t_local: int,
+    num_sweeps: int,
+):
+    """Parallel tempering with the temperature ladder SHARDED over the mesh
+    axis: global ladder T = n_dev * t_local, each device sweeping its
+    ``t_local`` replicas locally.  Runs inside ``shard_map``.
+
+    Within-device adjacent pairs exchange exactly as in
+    ``_tempering_kernel``; the BOUNDARY pair between device d's coldest
+    local replica (global index d*t_local + t_local - 1) and device d+1's
+    hottest one crosses the ICI: both neighbors ``ppermute`` their edge
+    replica's (s, f, E) to each other, derive the SAME uniform from a
+    device-independent key stream (folded with sweep index and parity, not
+    device id), and each applies the identical Metropolis swap decision to
+    its own side -- one collective pair per parity phase, no coordinator.
+    """
+    n = h.shape[0]
+    C, Tl = num_chains, t_local
+    dev = jax.lax.axis_index(axis_name)
+    dev_key = jax.random.fold_in(jax.random.fold_in(base_key, 1), dev)
+    shared_key = jax.random.fold_in(base_key, 2)  # same on every device
+
+    dev_key, init_key = jax.random.split(dev_key)
+    s = jax.random.bernoulli(init_key, 0.5, (C, Tl, n)).astype(h.dtype)
+    f = h[None, None, :] + jnp.einsum("ctn,nm->ctm", s, J)
+    E = jnp.einsum("ctn,n->ct", s, h) + 0.5 * jnp.einsum(
+        "ctn,nm,ctm->ct", s, J, s
+    )
+
+    g_idx = dev * Tl + jnp.arange(Tl)  # global replica indices
+    perm_up = [(i + 1, i) for i in range(n_dev - 1)]  # neighbor above -> me
+    perm_dn = [(i, i + 1) for i in range(n_dev - 1)]  # me -> neighbor above
+    nb_beta_first = jax.lax.ppermute(betas_local[0:1], axis_name, perm_up)[0]
+    pb_beta_last = jax.lax.ppermute(betas_local[-1:], axis_name, perm_dn)[0]
+
+    def sweep(carry, sweep_i):
+        s, f, E = carry
+        flip_key = jax.random.fold_in(dev_key, sweep_i)
+
+        def flip_var(carry, i):
+            s, f, E, key = carry
+            key, sub = jax.random.split(key)
+            de = (1.0 - 2.0 * s[:, :, i]) * f[:, :, i]  # [C, Tl]
+            u = jax.random.uniform(sub, (C, Tl), dtype=h.dtype)
+            accept = (de <= 0.0) | (u < jnp.exp(-betas_local[None, :] * de))
+            delta = jnp.where(accept, 1.0 - 2.0 * s[:, :, i], 0.0)
+            s = s.at[:, :, i].add(delta)
+            f = f + delta[:, :, None] * J[i][None, None, :]
+            E = E + jnp.where(accept, de, 0.0)
+            return (s, f, E, key), None
+
+        (s, f, E, _), _ = jax.lax.scan(
+            flip_var, (s, f, E, flip_key), jnp.arange(n)
+        )
+
+        for parity in (0, 1):
+            # -- within-device pairs (local, as in _tempering_kernel) ----
+            if Tl > 1:
+                ex_key = jax.random.fold_in(
+                    jax.random.fold_in(dev_key, sweep_i), 100 + parity
+                )
+                dB = betas_local[:-1] - betas_local[1:]
+                dE = E[:, :-1] - E[:, 1:]
+                logp = dB[None, :] * dE
+                u = jax.random.uniform(ex_key, (C, Tl - 1), dtype=h.dtype)
+                pair_mask = (g_idx[:-1] % 2) == parity
+                do_swap = (jnp.log(u) < logp) & pair_mask[None, :]
+                swap_lo = jnp.pad(do_swap, ((0, 0), (0, 1)))
+                swap_hi = jnp.pad(do_swap, ((0, 0), (1, 0)))
+                up = jnp.roll(s, -1, axis=1)
+                down = jnp.roll(s, 1, axis=1)
+                s = jnp.where(
+                    swap_lo[:, :, None],
+                    up,
+                    jnp.where(swap_hi[:, :, None], down, s),
+                )
+                f_up, f_dn = jnp.roll(f, -1, axis=1), jnp.roll(f, 1, axis=1)
+                f = jnp.where(
+                    swap_lo[:, :, None],
+                    f_up,
+                    jnp.where(swap_hi[:, :, None], f_dn, f),
+                )
+                E_up, E_dn = jnp.roll(E, -1, axis=1), jnp.roll(E, 1, axis=1)
+                E = jnp.where(swap_lo, E_up, jnp.where(swap_hi, E_dn, E))
+
+            # -- boundary pairs across the mesh axis ---------------------
+            # shared uniforms: boundary b lives between devices b, b+1
+            bkey = jax.random.fold_in(
+                jax.random.fold_in(shared_key, sweep_i), parity
+            )
+            u_all = jax.random.uniform(bkey, (C, n_dev), dtype=h.dtype)
+            # neighbor-above's hottest replica comes down to me ...
+            nf_s = jax.lax.ppermute(s[:, 0], axis_name, perm_up)
+            nf_f = jax.lax.ppermute(f[:, 0], axis_name, perm_up)
+            nf_E = jax.lax.ppermute(E[:, 0], axis_name, perm_up)
+            # ... and my coldest replica goes up to them
+            pl_s = jax.lax.ppermute(s[:, -1], axis_name, perm_dn)
+            pl_f = jax.lax.ppermute(f[:, -1], axis_name, perm_dn)
+            pl_E = jax.lax.ppermute(E[:, -1], axis_name, perm_dn)
+
+            # lower side of boundary dev: my last vs neighbor's first
+            gb_lo = dev * Tl + Tl - 1
+            lo_active = (gb_lo % 2 == parity) & (dev < n_dev - 1)
+            logp_lo = (betas_local[-1] - nb_beta_first) * (E[:, -1] - nf_E)
+            swap_lo = (
+                (jnp.log(u_all[:, jnp.minimum(dev, n_dev - 2)]) < logp_lo)
+                & lo_active
+            )
+            s = s.at[:, -1].set(jnp.where(swap_lo[:, None], nf_s, s[:, -1]))
+            f = f.at[:, -1].set(jnp.where(swap_lo[:, None], nf_f, f[:, -1]))
+            E = E.at[:, -1].set(jnp.where(swap_lo, nf_E, E[:, -1]))
+
+            # upper side of boundary dev-1: neighbor's last vs my first
+            gb_hi = (dev - 1) * Tl + Tl - 1
+            hi_active = (gb_hi % 2 == parity) & (dev > 0)
+            logp_hi = (pb_beta_last - betas_local[0]) * (pl_E - E[:, 0])
+            swap_hi = (
+                (jnp.log(u_all[:, jnp.maximum(dev - 1, 0)]) < logp_hi)
+                & hi_active
+            )
+            s = s.at[:, 0].set(jnp.where(swap_hi[:, None], pl_s, s[:, 0]))
+            f = f.at[:, 0].set(jnp.where(swap_hi[:, None], pl_f, f[:, 0]))
+            E = E.at[:, 0].set(jnp.where(swap_hi, pl_E, E[:, 0]))
+        return (s, f, E), None
+
+    (s, f, E), _ = jax.lax.scan(
+        sweep, (s, f, E), jnp.arange(num_sweeps)
+    )
+    s_flat = s.reshape(C * Tl, n)
+    energies = s_flat @ h + 0.5 * jnp.einsum("ri,ij,rj->r", s_flat, J, s_flat)
+    return s_flat, energies
+
+
+def parallel_tempering_mesh_ladder(
+    model: QuboModel,
+    mesh,
+    axis_name: str = "d",
+    num_chains: int = 64,
+    num_replicas: int = 16,
+    num_sweeps: int = 1000,
+    beta_range: tuple[float, float] | None = None,
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """Parallel tempering with the replica ladder spanning the device mesh.
+
+    Unlike ``parallel_tempering_sharded`` (independent full ladders per
+    device), ONE global geometric ladder of ``num_replicas`` temperatures is
+    split contiguously across devices; boundary replicas exchange over the
+    ICI each sweep.  This is the memory-scaling mode: state is
+    [chains, replicas/device, n] per device, so ladders (or problems) too
+    large for one device's batch still temper globally.  ``num_replicas``
+    must be divisible by the mesh size.  Returns (samples [C*T, n],
+    energies) with offset included.
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if num_replicas % n_dev != 0:
+        raise ValueError(
+            f"num_replicas {num_replicas} must divide over {n_dev} devices"
+        )
+    t_local = num_replicas // n_dev
+    if beta_range is None:
+        beta_range = default_beta_range(model)
+    betas = jnp.asarray(
+        np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
+    )
+    h = jnp.asarray(model.h, dtype=dtype)
+    J = jnp.asarray(model.J, dtype=dtype)
+    base_key = jax.random.key(seed)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(betas_local):
+        return _tempering_mesh_kernel(
+            h, J, betas_local, base_key, axis_name, n_dev,
+            num_chains, t_local, num_sweeps,
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name)
+        )
+    )
+    samples, energies = fn(betas)
+    return (
+        np.asarray(samples),
+        np.asarray(energies, dtype=np.float64) + model.offset,
+    )
+
+
 def simulated_annealing_sharded(
     model: QuboModel,
     mesh,

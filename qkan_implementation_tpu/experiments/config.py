@@ -43,6 +43,10 @@ class ModelConfig:
     # cross-validated degree scoring over time folds, e.g.
     # {n_splits: 5, strategy: expanding}; None = plain in-sample scoring
     degree_cv: Optional[dict] = None
+    # fixed_kan behavior bundle: 'reference' (faithful quirks) |
+    # 'recommended' (documented fixes; the default) -- see
+    # models.fixed_kan.FixedKANConfig.PRESETS
+    preset: Optional[str] = None
 
     @classmethod
     def from_dict(cls, data: dict) -> "ModelConfig":

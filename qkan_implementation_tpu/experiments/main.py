@@ -168,14 +168,12 @@ def run_experiment(config_path: str):
                 )
 
                 kan = FixedKAN(
-                    FixedKANConfig(
+                    FixedKANConfig.preset(
+                        model_config.preset or "recommended",
                         network_shape=model_config.network_shape,
                         max_degree=model_config.max_degree or 3,
                         complexity_weight=model_config.complexity_weight
                         or 1e-3,
-                        degree_objective="penalized_mse",
-                        consistent_tanh=True,
-                        lstsq_method="normal",
                     )
                 )
                 kan.optimize(

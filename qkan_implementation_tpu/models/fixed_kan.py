@@ -60,6 +60,35 @@ class FixedKANConfig:
     # max(rows, cols) padded to a power of two); 0/None disables the cap
     quantum_sample_cap: int = 256
 
+    #: Named switch bundles for the reference-faithful-vs-fixed behaviors.
+    #: 'reference' keeps the dataclass defaults (every reference quirk
+    #: pinned by the faithfulness golden tests: tanh fit/forward mismatch,
+    #: degenerate degree reward in the QUBO objective, svd lstsq).
+    #: 'recommended' enables the documented fixes + the MXU-native solve --
+    #: the bundle the YAML experiment harness runs with.
+    PRESETS = {
+        "reference": {},
+        "recommended": {
+            "consistent_tanh": True,
+            "degree_objective": "penalized_mse",
+            "lstsq_method": "normal",
+        },
+    }
+
+    @classmethod
+    def preset(
+        cls, name: str, network_shape: List[int], max_degree: int, **overrides
+    ) -> "FixedKANConfig":
+        """Build a config from a named preset; explicit overrides win."""
+        if name not in cls.PRESETS:
+            raise ValueError(
+                f"Unknown preset {name!r}; choose from {sorted(cls.PRESETS)}"
+            )
+        kwargs = {**cls.PRESETS[name], **overrides}
+        return cls(
+            network_shape=network_shape, max_degree=max_degree, **kwargs
+        )
+
 
 def _lstsq(X: jax.Array, y: jax.Array, method: str, ridge: float) -> jax.Array:
     """Least-squares solve, [B, F] x [B, T] -> [F, T].

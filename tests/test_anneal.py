@@ -289,3 +289,52 @@ def test_parallel_tempering_sharded_matches_quality():
     if native_available():
         _, truth = brute_force_native(model)
         assert energies.min() <= truth + 1e-3
+
+
+def test_parallel_tempering_mesh_ladder():
+    """One global ladder split across the mesh: boundary replicas exchange
+    over the ICI; quality must match the local-ladder tempering on the same
+    dense frustrated instance, and energies must be self-consistent."""
+    import jax
+    from qkan_implementation_tpu.parallel import make_mesh
+    from qkan_implementation_tpu.anneal import parallel_tempering_mesh_ladder
+    from qkan_implementation_tpu.native_bindings import (
+        brute_force_native,
+        native_available,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8, axis_name="d")
+    rng = np.random.default_rng(13)
+    n = 16
+    J = rng.normal(0, 1, (n, n))
+    J = J + J.T
+    np.fill_diagonal(J, 0.0)
+    h = rng.normal(0, 1, n)
+    model = QuboModel(h=h, J=J, offset=0.25)
+    samples, energies = parallel_tempering_mesh_ladder(
+        model, mesh=mesh, num_chains=8, num_replicas=16, num_sweeps=200,
+        seed=0,
+    )
+    assert samples.shape == (8 * 16, n)
+    np.testing.assert_allclose(energies, model.energy(samples), atol=1e-3)
+    if native_available():
+        _, truth = brute_force_native(model)
+        assert energies.min() <= truth + 1e-4
+
+
+def test_mesh_ladder_requires_divisible_replicas():
+    import jax
+    import pytest
+    from qkan_implementation_tpu.parallel import make_mesh
+    from qkan_implementation_tpu.anneal import parallel_tempering_mesh_ladder
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8, axis_name="d")
+    model = QuboModel(h=np.zeros(4), J=np.zeros((4, 4)), offset=0.0)
+    with pytest.raises(ValueError):
+        parallel_tempering_mesh_ladder(model, mesh=mesh, num_replicas=12)

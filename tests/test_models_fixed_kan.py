@@ -330,3 +330,31 @@ def test_fanin_lr_scaling_stabilizes_deep_training():
         (np.asarray(m(jnp.asarray(xt))).argmax(1) == yt).mean()
     )
     assert trained >= base - 0.02, (base, trained)
+
+
+class TestConfigPresets:
+    def test_reference_preset_is_defaults(self):
+        a = FixedKANConfig.preset("reference", [2, 1], 3)
+        b = FixedKANConfig(network_shape=[2, 1], max_degree=3)
+        assert a == b
+
+    def test_recommended_preset_flips_fix_switches(self):
+        c = FixedKANConfig.preset("recommended", [2, 1], 3)
+        assert c.consistent_tanh is True
+        assert c.degree_objective == "penalized_mse"
+        assert c.lstsq_method == "normal"
+
+    def test_overrides_win(self):
+        c = FixedKANConfig.preset(
+            "recommended", [2, 1], 3, lstsq_method="svd",
+            complexity_weight=0.5,
+        )
+        assert c.lstsq_method == "svd"
+        assert c.complexity_weight == 0.5
+        assert c.consistent_tanh is True
+
+    def test_unknown_preset_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            FixedKANConfig.preset("fastest", [2, 1], 3)
