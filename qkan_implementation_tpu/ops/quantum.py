@@ -114,6 +114,65 @@ def quantum_extract_diag_packed(diag: jax.Array) -> jax.Array:
     return psi[:size] * (alpha * size * np.sqrt(size))
 
 
+def quantum_extract_diag_packed_sharded(
+    diag: jax.Array, mesh, exchange_impl: str = "collective"
+) -> jax.Array:
+    """Packed diagonal extraction on the MESH-SHARDED statevector engine.
+
+    Identical math to ``quantum_extract_diag_packed``, but the
+    2^(2n+1)-amplitude simulation shards over ``mesh`` (``sim.sharded``),
+    so quantum-mode layers whose block encoding exceeds one device's HBM
+    still run -- the scaling mode for N*K past ~2^12 (a 25-qubit circuit is
+    128 MB/sample at f32; 8 devices hold it at 16 MB each).  The traced
+    rotation angles ride into ``shard_map`` as runtime operands
+    (``sharded_simulate(runtime_params=...)``), keeping the whole path
+    differentiable w.r.t. ``diag``.
+    """
+    from qkan_implementation_tpu.sim.sharded import sharded_simulate
+
+    size = diag.shape[-1]
+    n = int(np.log2(size))
+    circ, alpha = fable_diag_traced(diag)
+    dim = 2 ** (2 * n + 1)
+    psi0 = (
+        jnp.zeros(dim, dtype=diag.dtype)
+        .at[:size]
+        .set(1.0 / np.sqrt(size))
+    )
+    (ucry_idx,) = [
+        i for i, g in enumerate(circ.gates) if g.name == "ucry"
+    ]
+    psi = sharded_simulate(
+        circ,
+        mesh,
+        psi0=psi0,
+        dtype=diag.dtype,
+        exchange_impl=exchange_impl,
+        runtime_params={ucry_idx: circ.gates[ucry_idx].params},
+    )
+    return psi[:size] * (alpha * size * np.sqrt(size))
+
+
+def qkan_layer_forward_quantum_sharded(
+    x: jax.Array, weights: jax.Array, N: int, K: int, mesh
+) -> jax.Array:
+    """Quantum-mode layer forward with the block encoding sharded over a
+    device mesh -- ``qkan_layer_forward_quantum`` past single-device HBM.
+    Differentiable end-to-end (gradients flow through arccos -> sharded
+    gate application -> amplitude extraction, with the shard_map operand
+    path psumming the angle cotangents)."""
+    lcu = lcu_combine_diag(x, weights, K)
+    size = N * K
+    exp = _next_pow2_exp(size)
+    padded_size = 2**exp
+    if padded_size != size:
+        lcu = jnp.concatenate(
+            [lcu, jnp.zeros(padded_size - size, dtype=lcu.dtype)]
+        )
+    recovered = quantum_extract_diag_packed_sharded(lcu, mesh)[:size]
+    return sum_step(recovered, N, K)
+
+
 def qkan_layer_forward_quantum(
     x: jax.Array, weights: jax.Array, N: int, K: int, packed: bool = True
 ) -> jax.Array:

@@ -219,10 +219,7 @@ def ucry_exchange_eligible(block_size: int) -> bool:
     return block_size >= 2 * TILE and (block_size // 2) % TILE == 0
 
 
-@partial(
-    jax.jit,
-    static_argnames=("dev_bit", "axis_name", "n_dev", "interpret"),
-)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def ucry_exchange_fused_rdma(
     block: jax.Array,
     cos_half: jax.Array,
@@ -246,7 +243,63 @@ def ucry_exchange_fused_rdma(
     (previously global) rotation target; the old local-MSB qubit now lives
     at global position ``dev_bit`` -- the caller's layout tracker records
     the swap.
+
+    Differentiable in all three array arguments (custom VJP: pallas_call
+    carries no autodiff rule): the block cotangent is the inverse rotation
+    followed by the adjoint exchange (the exchange permutation is an
+    involution, realized with the collective path -- the backward pass
+    trades the RDMA overlap for simplicity), and the cos/sin cotangents are
+    elementwise products against the post-exchange inputs recovered by
+    inverse-rotating the saved outputs.
     """
+    return _rdma_impl(block, cos_half, sin_half, dev_bit, axis_name, n_dev,
+                      interpret)
+
+
+def _rdma_fwd(block, cos_half, sin_half, dev_bit, axis_name, n_dev, interpret):
+    out = _rdma_impl(
+        block, cos_half, sin_half, dev_bit, axis_name, n_dev, interpret
+    )
+    return out, (out, cos_half, sin_half)
+
+
+def _rdma_bwd(dev_bit, axis_name, n_dev, interpret, res, g):
+    from qkan_implementation_tpu.sim.sharded import _exchange_global_local
+
+    out, c, s = res
+    m = c.shape[0]
+    q_local = int(np.log2(2 * m))
+    o0, o1 = out[:m], out[m:]
+    g0, g1 = g[:m], g[m:]
+    # post-exchange inputs recovered by the inverse rotation of the outputs
+    p0 = c * o0 + s * o1
+    p1 = -s * o0 + c * o1
+    dc = g0 * p0 + g1 * p1
+    ds = g1 * p0 - g0 * p1
+    # R^T g, then the adjoint exchange (involution) back to pre-exchange
+    dpost = jnp.concatenate([c * g0 + s * g1, -s * g0 + c * g1])
+    dpre = _exchange_global_local(
+        dpost, dev_bit, q_local - 1, axis_name, n_dev, q_local
+    )
+    return dpre, dc.astype(c.dtype), ds.astype(s.dtype)
+
+
+ucry_exchange_fused_rdma.defvjp(_rdma_fwd, _rdma_bwd)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dev_bit", "axis_name", "n_dev", "interpret"),
+)
+def _rdma_impl(
+    block: jax.Array,
+    cos_half: jax.Array,
+    sin_half: jax.Array,
+    dev_bit: int,
+    axis_name: str,
+    n_dev: int,
+    interpret: bool = False,
+) -> jax.Array:
     m = cos_half.shape[0]
     if block.shape[0] != 2 * m:
         raise ValueError(

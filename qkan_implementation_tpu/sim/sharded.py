@@ -447,6 +447,7 @@ def sharded_simulate(
     backend: str = "auto",
     exchange_chunks: int = 1,
     exchange_impl: str = "collective",
+    runtime_params: dict | None = None,
 ) -> jax.Array:
     """Run a circuit on a mesh-sharded statevector; returns the (sharded)
     final flat [2^q] state.
@@ -462,6 +463,13 @@ def sharded_simulate(
     ``exchange_impl``: 'rdma' fuses global-target ucry applications with
     their localizing exchange into the double-buffered Pallas RDMA kernel
     (``sim.rdma``); 'collective' keeps the two-step ppermute + gate path.
+
+    ``runtime_params``: {gate_index: jax.Array} parameter overrides fed in
+    as *replicated shard_map operands* rather than closure constants --
+    required when parameters are traced values (e.g. the differentiable
+    quantum layer, ``ops.quantum``): closing over an outer tracer inside
+    the inner ``jit``/``shard_map`` would leak it.  Gradients flow through
+    the overrides (the replicated in_spec psums their cotangents).
     """
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     k = int(np.log2(n_dev))
@@ -483,7 +491,11 @@ def sharded_simulate(
         psi0 = zero_state(q, dtype)
     psi0 = jax.device_put(psi0.astype(dtype), NamedSharding(mesh, P(axis_name)))
 
-    def local_fn(block):  # flat [2^q_local] slice on each device
+    override_idx = tuple(sorted(runtime_params)) if runtime_params else ()
+    override_vals = [runtime_params[i] for i in override_idx]
+
+    def local_fn(block, *params):  # flat [2^q_local] slice on each device
+        override = dict(zip(override_idx, params))
         layout = _QubitLayout(
             q, q_local, axis_name, n_dev, exchange_chunks=exchange_chunks
         )
@@ -496,8 +508,11 @@ def sharded_simulate(
                 psi = _apply_h_wall(psi, run, layout, q_local)
                 i += len(run)
                 continue
+            gate = gates[i]
+            if i in override:
+                gate = Gate(gate.name, gate.qubits, override[i])
             psi = _apply_sharded_gate(
-                psi, gates[i], layout, q_local, axis_name, n_dev,
+                psi, gate, layout, q_local, axis_name, n_dev,
                 use_pallas=use_pallas, interpret=interpret,
                 use_rdma=use_rdma,
             )
@@ -508,11 +523,11 @@ def sharded_simulate(
         jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=P(axis_name),
+            in_specs=(P(axis_name),) + (P(),) * len(override_vals),
             out_specs=P(axis_name),
             # pallas_call out_shapes carry no vma annotation; the kernels
             # here are pure elementwise-local, so the static check is moot
             check_vma=False,
         )
     )
-    return fn(psi0)
+    return fn(psi0, *override_vals)

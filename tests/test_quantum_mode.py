@@ -189,3 +189,99 @@ def test_fixed_kan_quantum_mode_capped():
     res = model.last_quantum_resources
     assert res and all(r["rows_encoded"] == 16 for r in res)
     assert all(r["columns_simulated"] <= 6 for r in res)
+
+
+class TestShardedQuantumMode:
+    """Quantum-mode layer with the block encoding sharded over the mesh
+    (ops.quantum.qkan_layer_forward_quantum_sharded): the scaling mode for
+    encodings past one device's HBM.  Forward AND gradient must match the
+    dense quantum path bitwise-tight; traced angles ride into shard_map as
+    runtime operands (sharded_simulate(runtime_params=...))."""
+
+    def _mesh(self):
+        import jax
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        from qkan_implementation_tpu.parallel import make_mesh
+
+        return make_mesh(8, axis_name="d")
+
+    def test_forward_matches_dense_quantum(self):
+        import jax.numpy as jnp
+        from qkan_implementation_tpu.ops.quantum import (
+            qkan_layer_forward_quantum,
+            qkan_layer_forward_quantum_sharded,
+        )
+
+        mesh = self._mesh()
+        rng = np.random.default_rng(0)
+        N = K = 8
+        x = jnp.asarray(rng.uniform(-1, 1, N))
+        w = jnp.asarray(rng.uniform(-0.5, 0.5, (4, N * K)))
+        dense = qkan_layer_forward_quantum(x, w, N, K)
+        shard = qkan_layer_forward_quantum_sharded(x, w, N, K, mesh)
+        np.testing.assert_allclose(
+            np.asarray(shard), np.asarray(dense), atol=1e-14
+        )
+
+    def test_gradient_matches_dense_quantum(self):
+        import jax
+        import jax.numpy as jnp
+        from qkan_implementation_tpu.ops.quantum import (
+            qkan_layer_forward_quantum,
+            qkan_layer_forward_quantum_sharded,
+        )
+
+        mesh = self._mesh()
+        rng = np.random.default_rng(1)
+        N = K = 8
+        x = jnp.asarray(rng.uniform(-1, 1, N))
+        w = jnp.asarray(rng.uniform(-0.5, 0.5, (4, N * K)))
+
+        def loss_d(w):
+            return jnp.sum(qkan_layer_forward_quantum(x, w, N, K) ** 2)
+
+        def loss_s(w):
+            return jnp.sum(
+                qkan_layer_forward_quantum_sharded(x, w, N, K, mesh) ** 2
+            )
+
+        gd = jax.grad(loss_d)(w)
+        gs = jax.grad(loss_s)(w)
+        assert float(jnp.linalg.norm(gd)) > 0
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gd), atol=1e-14
+        )
+
+    def test_runtime_params_override_static_circuit(self):
+        # sharded_simulate(runtime_params=...) must override the stored
+        # gate parameters, not silently ignore them
+        import jax
+        import jax.numpy as jnp
+        from qkan_implementation_tpu.sim import Circuit, simulate
+        from qkan_implementation_tpu.sim.sharded import sharded_simulate
+
+        mesh = self._mesh()
+        q = 6
+        rng = np.random.default_rng(2)
+        old = rng.uniform(-np.pi, np.pi, 2 ** (q - 1))
+        new = rng.uniform(-np.pi, np.pi, 2 ** (q - 1))
+        circ = Circuit(q)
+        for t in range(q):
+            circ.h(t)
+        circ.ucry(old, tuple(range(q - 2, -1, -1)), q - 1)
+        ref = Circuit(q)
+        for t in range(q):
+            ref.h(t)
+        ref.ucry(new, tuple(range(q - 2, -1, -1)), q - 1)
+        dense_new = np.asarray(simulate(ref))
+        shard = np.asarray(
+            jax.device_get(
+                sharded_simulate(
+                    circ, mesh, runtime_params={q: jnp.asarray(new)}
+                )
+            )
+        )
+        np.testing.assert_allclose(shard, dense_new, atol=1e-12)

@@ -139,3 +139,79 @@ def test_rdma_falls_back_below_tile(mesh8):
         jax.device_get(sharded_simulate(circ, mesh8, exchange_impl="rdma"))
     )
     np.testing.assert_allclose(shard, dense, atol=1e-12)
+
+
+def test_rdma_kernel_gradients_match_collective(mesh8):
+    """The custom VJP: grads through the fused kernel must equal grads
+    through the collective exchange + elementwise rotation."""
+    q_local, dev_bit = 11, 1
+    m = 2 ** (q_local - 1)
+    rng = np.random.default_rng(2)
+    full = jnp.asarray(rng.standard_normal(NDEV * 2 * m))
+    thetas = jnp.asarray(rng.standard_normal(NDEV * m))
+    xs = jax.device_put(full, NamedSharding(mesh8, P(AXIS)))
+    th = jax.device_put(thetas, NamedSharding(mesh8, P(AXIS)))
+
+    def fused(block, t):
+        return ucry_exchange_fused_rdma(
+            block, jnp.cos(t / 2), jnp.sin(t / 2), dev_bit, AXIS, NDEV,
+            True,
+        )
+
+    def two_step(block, t):
+        psi = _exchange_global_local(
+            block, dev_bit, q_local - 1, AXIS, NDEV, q_local
+        )
+        v = psi.reshape(2, m)
+        c, s = jnp.cos(t / 2), jnp.sin(t / 2)
+        return jnp.stack(
+            [c * v[0] - s * v[1], s * v[0] + c * v[1]]
+        ).reshape(-1)
+
+    def make_loss(f):
+        def loss(block, t):
+            out = f(block, t)
+            return jnp.sum(out**3)  # asymmetric: catches transpose errors
+
+        return jax.jit(
+            jax.shard_map(
+                jax.grad(loss, argnums=(0, 1)),
+                mesh=mesh8,
+                in_specs=(P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS)),
+                check_vma=False,
+            )
+        )
+
+    g1b, g1t = make_loss(fused)(xs, th)
+    g2b, g2t = make_loss(two_step)(xs, th)
+    np.testing.assert_allclose(
+        np.asarray(g1b), np.asarray(g2b), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1t), np.asarray(g2t), atol=1e-12
+    )
+
+
+def test_quantum_sharded_grad_through_rdma(mesh8):
+    """Quantum-mode gradient with exchange_impl='rdma': the packed
+    extraction's circuit must produce the same weight gradients through the
+    RDMA engine as through the collective engine."""
+    from qkan_implementation_tpu.ops.quantum import (
+        quantum_extract_diag_packed_sharded,
+    )
+
+    rng = np.random.default_rng(5)
+    # diag of 64 -> 13-qubit circuit, q_local=10: below the RDMA tile
+    # floor, so use 256 -> 17 qubits, q_local=14 (m=8192, tile-aligned)
+    diag = jnp.asarray(rng.uniform(-0.9, 0.9, 256))
+
+    def loss(d, impl):
+        rec = quantum_extract_diag_packed_sharded(d, mesh8, exchange_impl=impl)
+        return jnp.sum(rec**3)
+
+    g_col = jax.grad(lambda d: loss(d, "collective"))(diag)
+    g_rdma = jax.grad(lambda d: loss(d, "rdma"))(diag)
+    np.testing.assert_allclose(
+        np.asarray(g_rdma), np.asarray(g_col), atol=1e-10
+    )
