@@ -64,6 +64,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--qubits", type=int, default=22)
     ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument(
+        "--exchange-impl", default="collective",
+        choices=["collective", "rdma"],
+        help="'rdma' times the fused exchange+ucry kernel (sim/rdma.py); "
+        "meaningful on a real TPU slice -- on the CPU mesh the kernel runs "
+        "under interpret mode, so wall-clock there only checks the path",
+    )
     args = ap.parse_args()
 
     n_dev = args.devices or min(8, len(jax.devices()))
@@ -89,10 +96,12 @@ def main():
             "exchanges_lazy_layout": lazy,
             "exchanges_naive_bound": naive,
         }
+        row["exchange_impl"] = args.exchange_impl
         for chunks in (1, 4):
             f = jax.jit(
                 lambda c=circ, ch=chunks: sharded_simulate(
-                    c, mesh, dtype=jnp.float32, exchange_chunks=ch
+                    c, mesh, dtype=jnp.float32, exchange_chunks=ch,
+                    exchange_impl=args.exchange_impl,
                 )
             )
             psi = f()

@@ -214,8 +214,22 @@ def _fused_kernel(
     out_dma(last, jax.lax.rem(last, 2), 1).wait()
 
 
-def ucry_exchange_eligible(block_size: int) -> bool:
-    """The fused kernel needs tile-aligned halves (M = block/2)."""
+# Interpret-mode ceiling for the fused kernel's local block.  TPU interpret
+# mode runs every device's kernel as a host thread whose DMA/semaphore waits
+# block; on this image's SINGLE CPU core the scheduler stops making progress
+# for larger blocks (empirically: q_local <= 12 always completes, q_local >=
+# 13 can wedge in _allocate_buffer regardless of chunking).  Real-TPU
+# execution (interpret=False) has no such limit -- the kernel is written for
+# arbitrary block sizes and chunks by CHUNK_ROWS.
+INTERPRET_MAX_BLOCK = 4096
+
+
+def ucry_exchange_eligible(block_size: int, interpret: bool = False) -> bool:
+    """The fused kernel needs tile-aligned halves (M = block/2); under
+    interpret mode the block must also fit the single-core scheduling
+    ceiling (see ``INTERPRET_MAX_BLOCK``)."""
+    if interpret and block_size > INTERPRET_MAX_BLOCK:
+        return False
     return block_size >= 2 * TILE and (block_size // 2) % TILE == 0
 
 

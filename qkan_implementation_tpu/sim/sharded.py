@@ -189,6 +189,23 @@ class _QubitLayout:
         return psi
 
 
+def _broadcast_local_angles(local_controls: tuple, q_local: int):
+    """Return a function expanding a ucry coefficient vector (indexed by
+    ``local_controls`` in axis order) to the full [2^(q_local-1)] half-block
+    index space the fused RDMA kernel consumes.  Identity (no gather pass)
+    when the controls are already the full descending low-bit register."""
+    if local_controls == tuple(range(q_local - 2, -1, -1)):
+        return lambda v: v
+    m = 2 ** (q_local - 1)
+    kk = len(local_controls)
+    ar = np.arange(m, dtype=np.int64)
+    idx = np.zeros(m, dtype=np.int64)
+    for a_k, c in enumerate(local_controls):
+        idx |= ((ar >> c) & 1) << (kk - 1 - a_k)
+    gather = jnp.asarray(idx)
+    return lambda v: v.reshape(-1)[gather]
+
+
 def _apply_sharded_gate(
     psi,
     gate: Gate,
@@ -226,7 +243,7 @@ def _apply_sharded_gate(
                 ucry_exchange_fused_rdma,
             )
 
-            if ucry_exchange_eligible(2**q_local):
+            if ucry_exchange_eligible(2**q_local, interpret=interpret):
                 victim = q_local - 1
                 dev_bit = t_phys - q_local
                 # bookkeeping swap first (data moves inside the kernel)
@@ -239,32 +256,34 @@ def _apply_sharded_gate(
                 probe, local_controls = _select_global_control_angles(
                     gate.params, phys_controls, q_local, axis_name
                 )
-                if local_controls == tuple(range(q_local - 2, -1, -1)):
-                    layout.exchange_count += 1
-                    if isinstance(gate.params, np.ndarray):
-                        host_half = np.asarray(gate.params).reshape(-1) / 2.0
-                        cs, _ = _select_global_control_angles(
-                            np.cos(host_half), phys_controls, q_local,
-                            axis_name,
-                        )
-                        sn, _ = _select_global_control_angles(
-                            np.sin(host_half), phys_controls, q_local,
-                            axis_name,
-                        )
-                    else:
-                        cs, sn = jnp.cos(probe / 2.0), jnp.sin(probe / 2.0)
-                    return ucry_exchange_fused_rdma(
-                        psi,
-                        jnp.asarray(cs, dtype=psi.dtype).reshape(-1),
-                        jnp.asarray(sn, dtype=psi.dtype).reshape(-1),
-                        dev_bit,
+                # Any local control structure fuses: the kernel wants
+                # coefficients indexed by the half-block's low bits, so a
+                # static gather broadcasts the selected angles over the
+                # non-control bits (identity for FABLE's full descending
+                # register -- the dominant case -- which skips the pass).
+                expand = _broadcast_local_angles(local_controls, q_local)
+                layout.exchange_count += 1
+                if isinstance(gate.params, np.ndarray):
+                    host_half = np.asarray(gate.params).reshape(-1) / 2.0
+                    cs, _ = _select_global_control_angles(
+                        np.cos(host_half), phys_controls, q_local,
                         axis_name,
-                        n_dev,
-                        interpret=interpret,
                     )
-                # control structure unsupported: undo the bookkeeping swap
-                layout.occupant[t_phys], layout.occupant[victim] = a, b
-                layout.phys[a], layout.phys[b] = t_phys, victim
+                    sn, _ = _select_global_control_angles(
+                        np.sin(host_half), phys_controls, q_local,
+                        axis_name,
+                    )
+                else:
+                    cs, sn = jnp.cos(probe / 2.0), jnp.sin(probe / 2.0)
+                return ucry_exchange_fused_rdma(
+                    psi,
+                    expand(jnp.asarray(cs, dtype=psi.dtype).reshape(-1)),
+                    expand(jnp.asarray(sn, dtype=psi.dtype).reshape(-1)),
+                    dev_bit,
+                    axis_name,
+                    n_dev,
+                    interpret=interpret,
+                )
         # only the rotation target must be local; controls select angles
         # from wherever they live (device bits when global).  Prefer the
         # local MSB as the victim slot: FABLE's layout then lands on the

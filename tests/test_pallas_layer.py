@@ -34,24 +34,28 @@ def test_fused_forward_matches_batched():
 
 
 def test_fused_vjp_matches_xla_grads():
+    # Grads are compared in the SAME parameterization (x, w): weights_to_m3
+    # is a differentiable linear map (it absorbs qkan_weight_tensor's
+    # 1/(N(D+1)) normalization and Fortran-order gather), so chaining the
+    # fused layer's custom VJP through it must reproduce the XLA path's
+    # gradients exactly.
     x, w, N, K = _setup(B=32, deg=4)
-    m3 = weights_to_m3(w, N, K)
 
-    def loss_fused(x, m3):
-        return jnp.sum(qkan_layer_fused(x, m3, True) ** 2)
-
-    def loss_ref(x, m3):
-        m2 = jnp.transpose(m3, (0, 1, 2)).reshape(-1, K)
-        # reference path via the plain batched forward
-        w2 = jnp.stack(
-            [m3[d].reshape(-1) for d in range(m3.shape[0])]
+    def loss_fused(x, w):
+        return jnp.sum(
+            qkan_layer_fused(x, weights_to_m3(w, N, K), True) ** 2
         )
-        return jnp.sum(qkan_layer_forward_batched(x, w2, N, K) ** 2)
 
-    gx1, gm1 = jax.grad(loss_fused, argnums=(0, 1))(x, m3)
-    gx2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(x, m3)
+    def loss_ref(x, w):
+        return jnp.sum(qkan_layer_forward_batched(x, w, N, K) ** 2)
+
+    np.testing.assert_allclose(
+        float(loss_fused(x, w)), float(loss_ref(x, w)), rtol=1e-6
+    )
+    gx1, gw1 = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gm1), np.asarray(gw2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-4)
 
 
 def test_dw_only_backward_matches_full_dm_and_zero_dx():

@@ -193,18 +193,30 @@ def test_rdma_kernel_gradients_match_collective(mesh8):
     )
 
 
-def test_quantum_sharded_grad_through_rdma(mesh8):
+def test_quantum_sharded_grad_through_rdma(mesh8, monkeypatch):
     """Quantum-mode gradient with exchange_impl='rdma': the packed
     extraction's circuit must produce the same weight gradients through the
-    RDMA engine as through the collective engine."""
+    RDMA engine as through the collective engine.  The fused kernel must
+    actually FIRE (asserted via a counting wrapper): the circuit's H walls
+    scramble the layout before the big ucry, so this exercises the
+    partial-control angle broadcast too."""
     from qkan_implementation_tpu.ops.quantum import (
         quantum_extract_diag_packed_sharded,
     )
 
+    fired = []
+    orig = rdma_mod.ucry_exchange_fused_rdma
+
+    def counting(*a, **k):
+        fired.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rdma_mod, "ucry_exchange_fused_rdma", counting)
+
     rng = np.random.default_rng(5)
-    # diag of 64 -> 13-qubit circuit, q_local=10: below the RDMA tile
-    # floor, so use 256 -> 17 qubits, q_local=14 (m=8192, tile-aligned)
-    diag = jnp.asarray(rng.uniform(-0.9, 0.9, 256))
+    # diag of 128 -> 15-qubit circuit, q_local=12 (m=2048, tile-aligned and
+    # within the interpret-mode block ceiling; see rdma.INTERPRET_MAX_BLOCK)
+    diag = jnp.asarray(rng.uniform(-0.9, 0.9, 128))
 
     def loss(d, impl):
         rec = quantum_extract_diag_packed_sharded(d, mesh8, exchange_impl=impl)
@@ -212,6 +224,37 @@ def test_quantum_sharded_grad_through_rdma(mesh8):
 
     g_col = jax.grad(lambda d: loss(d, "collective"))(diag)
     g_rdma = jax.grad(lambda d: loss(d, "rdma"))(diag)
+    assert fired, "fused RDMA kernel did not fire for the quantum circuit"
     np.testing.assert_allclose(
         np.asarray(g_rdma), np.asarray(g_col), atol=1e-10
     )
+
+
+def test_rdma_partial_control_register(mesh8):
+    """Generalized eligibility: a global-target ucry whose controls are an
+    arbitrary (partial, unordered) qubit subset fuses via the angle
+    broadcast (sim.sharded._broadcast_local_angles) and must match dense."""
+    q = 14  # q_local = 11 on the 8-device mesh
+    rng = np.random.default_rng(17)
+    circ = Circuit(q)
+    circ.h(2).h(5)
+    # 3 scattered controls (8 angles), target = top (global) qubit
+    circ.ucry(
+        rng.uniform(-np.pi, np.pi, 8), controls=(7, 2, 4), target=q - 1
+    )
+    circ.h(0)
+    # second fused ucry with a global control mixed in
+    circ.ucry(
+        rng.uniform(-np.pi, np.pi, 4), controls=(q - 2, 3), target=q - 1
+    )
+    dense = np.asarray(simulate(circ))
+    shard = np.asarray(
+        jax.device_get(sharded_simulate(circ, mesh8, exchange_impl="rdma"))
+    )
+    np.testing.assert_allclose(shard, dense, atol=1e-12)
+    col = np.asarray(
+        jax.device_get(
+            sharded_simulate(circ, mesh8, exchange_impl="collective")
+        )
+    )
+    np.testing.assert_allclose(shard, col, atol=1e-12)
