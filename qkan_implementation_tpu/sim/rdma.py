@@ -224,6 +224,205 @@ def _fused_kernel(
 INTERPRET_MAX_BLOCK = 4096
 
 
+def _fused_h_kernel(
+    dev_bit: int,
+    axis_name: str,
+    nchunks: int,
+    chunk_rows: int,
+    x_ref,      # [2, rows, LANES] ANY (HBM): my block, halves by local MSB
+    o_ref,      # [2, rows, LANES] ANY: H'd block, halves by target qubit
+    recv_buf,   # VMEM [2, chunk_rows, LANES]
+    keep_buf,   # VMEM [2, chunk_rows, LANES]
+    out_buf,    # VMEM [2, 2, chunk_rows, LANES] (slot, target-bit)
+    send_sem,   # DMA [2]
+    recv_sem,   # DMA [2]
+    keep_sem,   # DMA [2]
+    out_sem,    # DMA [2, 2]
+    cap_sem,    # REGULAR: capacity credits from partner
+):
+    """Exchange global qubit ``dev_bit`` with the local MSB and apply H to
+    it, fused: the ucry kernel's protocol minus the coefficient streams
+    (H's 2x2 is constant), so HBM sees keep-half in + both halves out and
+    the sent half rides the ICI under the compute."""
+    my = jax.lax.axis_index(axis_name)
+    partner = my ^ (1 << dev_bit)
+    g = (my >> dev_bit) & 1
+
+    bar = pltpu.get_barrier_semaphore()
+    pltpu.semaphore_signal(
+        bar, inc=1, device_id=partner,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    pltpu.semaphore_wait(bar, 1)
+
+    def send_rdma(i, slot):
+        return pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[1 - g, pl.ds(i * chunk_rows, chunk_rows)],
+            dst_ref=recv_buf.at[slot],
+            send_sem=send_sem.at[slot],
+            recv_sem=recv_sem.at[slot],
+            device_id=partner,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def keep_dma(i, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[g, pl.ds(i * chunk_rows, chunk_rows)],
+            keep_buf.at[slot],
+            keep_sem.at[slot],
+        )
+
+    def out_dma(i, slot, t):
+        return pltpu.make_async_copy(
+            out_buf.at[slot, t],
+            o_ref.at[t, pl.ds(i * chunk_rows, chunk_rows)],
+            out_sem.at[slot, t],
+        )
+
+    def start_chunk(i, slot):
+        send_rdma(i, slot).start()
+        keep_dma(i, slot).start()
+
+    start_chunk(0, 0)
+    if nchunks > 1:
+        start_chunk(1, 1)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(i - 2, slot, 0).wait()
+            out_dma(i - 2, slot, 1).wait()
+
+        send_rdma(i, slot).wait_recv()
+        keep_dma(i, slot).wait()
+
+        kept = keep_buf[slot]
+        received = recv_buf[slot]
+        p0 = jnp.where(g == 0, kept, received)
+        p1 = jnp.where(g == 0, received, kept)
+        r = jnp.asarray(np.sqrt(0.5), dtype=kept.dtype)
+        out_buf[slot, 0] = (p0 + p1) * r
+        out_buf[slot, 1] = (p0 - p1) * r
+        out_dma(i, slot, 0).start()
+        out_dma(i, slot, 1).start()
+
+        pltpu.semaphore_signal(
+            cap_sem, inc=1, device_id=partner,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+        @pl.when(i + 2 < nchunks)
+        def _():
+            send_rdma(i, slot).wait_send()
+            pltpu.semaphore_wait(cap_sem, 1)
+            start_chunk(i + 2, slot)
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    last = nchunks - 1
+    send_rdma(last, jax.lax.rem(last, 2)).wait_send()
+    if nchunks > 1:
+        send_rdma(last - 1, jax.lax.rem(last - 1, 2)).wait_send()
+        pltpu.semaphore_wait(cap_sem, 2)
+        out_dma(last - 1, jax.lax.rem(last - 1, 2), 0).wait()
+        out_dma(last - 1, jax.lax.rem(last - 1, 2), 1).wait()
+    else:
+        pltpu.semaphore_wait(cap_sem, 1)
+    out_dma(last, jax.lax.rem(last, 2), 0).wait()
+    out_dma(last, jax.lax.rem(last, 2), 1).wait()
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def h_exchange_fused_rdma(
+    block: jax.Array,
+    dev_bit: int,
+    axis_name: str,
+    n_dev: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exchange global qubit ``dev_bit`` with the local MSB and apply a
+    Hadamard to it in one comm-overlapped kernel (the global-H analog of
+    ``ucry_exchange_fused_rdma``; reference H walls:
+    ``QKAN_Steps_original/MulStep.py:115-166`` FABLE structure).
+
+    Returns the block in post-exchange layout (local MSB = the previously
+    global target); the caller's layout tracker records the swap.
+    Differentiable in ``block``: H and the exchange permutation are both
+    real involutions, so the cotangent is H on the post-exchange halves
+    followed by the adjoint exchange (collective path)."""
+    return _h_impl(block, dev_bit, axis_name, n_dev, interpret)
+
+
+def _h_fwd(block, dev_bit, axis_name, n_dev, interpret):
+    return _h_impl(block, dev_bit, axis_name, n_dev, interpret), None
+
+
+def _h_bwd(dev_bit, axis_name, n_dev, interpret, res, g):
+    from qkan_implementation_tpu.sim.sharded import _exchange_global_local
+
+    del res
+    m = g.shape[0] // 2
+    q_local = int(np.log2(2 * m))
+    g0, g1 = g[:m], g[m:]
+    r = jnp.asarray(np.sqrt(0.5), dtype=g.dtype)
+    hg = jnp.concatenate([(g0 + g1) * r, (g0 - g1) * r])
+    return (
+        _exchange_global_local(
+            hg, dev_bit, q_local - 1, axis_name, n_dev, q_local
+        ),
+    )
+
+
+h_exchange_fused_rdma.defvjp(_h_fwd, _h_bwd)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dev_bit", "axis_name", "n_dev", "interpret"),
+)
+def _h_impl(
+    block: jax.Array,
+    dev_bit: int,
+    axis_name: str,
+    n_dev: int,
+    interpret: bool = False,
+) -> jax.Array:
+    m = block.shape[0] // 2
+    if m % TILE != 0:
+        raise ValueError(f"half size {m} not a multiple of {TILE}")
+    rows = m // LANES
+    chunk_rows = _chunk_rows_for(rows)
+    nchunks = rows // chunk_rows
+    v = block.reshape(2, rows, LANES)
+
+    buf = lambda: pltpu.VMEM((2, chunk_rows, LANES), block.dtype)
+    out = pl.pallas_call(
+        partial(_fused_h_kernel, dev_bit, axis_name, nchunks, chunk_rows),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((2, rows, LANES), block.dtype),
+        scratch_shapes=[
+            buf(),  # recv
+            buf(),  # keep
+            pltpu.VMEM((2, 2, chunk_rows, LANES), block.dtype),  # out
+            pltpu.SemaphoreType.DMA((2,)),  # send
+            pltpu.SemaphoreType.DMA((2,)),  # recv
+            pltpu.SemaphoreType.DMA((2,)),  # keep
+            pltpu.SemaphoreType.DMA((2, 2)),  # out
+            pltpu.SemaphoreType.REGULAR,  # capacity
+        ],
+        compiler_params=pltpu.CompilerParams(
+            collective_id=_COLLECTIVE_ID, has_side_effects=True
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(v)
+    return out.reshape(-1)
+
+
 def ucry_exchange_eligible(block_size: int, interpret: bool = False) -> bool:
     """The fused kernel needs tile-aligned halves (M = block/2); under
     interpret mode the block must also fit the single-core scheduling

@@ -344,6 +344,22 @@ def _apply_sharded_gate(
         layout.occupant[pa], layout.occupant[pb] = b, a
         return psi
 
+    if (
+        gate.name == "h"
+        and use_rdma
+        and layout.phys[gate.qubits[0]] >= q_local
+        and not jnp.issubdtype(psi.dtype, jnp.complexfloating)
+    ):
+        # lone H on a still-global qubit: same fused exchange+H kernel the
+        # wall path uses (one overlapped pass instead of exchange + gate)
+        from qkan_implementation_tpu.sim.rdma import ucry_exchange_eligible
+
+        if ucry_exchange_eligible(2**q_local, interpret=interpret):
+            return _fuse_global_h(
+                psi, gate.qubits[0], layout, q_local, axis_name, n_dev,
+                interpret,
+            )
+
     # dense gate: every acting qubit must be local; pin the ones already
     # local so a later exchange doesn't evict them
     pinned = {
@@ -374,17 +390,60 @@ def _h_wall_run(gates, start: int, q_local: int):
     return qs if len(qs) >= 2 else None
 
 
-def _apply_h_wall(psi, logicals, layout: _QubitLayout, q_local: int):
-    """Fused H wall: make every wall qubit local (one exchange each for the
-    global ones), then ONE Walsh-Hadamard register contraction instead of
-    len(logicals) full-block passes (sim.fusion.apply_h_register)."""
+def _fuse_global_h(psi, t, layout: _QubitLayout, q_local: int,
+                   axis_name: str, n_dev: int, interpret: bool):
+    """Run the fused exchange+H RDMA kernel for logical qubit ``t`` (must
+    currently be global).  Records the bookkeeping swap with the local MSB
+    and returns the updated state."""
+    from qkan_implementation_tpu.sim.rdma import h_exchange_fused_rdma
+
+    t_phys = layout.phys[t]
+    victim = q_local - 1
+    dev_bit = t_phys - q_local
+    a, b = layout.occupant[t_phys], layout.occupant[victim]
+    layout.occupant[t_phys], layout.occupant[victim] = b, a
+    layout.phys[a], layout.phys[b] = victim, t_phys
+    layout.exchange_count += 1
+    return h_exchange_fused_rdma(
+        psi, dev_bit, axis_name, n_dev, interpret=interpret
+    )
+
+
+def _apply_h_wall(psi, logicals, layout: _QubitLayout, q_local: int,
+                  axis_name: str = "_", n_dev: int = 1,
+                  use_rdma: bool = False, interpret: bool = False):
+    """Fused H wall: global wall qubits ride the fused exchange+H RDMA
+    kernel when eligible (one comm-overlapped pass each instead of
+    exchange + gate), then the remaining local qubits get ONE
+    Walsh-Hadamard register contraction instead of per-qubit full-block
+    passes (sim.fusion.apply_h_register)."""
     from qkan_implementation_tpu.sim.fusion import HRegister, apply_h_register
 
+    pending = list(logicals)
+    if use_rdma and not jnp.issubdtype(psi.dtype, jnp.complexfloating):
+        from qkan_implementation_tpu.sim.rdma import ucry_exchange_eligible
+
+        if ucry_exchange_eligible(2**q_local, interpret=interpret):
+            # Each fused pass finishes one global wall qubit; the evicted
+            # local-MSB occupant may itself be a pending wall qubit, in
+            # which case the loop picks it up as a new global (the pending
+            # set strictly shrinks, so this terminates).
+            while True:
+                glb = [t for t in pending if layout.phys[t] >= q_local]
+                if not glb:
+                    break
+                psi = _fuse_global_h(
+                    psi, glb[0], layout, q_local, axis_name, n_dev,
+                    interpret,
+                )
+                pending.remove(glb[0])
+    if not pending:
+        return psi
     pinned = set()
-    for t in logicals:
+    for t in pending:
         psi = layout.make_local(psi, t, pinned)
         pinned.add(layout.phys[t])
-    pos = tuple(sorted(layout.phys[t] for t in logicals))
+    pos = tuple(sorted(layout.phys[t] for t in pending))
     return apply_h_register(psi, HRegister(pos), q_local)
 
 
@@ -524,7 +583,10 @@ def sharded_simulate(
         while i < len(gates):
             run = _h_wall_run(gates, i, q_local)
             if run:
-                psi = _apply_h_wall(psi, run, layout, q_local)
+                psi = _apply_h_wall(
+                    psi, run, layout, q_local, axis_name, n_dev,
+                    use_rdma=use_rdma, interpret=interpret,
+                )
                 i += len(run)
                 continue
             gate = gates[i]

@@ -258,3 +258,77 @@ def test_rdma_partial_control_register(mesh8):
         )
     )
     np.testing.assert_allclose(shard, col, atol=1e-12)
+
+
+def test_fused_h_exchange_matches_dense(mesh8, monkeypatch):
+    """Global-qubit Hadamards fuse exchange+H into one RDMA kernel
+    (sim.rdma.h_exchange_fused_rdma) on both the lone-H and H-wall paths,
+    including the wall case where fusing one global H evicts a pending
+    local-MSB wall qubit to global (the termination loop).  Must match the
+    dense and collective engines exactly."""
+    fired = []
+    orig = rdma_mod.h_exchange_fused_rdma
+
+    def counting(*a, **k):
+        fired.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rdma_mod, "h_exchange_fused_rdma", counting)
+
+    q = 14  # q_local = 11 on the 8-device mesh
+    rng = np.random.default_rng(23)
+    circ = Circuit(q)
+    circ.h(q - 1)  # lone global H (the ucry below breaks the wall run)
+    circ.ucry(rng.uniform(-np.pi, np.pi, 2), controls=(0,), target=1)
+    # wall: global q-2, local MSB (evicted by the first fusion), local 2
+    circ.h(q - 2).h(10).h(2)
+    circ.ucry(rng.uniform(-np.pi, np.pi, 4), controls=(3, 5), target=q - 1)
+
+    dense = np.asarray(simulate(circ))
+    shard = np.asarray(
+        jax.device_get(sharded_simulate(circ, mesh8, exchange_impl="rdma"))
+    )
+    assert len(fired) == 3, f"expected 3 fused-H calls, got {len(fired)}"
+    np.testing.assert_allclose(shard, dense, atol=1e-12)
+    col = np.asarray(
+        jax.device_get(
+            sharded_simulate(circ, mesh8, exchange_impl="collective")
+        )
+    )
+    np.testing.assert_allclose(shard, col, atol=1e-12)
+
+
+def test_fused_h_gradient_matches_collective(mesh8, monkeypatch):
+    """d(loss)/d(psi0) through the fused H kernel's custom VJP equals the
+    collective path's gradient."""
+    fired = []
+    orig = rdma_mod.h_exchange_fused_rdma
+
+    def counting(*a, **k):
+        fired.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rdma_mod, "h_exchange_fused_rdma", counting)
+
+    q = 14  # q_local = 11: block 2048 = 2*TILE, kernel-eligible
+    rng = np.random.default_rng(29)
+    circ = Circuit(q)
+    circ.h(q - 1).h(4)  # wall with one global member
+    circ.ucry(rng.uniform(-np.pi, np.pi, 2), controls=(1,), target=0)
+    circ.h(q - 2)  # lone global H
+
+    psi0 = jnp.asarray(rng.standard_normal(2**q))
+    psi0 = psi0 / jnp.linalg.norm(psi0)
+
+    def loss(p, impl):
+        out = sharded_simulate(
+            circ, mesh8, psi0=p, dtype=p.dtype, exchange_impl=impl
+        )
+        return jnp.sum(out**3)
+
+    g_rdma = jax.grad(lambda p: loss(p, "rdma"))(psi0)
+    assert fired, "fused H kernel did not fire"
+    g_col = jax.grad(lambda p: loss(p, "collective"))(psi0)
+    np.testing.assert_allclose(
+        np.asarray(g_rdma), np.asarray(g_col), atol=1e-10
+    )
