@@ -77,13 +77,10 @@ def make_variants(N, K, interpret):
         # step; input precision is a data-pipeline choice), so the per-step
         # cast cost that sinks the 'bf16' variant disappears -- only the
         # tiny [D+1, N*K] weight tensor casts per step, and the dot runs
-        # native-bf16 on the MXU with f32 accumulation
-        M = qkan_weight_tensor(w, N, K)
-        basis = chebyshev_basis(x, w.shape[0] - 1)  # bf16 recurrence
-        return jnp.dot(
-            basis.reshape(x.shape[0], -1),
-            M.reshape(K, -1).T.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+        # native-bf16 on the MXU with f32 accumulation.  This is the
+        # first-class API path: compute_dtype=bfloat16.
+        return qkan_layer_forward_batched(
+            x, w, N, K, compute_dtype=jnp.bfloat16
         )
 
     return {

@@ -97,7 +97,8 @@ def qkan_weight_tensor(weights: jax.Array, N: int, K: int) -> jax.Array:
 
 
 def qkan_layer_forward_batched(
-    x: jax.Array, weights: jax.Array, N: int, K: int
+    x: jax.Array, weights: jax.Array, N: int, K: int,
+    compute_dtype=None,
 ) -> jax.Array:
     """Batched layer forward: [B, N] -> [B, K] as one MXU matmul.
 
@@ -107,15 +108,30 @@ def qkan_layer_forward_batched(
     runs over the combined (feature, degree) axis -- [B, N*(D+1)] @
     [N*(D+1), K] -- so the hot loop lives on the systolic array instead of
     the VPU.
+
+    ``compute_dtype``: optional MXU input dtype for the mixed-precision
+    production recipe.  Pass ``jnp.bfloat16`` with ``x`` ALREADY stored in
+    bf16 (cast once in the data pipeline, not per step) for native-bf16
+    multiplies with f32 accumulation -- measured 1.41x over the f32 path at
+    K=128 on a v5e (docs/benchmarks.md, the ``bf16io`` variant in
+    ``benchmarks/records/layer_variants_N16K128.json``); only the small
+    [N*(D+1), K] weight tensor casts per step.  Output is always f32 when
+    set.  Default ``None`` keeps the exact f32 semantics.
     """
     max_degree = weights.shape[0] - 1
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     basis = chebyshev_basis(x, max_degree)  # [B, N, D+1]
     M = qkan_weight_tensor(weights, N, K)  # [K, N, D+1]
+    if compute_dtype is not None:
+        M = M.astype(compute_dtype)
     b = x.shape[0]
     return jnp.dot(
         basis.reshape(b, -1),
         M.reshape(K, -1).T,
-        preferred_element_type=basis.dtype,
+        preferred_element_type=(
+            jnp.float32 if compute_dtype is not None else basis.dtype
+        ),
     )
 
 

@@ -86,6 +86,30 @@ def test_batched_forward():
         )
 
 
+def test_batched_forward_bf16io_recipe():
+    """compute_dtype=bfloat16 (the production mixed-precision recipe,
+    docs/benchmarks.md 'bf16io'): f32-accumulated output, within bf16
+    rounding of the exact path, and bf16-stored inputs give the identical
+    result (the cast is idempotent)."""
+    N, K, d, B = 4, 4, 3, 64
+    rng = np.random.default_rng(9)
+    xb = jnp.asarray(rng.uniform(-1, 1, (B, N)), dtype=jnp.float32)
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)), dtype=jnp.float32)
+
+    exact = qkan_layer_forward_batched(xb, w, N, K)
+    mixed = qkan_layer_forward_batched(
+        xb, w, N, K, compute_dtype=jnp.bfloat16
+    )
+    assert mixed.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(mixed), np.asarray(exact), atol=3e-2
+    )
+    pre_cast = qkan_layer_forward_batched(
+        xb.astype(jnp.bfloat16), w, N, K, compute_dtype=jnp.bfloat16
+    )
+    np.testing.assert_array_equal(np.asarray(pre_cast), np.asarray(mixed))
+
+
 def test_zero_input_gives_near_zero_output():
     # reference QKANLayer.py:250-252: zero input -> ~0 output.  With x = 0,
     # T_0 = 1 and T_1 = 0, T_2 = -1, ... so output is the weighted mean of
