@@ -104,7 +104,11 @@ def main_sharded():
 
     Run:  QKAN_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
           PYTHONPATH=. python examples/quantum_training_demo.py --sharded
+    Add ``--rdma`` to route the circuit's exchanges through the fused RDMA
+    kernels (sim.rdma; on the CPU mesh they run under interpret mode when
+    the block size permits, on a real slice they overlap comm and compute).
     """
+    import sys
     import optax
 
     from qkan_implementation_tpu.ops.quantum import (
@@ -123,9 +127,13 @@ def main_sharded():
     xs = jnp.asarray(rng.uniform(-0.9, 0.9, (B, N)))
     targets = qkan_layer_forward_batched(xs, w_true, N, K)
 
+    impl = "rdma" if "--rdma" in sys.argv else "collective"
+
     def loss(w):
         preds = jax.lax.map(
-            lambda xi: qkan_layer_forward_quantum_sharded(xi, w, N, K, mesh)
+            lambda xi: qkan_layer_forward_quantum_sharded(
+                xi, w, N, K, mesh, exchange_impl=impl
+            )
         , xs)
         return jnp.mean((preds - targets) ** 2)
 

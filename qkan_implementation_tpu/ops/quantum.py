@@ -38,14 +38,21 @@ def fable_diag_traced(diag: jax.Array):
     if 2**n != size:
         raise ValueError("diag length must be a power of two")
 
-    alpha = jnp.maximum(1.0, jnp.max(jnp.abs(diag)) * (1.0 + 1e-8))
+    # Dtype-aware subnormalization margin: it must survive rounding in the
+    # working precision, or max|diag| >= 1 makes scaled hit exactly +/-1 and
+    # d(arccos)/dx = -inf poisons every gradient with NaN (observed in f32,
+    # where (1 + 1e-8) rounds to exactly 1.0).  32*eps keeps arccos' slope
+    # finite (~|1/sqrt(2*margin)|) at negligible encoding error.
+    margin = 32.0 * float(jnp.finfo(jnp.asarray(diag).dtype).eps)
+    alpha = jnp.maximum(1.0, jnp.max(jnp.abs(diag)) * (1.0 + margin))
     scaled = diag / alpha
 
     # Row-major flat index of diagonal entries: i*size + i; off-diagonal
     # entries are zero -> theta = pi (constant).
     flat = jnp.full((size * size,), jnp.pi, dtype=scaled.dtype)
     idx = jnp.arange(size) * size + jnp.arange(size)
-    thetas = 2.0 * jnp.arccos(jnp.clip(scaled, -1.0, 1.0))
+    clip_lim = 1.0 - margin
+    thetas = 2.0 * jnp.arccos(jnp.clip(scaled, -clip_lim, clip_lim))
     flat = flat.at[idx].set(thetas)
 
     circ = Circuit(2 * n + 1)
@@ -128,17 +135,22 @@ def quantum_extract_diag_packed_sharded(
     (``sharded_simulate(runtime_params=...)``), keeping the whole path
     differentiable w.r.t. ``diag``.
     """
+    from jax.sharding import NamedSharding, PartitionSpec
     from qkan_implementation_tpu.sim.sharded import sharded_simulate
 
     size = diag.shape[-1]
     n = int(np.log2(size))
     circ, alpha = fable_diag_traced(diag)
     dim = 2 ** (2 * n + 1)
-    psi0 = (
-        jnp.zeros(dim, dtype=diag.dtype)
+    # Build the packed initial state SHARDED: with out_shardings set, each
+    # device materializes only its 2^q/n_dev slice -- never the full state
+    # on one device (that dense spike is exactly what this mode avoids).
+    psi0 = jax.jit(
+        lambda: jnp.zeros(dim, dtype=diag.dtype)
         .at[:size]
-        .set(1.0 / np.sqrt(size))
-    )
+        .set(1.0 / np.sqrt(size)),
+        out_shardings=NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])),
+    )()
     (ucry_idx,) = [
         i for i, g in enumerate(circ.gates) if g.name == "ucry"
     ]
@@ -153,23 +165,37 @@ def quantum_extract_diag_packed_sharded(
     return psi[:size] * (alpha * size * np.sqrt(size))
 
 
+def _pad_pow2(v: jax.Array) -> jax.Array:
+    """Zero-pad a vector up to the next power-of-two length (identity when
+    already a power of two) -- the shared pre-encoding convention for every
+    quantum-mode entry point."""
+    size = v.shape[-1]
+    padded_size = 2 ** _next_pow2_exp(size)
+    if padded_size == size:
+        return v
+    return jnp.concatenate(
+        [v, jnp.zeros(padded_size - size, dtype=v.dtype)]
+    )
+
+
 def qkan_layer_forward_quantum_sharded(
-    x: jax.Array, weights: jax.Array, N: int, K: int, mesh
+    x: jax.Array, weights: jax.Array, N: int, K: int, mesh,
+    exchange_impl: str = "collective",
 ) -> jax.Array:
     """Quantum-mode layer forward with the block encoding sharded over a
     device mesh -- ``qkan_layer_forward_quantum`` past single-device HBM.
     Differentiable end-to-end (gradients flow through arccos -> sharded
     gate application -> amplitude extraction, with the shard_map operand
-    path psumming the angle cotangents)."""
-    lcu = lcu_combine_diag(x, weights, K)
+    path psumming the angle cotangents).
+
+    ``exchange_impl='rdma'`` routes the circuit's global-qubit exchanges
+    through the fused RDMA kernels (``sim.rdma``) for comm/compute overlap
+    on a real slice; the default keeps the collective two-step path."""
+    lcu = _pad_pow2(lcu_combine_diag(x, weights, K))
     size = N * K
-    exp = _next_pow2_exp(size)
-    padded_size = 2**exp
-    if padded_size != size:
-        lcu = jnp.concatenate(
-            [lcu, jnp.zeros(padded_size - size, dtype=lcu.dtype)]
-        )
-    recovered = quantum_extract_diag_packed_sharded(lcu, mesh)[:size]
+    recovered = quantum_extract_diag_packed_sharded(
+        lcu, mesh, exchange_impl=exchange_impl
+    )[:size]
     return sum_step(recovered, N, K)
 
 
@@ -187,14 +213,8 @@ def qkan_layer_forward_quantum(
     strict per-basis-column extraction (2^n simulations) used by the
     verification tests.
     """
-    lcu = lcu_combine_diag(x, weights, K)
+    lcu = _pad_pow2(lcu_combine_diag(x, weights, K))
     size = N * K
-    exp = _next_pow2_exp(size)
-    padded_size = 2**exp
-    if padded_size != size:
-        lcu = jnp.concatenate(
-            [lcu, jnp.zeros(padded_size - size, dtype=lcu.dtype)]
-        )
     extract = quantum_extract_diag_packed if packed else quantum_extract_diag
     recovered = extract(lcu)[:size]
     return sum_step(recovered, N, K)
@@ -261,12 +281,7 @@ def quantum_verify_pipeline(
 
     def diag_error(diag):
         size = diag.shape[-1]
-        exp = _next_pow2_exp(size)
-        padded = 2**exp
-        d = diag
-        if padded != size:
-            d = jnp.concatenate([d, jnp.zeros(padded - size, dtype=d.dtype)])
-        rec = quantum_extract_diag(d)[:size]
+        rec = quantum_extract_diag(_pad_pow2(diag))[:size]
         denom = jnp.linalg.norm(diag)
         return jnp.where(
             denom > 1e-30, jnp.linalg.norm(rec - diag) / denom, jnp.linalg.norm(rec)

@@ -130,6 +130,18 @@ class _QubitLayout:
         self.occupant = list(range(q))  # occupant[physical] = logical qubit
         self.exchange_count = 0  # collectives issued (observability)
 
+    def note_swap(self, phys_a: int, phys_b: int, count: bool = False):
+        """Record (bookkeeping only) that the occupants of two physical
+        slots swapped.  Used by the collective exchange, the swap-gate
+        relabel, the fused-RDMA kernels (which move the data themselves),
+        and the dry-run exchange counter -- one source of truth for the
+        logical<->physical invariant."""
+        a, b = self.occupant[phys_a], self.occupant[phys_b]
+        self.occupant[phys_a], self.occupant[phys_b] = b, a
+        self.phys[a], self.phys[b] = phys_b, phys_a
+        if count:
+            self.exchange_count += 1
+
     def exchange(self, psi, phys_global: int, phys_local: int):
         psi = _exchange_global_local(
             psi,
@@ -140,10 +152,7 @@ class _QubitLayout:
             self.q_local,
             chunks=self.exchange_chunks,
         )
-        a, b = self.occupant[phys_global], self.occupant[phys_local]
-        self.occupant[phys_global], self.occupant[phys_local] = b, a
-        self.phys[a], self.phys[b] = phys_local, phys_global
-        self.exchange_count += 1
+        self.note_swap(phys_global, phys_local, count=True)
         return psi
 
     def make_local(self, psi, logical: int, pinned: set, prefer: int | None = None):
@@ -187,6 +196,21 @@ class _QubitLayout:
                 self.phys[p] = p
                 self.occupant[p] = p
         return psi
+
+
+def _host_cos_sin(params, phys_controls, q_local: int, axis_name: str):
+    """cos/sin of HOST (np) half-angles with device-bit selection -- the
+    static-angle precompute shared by the fused-RDMA and local-Pallas ucry
+    paths (trig runs once on the host; only the selected coefficient
+    vectors ship to the device)."""
+    host_half = np.asarray(params).reshape(-1) / 2.0
+    cs, _ = _select_global_control_angles(
+        np.cos(host_half), phys_controls, q_local, axis_name
+    )
+    sn, _ = _select_global_control_angles(
+        np.sin(host_half), phys_controls, q_local, axis_name
+    )
+    return cs, sn
 
 
 def _broadcast_local_angles(local_controls: tuple, q_local: int):
@@ -247,9 +271,7 @@ def _apply_sharded_gate(
                 victim = q_local - 1
                 dev_bit = t_phys - q_local
                 # bookkeeping swap first (data moves inside the kernel)
-                a, b = layout.occupant[t_phys], layout.occupant[victim]
-                layout.occupant[t_phys], layout.occupant[victim] = b, a
-                layout.phys[a], layout.phys[b] = victim, t_phys
+                layout.note_swap(t_phys, victim, count=True)
                 phys_controls = tuple(
                     layout.phys[c] for c in gate.qubits[1:]
                 )
@@ -262,16 +284,9 @@ def _apply_sharded_gate(
                 # non-control bits (identity for FABLE's full descending
                 # register -- the dominant case -- which skips the pass).
                 expand = _broadcast_local_angles(local_controls, q_local)
-                layout.exchange_count += 1
                 if isinstance(gate.params, np.ndarray):
-                    host_half = np.asarray(gate.params).reshape(-1) / 2.0
-                    cs, _ = _select_global_control_angles(
-                        np.cos(host_half), phys_controls, q_local,
-                        axis_name,
-                    )
-                    sn, _ = _select_global_control_angles(
-                        np.sin(host_half), phys_controls, q_local,
-                        axis_name,
+                    cs, sn = _host_cos_sin(
+                        gate.params, phys_controls, q_local, axis_name
                     )
                 else:
                     cs, sn = jnp.cos(probe / 2.0), jnp.sin(probe / 2.0)
@@ -311,15 +326,10 @@ def _apply_sharded_gate(
             half = 2 ** (q_local - 1)
             if half % TILE == 0:
                 if isinstance(gate.params, np.ndarray):
-                    # static angles: precompute the trig once on the host,
-                    # device-bit-select cos/sin like the angles, and run
-                    # the sliceless trig-free kernel
-                    host_half = np.asarray(gate.params).reshape(-1) / 2.0
-                    cs, _ = _select_global_control_angles(
-                        np.cos(host_half), phys_controls, q_local, axis_name
-                    )
-                    sn, _ = _select_global_control_angles(
-                        np.sin(host_half), phys_controls, q_local, axis_name
+                    # static angles: host trig + device-bit selection
+                    # (shared helper), then the sliceless trig-free kernel
+                    cs, sn = _host_cos_sin(
+                        gate.params, phys_controls, q_local, axis_name
                     )
                     return ucry_msb_cs_pallas_pair(
                         psi,
@@ -339,9 +349,7 @@ def _apply_sharded_gate(
         # homes in the layout -- zero compute, zero communication; the
         # final ``restore`` realizes whatever net permutation remains
         a, b = gate.qubits
-        pa, pb = layout.phys[a], layout.phys[b]
-        layout.phys[a], layout.phys[b] = pb, pa
-        layout.occupant[pa], layout.occupant[pb] = b, a
+        layout.note_swap(layout.phys[a], layout.phys[b])
         return psi
 
     if (
@@ -400,10 +408,7 @@ def _fuse_global_h(psi, t, layout: _QubitLayout, q_local: int,
     t_phys = layout.phys[t]
     victim = q_local - 1
     dev_bit = t_phys - q_local
-    a, b = layout.occupant[t_phys], layout.occupant[victim]
-    layout.occupant[t_phys], layout.occupant[victim] = b, a
-    layout.phys[a], layout.phys[b] = victim, t_phys
-    layout.exchange_count += 1
+    layout.note_swap(t_phys, victim, count=True)
     return h_exchange_fused_rdma(
         psi, dev_bit, axis_name, n_dev, interpret=interpret
     )
@@ -469,10 +474,7 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
     original = _QubitLayout.exchange
 
     def fake_exchange(self_, psi, g, l):
-        a, b = self_.occupant[g], self_.occupant[l]
-        self_.occupant[g], self_.occupant[l] = b, a
-        self_.phys[a], self_.phys[b] = l, g
-        self_.exchange_count += 1
+        self_.note_swap(g, l, count=True)
         return psi
 
     try:
@@ -495,9 +497,7 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
                 continue
             if gate.name == "swap":  # free relabel (see _apply_sharded_gate)
                 a, b = gate.qubits
-                pa, pb = layout.phys[a], layout.phys[b]
-                layout.phys[a], layout.phys[b] = pb, pa
-                layout.occupant[pa], layout.occupant[pb] = b, a
+                layout.note_swap(layout.phys[a], layout.phys[b])
                 continue
             if gate.name == "ucry":
                 psi = layout.make_local(

@@ -285,3 +285,24 @@ class TestShardedQuantumMode:
             )
         )
         np.testing.assert_allclose(shard, dense_new, atol=1e-12)
+
+
+def test_quantum_grad_finite_f32_at_saturation():
+    """f32 regression: entries with |d| >= 1 (alpha active) must keep
+    gradients finite.  A fixed (1 + 1e-8) subnormalization margin rounds to
+    exactly 1.0 in f32, putting arccos at +/-1 where its derivative is
+    -inf and every gradient NaN; the margin is now dtype-aware
+    (ops/quantum.py fable_diag_traced)."""
+    from qkan_implementation_tpu.ops.quantum import quantum_extract_diag_packed
+
+    diag = jnp.asarray([1.5, 0.3, -0.2, 0.7], dtype=jnp.float32)
+
+    def loss(d):
+        return jnp.sum(quantum_extract_diag_packed(d) ** 2)
+
+    g = jax.grad(loss)(diag)
+    assert g.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(g))), g
+    # forward accuracy survives the margin: round trip within f32 rounding
+    rec = quantum_extract_diag_packed(diag)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(diag), atol=1e-4)
