@@ -70,6 +70,21 @@ def _gram_chunk_kernel(max_degree: int, f: int, k: int):
     return chunk_stats
 
 
+def _project_targets(y: np.ndarray, n_components: int) -> np.ndarray:
+    """Project multi-target columns onto their top principal components.
+
+    [n, T] -> [n, P]: center, eigendecompose the TxT covariance (T is the
+    layer width -- small), keep the P highest-variance directions.  Pooled
+    residual scoring is rotation-invariant, so this EXACTLY equals scoring
+    the original targets with the (T - P) lowest-variance directions
+    removed -- a denoising projection for deep multi-output structure
+    search (``DegreeOptimizer(target_projection=P)``)."""
+    yc = y - y.mean(axis=0, keepdims=True)
+    evals, evecs = np.linalg.eigh(yc.T @ yc)
+    top = np.argsort(evals)[::-1][:n_components]
+    return yc @ evecs[:, top]
+
+
 class MetricType(Enum):
     """Supported metric types (TorchDegreeOptimizer.py:10-17)."""
 
@@ -85,6 +100,7 @@ class DegreeOptimizer(BaseOptimizer):
         max_degree: int,
         complexity_weight: float = 0.1,
         significance_threshold: float = 0.05,
+        target_projection: Optional[int] = None,
     ):
         super().__init__()
         self.network_shape = network_shape
@@ -92,6 +108,15 @@ class DegreeOptimizer(BaseOptimizer):
         self.max_degree = max_degree
         self.complexity_weight = complexity_weight
         self.significance_threshold = significance_threshold
+        # Multi-target scoring: project [n, T] targets onto their top-P
+        # principal components before pooling residuals.  Pooled MSE is
+        # rotation-invariant, so full-rank pooling weights every target
+        # direction equally -- high-variance noise directions flatten the
+        # per-degree score landscape and break the definitive-degree
+        # shortcut.  Projection keeps the P dominant structure directions
+        # (see evaluate_degree / _project_targets).  None = reference
+        # semantics (pool everything).
+        self.target_projection = target_projection
         self.transform_cache: Dict = {}
         self.degree_scores: Dict = {}
         self.data_same = True
@@ -147,6 +172,11 @@ class DegreeOptimizer(BaseOptimizer):
         feature_data = _extract_features(x_data).astype(np.float64)
         y = np.asarray(y_data, dtype=np.float64)
         y = y.reshape(-1, 1) if y.ndim == 1 else y
+        if (
+            self.target_projection is not None
+            and y.shape[1] > self.target_projection
+        ):
+            y = _project_targets(y, self.target_projection)
         cache_key = (
             feature_data.shape,
             hash(feature_data.tobytes()),

@@ -320,3 +320,43 @@ class TestMultiTarget:
         pred = opt.predict(x)
         assert pred.shape == (400, 2)
         assert np.all(np.isfinite(pred))
+
+
+def test_target_projection_sharpens_multi_target_scores():
+    """DegreeOptimizer(target_projection=P): pooled multi-target scoring is
+    rotation-invariant, so many pure-noise target columns add a constant
+    residual floor to every degree -- the argmin survives but the relative
+    improvements collapse below the definitive-degree threshold.  The
+    top-P PCA projection (optim.degree_optimizer._project_targets) keeps
+    the dominant structure direction and restores definitiveness."""
+    rng = np.random.default_rng(41)
+    n = 512
+    x = rng.uniform(-1, 1, (n, 1))
+    signal = 3.0 * np.cos(3.0 * np.arccos(np.clip(x[:, 0], -1, 1)))  # T_3
+    noise = rng.normal(size=(n, 31))  # unit-variance distractor targets
+    y = np.concatenate([signal[:, None], noise], axis=1)
+
+    pooled = DegreeOptimizer(
+        [1, 1], max_degree=3, significance_threshold=0.2
+    )
+    projected = DegreeOptimizer(
+        [1, 1], max_degree=3, significance_threshold=0.2,
+        target_projection=1,
+    )
+    s_pool, _ = pooled.evaluate_degree(x, y, method="svd")
+    s_proj, _ = projected.evaluate_degree(x, y, method="svd")
+
+    # both find the right degree...
+    assert int(np.argmin(s_pool)) == 3
+    assert int(np.argmin(s_proj)) == 3
+    # ...but only the projected scores are definitive at this threshold
+    ok_pool, _ = pooled.is_degree_definitive(s_pool)
+    ok_proj, d_proj = projected.is_degree_definitive(s_proj)
+    assert not ok_pool
+    assert ok_proj and d_proj == 3
+    # gram and svd agree under projection too
+    s_gram, _ = DegreeOptimizer(
+        [1, 1], max_degree=3, significance_threshold=0.2,
+        target_projection=1,
+    ).evaluate_degree(x, y, method="gram")
+    np.testing.assert_allclose(s_gram, s_proj, rtol=1e-6, atol=1e-10)
