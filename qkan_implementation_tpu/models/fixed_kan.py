@@ -135,10 +135,16 @@ def _layer_gram_kernels(dp1: int, in_dim: int, ridge: float):
         Gm = jnp.where(mm, G, 0.0) + jnp.diag(
             jnp.where(m, ridge * scale, 1.0)
         )
+        Gu = jnp.where(mm, G, 0.0)  # unridged masked block
         bm = jnp.where(m[:, None], bvec, 0.0)
-        c = jax.scipy.linalg.solve(Gm, bm, assume_a="pos")
+        cho = jax.scipy.linalg.cho_factor(Gm)
+        c = jax.scipy.linalg.cho_solve(cho, bm)
+        # one iterative-refinement step against the UNRIDGED system:
+        # cancels most of the ridge bias while keeping the stable
+        # factorization (matters at the f32 ridge floor)
+        c = c + jax.scipy.linalg.cho_solve(cho, bm - Gu @ c)
         # residual on the unridged system: yy - 2 c'b + c'Gc over the block
-        Gc = jnp.where(mm, G, 0.0) @ c
+        Gc = Gu @ c
         res = yy - 2.0 * jnp.sum(c * bm) + jnp.sum(c * Gc)
         return c, res
 
@@ -213,7 +219,14 @@ class FixedKAN:
         # is fine at f64 but NaNs the factorization at f32 (TPU default).
         ridge = float(cfg.lstsq_ridge)
         if basis.dtype == jnp.float32:
-            ridge = max(ridge, 3e-6)
+            # f32 Cholesky breaks down around cond ~ 1/eps ~ 8e6; the
+            # trace-scaled spectrum spans ~n/ridge, so ridge must sit near
+            # 1e-4 for the flagship shapes (n = (D+1)*in_dim ~ 64-320) or
+            # the factorization NaNs and the whole sweep silently falls
+            # back to the SVD path (paying Gram + SVD, slower than SVD
+            # alone).  The bias this adds is ~1e-4 relative -- scoring
+            # noise, not fit-quality noise ('svd' remains the exact path).
+            ridge = max(ridge, 1e-4)
         gram_fn, solve_fn = _layer_gram_kernels(dp1, in_dim, ridge)
         # degree-major columns so cumulative degrees are leading blocks
         G, bvec, yy = gram_fn(basis, y)
@@ -221,7 +234,10 @@ class FixedKAN:
         for d in range(dp1):
             k = (d + 1) * in_dim
             c, res = solve_fn(G, bvec, yy, k)
-            scores.append(max(float(res), 0.0) / b)
+            # res pools squared residuals over B rows AND T target
+            # columns: normalize by both so the score is the same
+            # mean((y - pred)**2) the svd and quantum paths report
+            scores.append(max(float(res), 0.0) / (b * t_dim))
             # reorder degree-major solution rows into the dim-major layout
             # the forward pass stores: [d+1, in, T] -> [in, d+1, T]
             c_dm = jnp.swapaxes(
@@ -282,11 +298,11 @@ class FixedKAN:
         for d in range(cfg.max_degree + 1):
             X = np.asarray(basis[:, :, : d + 1].reshape(b, -1))
             X_sub = X[sub]
-            X_rec = quantum_extract_block_columns(X_sub)
-            # resource accounting for the encoding actually simulated
-            from qkan_implementation_tpu.encoding.fable import fable
-
-            circuit, alpha = fable(X_sub)
+            # the returned circuit is the one actually simulated -- no
+            # second FABLE build just for resource accounting
+            X_rec, circuit, alpha = quantum_extract_block_columns(
+                X_sub, return_encoding=True
+            )
             self.last_quantum_resources.append(
                 {
                     "n_qubits": circuit.num_qubits,
@@ -389,7 +405,13 @@ class FixedKAN:
 
             in_dim = current.shape[1]
             t_dim = y.shape[1]
-            C = np.zeros((out_dim, in_dim, dp1, t_dim), dtype=np.asarray(y).dtype)
+            # coefficients are float regardless of the target dtype --
+            # integer labels (valid for train()) must not truncate the
+            # fitted lstsq coefficients to zeros
+            C = np.zeros(
+                (out_dim, in_dim, dp1, t_dim),
+                dtype=np.promote_types(np.asarray(y).dtype, np.float32),
+            )
             for o in range(out_dim):
                 d = int(degrees[o])
                 c = np.asarray(coeffs[d]).reshape(in_dim, d + 1, t_dim)

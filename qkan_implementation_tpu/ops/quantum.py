@@ -234,15 +234,20 @@ def qkan_layer_forward_quantum_batched(
 
 
 def quantum_extract_block_columns(
-    a: np.ndarray, num_rows: int | None = None, chunk: int = 64
-) -> np.ndarray:
+    a: np.ndarray, num_rows: int | None = None, chunk: int = 64,
+    return_encoding: bool = False,
+):
     """Recover a FABLE-encoded matrix from its circuit, column by column.
 
     Simulates U|e_c> for exactly the columns of ``a`` (chunked vmap) and
     reads the top block -- O(cols * 2^(2m+1)) work instead of the full
     O(4^(2m+1)) ``unitary()`` construction the round-1 quantum mode used
     (VERDICT r1 item 2: "stop encoding the [B,F] design matrix" cost).
-    Returns the recovered matrix with ``a``'s shape (or ``num_rows`` rows).
+    Returns the recovered matrix with ``a``'s shape (or ``num_rows`` rows);
+    with ``return_encoding=True`` returns ``(recovered, circuit, alpha)``
+    so resource accounting reuses the circuit that was actually simulated
+    instead of re-encoding (the arccos + gate emission is the expensive
+    part for large design matrices).
     """
     from qkan_implementation_tpu.encoding.fable import fable
 
@@ -261,6 +266,8 @@ def quantum_extract_block_columns(
         basis[np.arange(end - start), np.arange(start, end)] = 1.0
         amps = np.asarray(sim(jnp.asarray(basis)))
         out[:, start:end] = (amps[: end - start, :rows].T * alpha * block).real
+    if return_encoding:
+        return out, circuit, alpha
     return out
 
 

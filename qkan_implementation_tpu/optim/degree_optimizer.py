@@ -140,10 +140,19 @@ class DegreeOptimizer(BaseOptimizer):
         )  # [n, F, D+1]
         return {d: basis[:, :, d] for d in range(self.max_degree + 1)}
 
+    _TRANSFORM_CACHE_MAX = 4  # full [n, F, D+1] f64 bases: cap retention
+
     def _cached_transforms(self, feature_data: np.ndarray) -> Dict[int, np.ndarray]:
         key = hash(feature_data.tobytes())
         if key not in self.transform_cache:
+            # LRU eviction: each entry is a full float64 basis (up to
+            # ~n*F*(D+1)*8 bytes); unbounded retention is a slow leak on
+            # long-lived optimizers scoring many datasets/layers
+            while len(self.transform_cache) >= self._TRANSFORM_CACHE_MAX:
+                self.transform_cache.pop(next(iter(self.transform_cache)))
             self.transform_cache[key] = self._compute_transforms(feature_data)
+        else:
+            self.transform_cache[key] = self.transform_cache.pop(key)  # LRU touch
         return self.transform_cache[key]
 
     # -- scoring ----------------------------------------------------------
@@ -177,18 +186,28 @@ class DegreeOptimizer(BaseOptimizer):
             and y.shape[1] > self.target_projection
         ):
             y = _project_targets(y, self.target_projection)
+        if method == "auto":
+            big = feature_data.size * (self.max_degree + 1) > 2_000_000
+            method = "gram" if big else "svd"
+        # the key must cover EVERYTHING the scores depend on: the data, the
+        # targets, the sample weights, and the resolved scoring method --
+        # a weighted re-score on the same data must not return the cached
+        # unweighted scores
+        w_key = (
+            None
+            if weights is None
+            else hash(np.ascontiguousarray(weights).tobytes())
+        )
         cache_key = (
             feature_data.shape,
             hash(feature_data.tobytes()),
             y.shape,
             hash(y.tobytes()),
+            w_key,
+            method,
         )
         if cache_key in self.degree_scores and self.data_same:
             return self.degree_scores[cache_key]
-
-        if method == "auto":
-            big = feature_data.size * (self.max_degree + 1) > 2_000_000
-            method = "gram" if big else "svd"
 
         if method == "gram":
             scores, comp_r2 = self._evaluate_degree_gram(

@@ -360,3 +360,26 @@ def test_target_projection_sharpens_multi_target_scores():
         target_projection=1,
     ).evaluate_degree(x, y, method="gram")
     np.testing.assert_allclose(s_gram, s_proj, rtol=1e-6, atol=1e-10)
+
+
+def test_weighted_rescore_not_served_from_unweighted_cache():
+    """Regression: degree_scores was keyed on (x, y) only, so a weighted
+    evaluate_degree on the same data returned the cached UNWEIGHTED scores
+    (degree selection from the wrong landscape).  Weights and the resolved
+    method are now part of the key."""
+    rng = np.random.default_rng(7)
+    n = 200
+    x = rng.uniform(-1, 1, (n, 2))
+    y = x[:, 0] ** 2 + 0.1 * rng.normal(size=n)
+    w = (rng.uniform(size=n) < 0.2) * 10.0 + 0.1  # spiky weights
+
+    opt = DegreeOptimizer([2, 1], max_degree=3)
+    s_unw, _ = opt.evaluate_degree(x, y, method="svd")
+    s_w_cached_path, _ = opt.evaluate_degree(x, y, weights=w, method="svd")
+    fresh = DegreeOptimizer([2, 1], max_degree=3)
+    s_w_fresh, _ = fresh.evaluate_degree(x, y, weights=w, method="svd")
+
+    np.testing.assert_allclose(s_w_cached_path, s_w_fresh, rtol=1e-12)
+    assert not np.allclose(s_w_fresh, s_unw), (
+        "weighted scores should differ from unweighted on spiky weights"
+    )
