@@ -23,6 +23,18 @@ from qkan_implementation_tpu.anneal.qubo import QuboModel
 Term = FrozenSet[str]
 
 
+def _merge_constraints(a, b):
+    """Combine two constraint lists without duplicating shared entries.
+
+    ``e * e`` (and ``e ** n``) combine an expression with itself; naive
+    list concatenation would carry N copies of every constraint, so
+    ``decode_sample`` would evaluate (and report) each one N times.
+    Identity-dedupe preserves order and keeps genuinely distinct
+    constraints with equal labels."""
+    seen = {id(c) for c in a}
+    return list(a) + [c for c in b if id(c) not in seen]
+
+
 class QuboExpr:
     """A multilinear polynomial over binary variables."""
 
@@ -57,7 +69,9 @@ class QuboExpr:
         terms = dict(self.terms)
         for k, v in other.terms.items():
             terms[k] = terms.get(k, 0.0) + v
-        return QuboExpr(terms, self.constraints + other.constraints)
+        return QuboExpr(
+            terms, _merge_constraints(self.constraints, other.constraints)
+        )
 
     __radd__ = __add__
 
@@ -84,7 +98,9 @@ class QuboExpr:
             for k2, v2 in other.terms.items():
                 key = k1 | k2  # binary idempotence: x*x = x
                 terms[key] = terms.get(key, 0.0) + v1 * v2
-        return QuboExpr(terms, self.constraints + other.constraints)
+        return QuboExpr(
+            terms, _merge_constraints(self.constraints, other.constraints)
+        )
 
     __rmul__ = __mul__
 
@@ -186,11 +202,16 @@ class CompiledQubo:
     def to_bqm(self) -> QuboModel:
         return self.model
 
-    def decode_sample(self, sample: np.ndarray) -> "DecodedSample":
+    def decode_sample(
+        self, sample: np.ndarray, energy: float | None = None
+    ) -> "DecodedSample":
         assignment = {
             v: int(sample[self.index[v]]) for v in self.variables
         }
-        energy = float(self.model.energy(np.asarray(sample, dtype=np.float64)))
+        if energy is None:
+            energy = float(
+                self.model.energy(np.asarray(sample, dtype=np.float64))
+            )
         broken = {
             label: float(c.energy(assignment))
             for label, c in self.expr.constraints
@@ -201,7 +222,15 @@ class CompiledQubo:
     def decode_sampleset(
         self, samples: np.ndarray, energies: np.ndarray | None = None
     ) -> List["DecodedSample"]:
-        return [self.decode_sample(s) for s in np.atleast_2d(samples)]
+        rows = np.atleast_2d(samples)
+        if energies is None:
+            return [self.decode_sample(s) for s in rows]
+        # precomputed annealer energies: attach instead of recomputing the
+        # O(n^2) quadratic form per sample
+        return [
+            self.decode_sample(s, energy=float(e))
+            for s, e in zip(rows, np.atleast_1d(energies))
+        ]
 
     def solve(self, num_reads: int = 1000, num_sweeps: int = 1000, seed: int = 0):
         """Anneal this model and return the best decoded sample."""

@@ -21,6 +21,7 @@ from qkan_implementation_tpu.data.pipeline import DataPipeline
 from qkan_implementation_tpu.experiments.config import ExperimentConfig, load_config
 from qkan_implementation_tpu.experiments.evaluation import ModelEvaluator, ModelResult
 from qkan_implementation_tpu.experiments.visualization import ResultVisualizer
+from qkan_implementation_tpu.utils.metrics import compute_metrics
 from qkan_implementation_tpu.models.mlp import MLPConfig, mlp_predict, train_mlp
 from qkan_implementation_tpu.optim.degree_optimizer import DegreeOptimizer
 from qkan_implementation_tpu.utils.metrics import compute_metrics
@@ -75,9 +76,16 @@ def run_experiment(config_path: str):
                 model = DegreeOptimizer(
                     network_shape=model_config.network_shape,
                     max_degree=model_config.max_degree,
-                    complexity_weight=model_config.complexity_weight or 0.1,
-                    significance_threshold=model_config.significance_threshold
-                    or 0.05,
+                    complexity_weight=(
+                        model_config.complexity_weight
+                        if model_config.complexity_weight is not None
+                        else 0.1
+                    ),
+                    significance_threshold=(
+                        model_config.significance_threshold
+                        if model_config.significance_threshold is not None
+                        else 0.05
+                    ),
                 )
                 cv_scores = None
                 if model_config.degree_cv:
@@ -94,40 +102,56 @@ def run_experiment(config_path: str):
                         f"CV degree scores ({cv.get('strategy', 'expanding')},"
                         f" {cv.get('n_splits', 5)} folds): {cv_scores}"
                     )
-                optimal_degrees = model.optimize_layer(
-                    layer_idx=0,
-                    x_data=train_df,
-                    y_data=train_target.to_numpy(),
+                model.fit(
+                    train_df,
+                    train_target.to_numpy(),
                     weights=train_weight.to_numpy(),
-                    num_reads=model_config.num_reads or 1000,
+                    num_reads=(
+                        model_config.num_reads
+                        if model_config.num_reads is not None
+                        else 1000
+                    ),
                     seed=config.random_seed + trial,
                     scores=cv_scores,
                 )
-                scores, compr2_scores = model.evaluate_degree(
-                    x_data=val_df,
-                    y_data=val_target.to_numpy(),
-                    weights=val_weight.to_numpy(),
+                optimal_degrees = model.optimal_degrees
+                # metrics of the structure the annealer actually SELECTED,
+                # from real predictions -- not the best-over-all-degrees
+                # score array (which overstated quality whenever the QUBO
+                # picked a suboptimal degree), and with the same
+                # mse/r2/comp_r2 keys the mlp/fixed_kan branches report
+                val_metrics = compute_metrics(
+                    val_target.to_numpy(),
+                    model.predict(val_df),
+                    val_weight.to_numpy(),
                 )
-                train_scores, train_compr2 = model.evaluate_degree(
-                    x_data=train_df,
-                    y_data=train_target.to_numpy(),
-                    weights=train_weight.to_numpy(),
+                train_metrics = compute_metrics(
+                    train_target.to_numpy(),
+                    model.predict(train_df),
+                    train_weight.to_numpy(),
                 )
                 model_params = {"degrees": optimal_degrees}
-                val_metrics = {"mse": float(np.min(scores)), "r2": float(np.max(compr2_scores))}
-                train_metrics = {
-                    "mse": float(np.min(train_scores)),
-                    "r2": float(np.max(train_compr2)),
-                }
-                mse_score = float(np.average(scores))
-                r2_score_val = float(np.average(compr2_scores))
+                mse_score = val_metrics["mse"]
+                r2_score_val = val_metrics["comp_r2"]
             elif model_config.model_type == "mlp":
                 mlp_config = MLPConfig(
                     input_dim=len(config.data.feature_cols),
                     hidden_dims=model_config.hidden_dims or [32],
-                    learning_rate=model_config.learning_rate or 8e-5,
-                    batch_size=model_config.batch_size or 32,
-                    n_epochs=model_config.n_epochs or 10,
+                    learning_rate=(
+                        model_config.learning_rate
+                        if model_config.learning_rate is not None
+                        else 8e-5
+                    ),
+                    batch_size=(
+                        model_config.batch_size
+                        if model_config.batch_size is not None
+                        else 32
+                    ),
+                    n_epochs=(
+                        model_config.n_epochs
+                        if model_config.n_epochs is not None
+                        else 10
+                    ),
                 )
                 scores, compr2_scores, mlp_model = train_mlp(
                     mlp_config,
@@ -172,8 +196,11 @@ def run_experiment(config_path: str):
                         model_config.preset or "recommended",
                         network_shape=model_config.network_shape,
                         max_degree=model_config.max_degree or 3,
-                        complexity_weight=model_config.complexity_weight
-                        or 1e-3,
+                        complexity_weight=(
+                            model_config.complexity_weight
+                            if model_config.complexity_weight is not None
+                            else 1e-3
+                        ),
                     )
                 )
                 kan.optimize(

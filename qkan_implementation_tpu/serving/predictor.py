@@ -37,10 +37,15 @@ class BatchedPredictor:
         while b <= max_batch:
             self.buckets.append(b)
             b *= 2
+        if self.buckets[-1] != max_batch:
+            # non-power-of-two max_batch: keep it as the terminal bucket so
+            # every n <= max_batch is servable (one extra compiled shape)
+            self.buckets.append(max_batch)
         self._latencies: List[float] = []
-        self._apply = jax.jit(
-            lambda params, x: _kan_apply(params, x, model.config.max_degree)
-        )
+        self._served = 0  # monotonically increasing, unlike the trimmed window
+        # reuse the model's own jitted apply: same computation, same jit
+        # cache entry as direct FixedKAN calls
+        self._apply = model._apply
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -57,7 +62,9 @@ class BatchedPredictor:
             jax.block_until_ready(self._apply(self.model.params, x))
 
     def predict(self, inputs) -> np.ndarray:
-        x = np.asarray(inputs, dtype=np.float32)
+        # one cast straight to the serving dtype: a float64 predictor must
+        # not round-trip its inputs through float32
+        x = np.asarray(inputs, dtype=np.dtype(self.dtype))
         if x.ndim == 1:
             x = x[None, :]
         n = x.shape[0]
@@ -67,26 +74,21 @@ class BatchedPredictor:
                 [x, np.zeros((bucket - n, x.shape[1]), dtype=x.dtype)]
             )
         start = time.perf_counter()
-        out = self._apply(self.model.params, jnp.asarray(x, dtype=self.dtype))
+        out = self._apply(self.model.params, jnp.asarray(x))
         out = np.asarray(jax.block_until_ready(out))[:n]
         self._latencies.append(time.perf_counter() - start)
+        self._served += 1
         if len(self._latencies) > 1000:
             del self._latencies[:-1000]
         return out
 
     def stats(self) -> Dict[str, float]:
         if not self._latencies:
-            return {"requests": 0}
+            return {"requests": self._served}
         lat = np.array(self._latencies)
         return {
-            "requests": len(lat),
+            "requests": self._served,
             "latency_mean_ms": float(lat.mean() * 1e3),
             "latency_p50_ms": float(np.percentile(lat, 50) * 1e3),
             "latency_p99_ms": float(np.percentile(lat, 99) * 1e3),
         }
-
-
-def _kan_apply(params, x, max_degree):
-    from qkan_implementation_tpu.models.fixed_kan import kan_apply
-
-    return kan_apply(params, x, max_degree)

@@ -359,13 +359,14 @@ def h_gate_pallas(psi: jax.Array, qubit: int, interpret: bool = False):
 
 def simulate_fable_pallas(
     a: np.ndarray, psi0: jax.Array | None = None, interpret: bool = False
-) -> jax.Array:
+):
     """Simulate a FABLE block-encoding circuit with the Pallas kernels.
 
     Builds the circuit structure analytically (H on the row register, the
     fused ucry, register swap, H again) and executes every stage with the
     streaming kernels above where tile constraints allow, falling back to
-    the XLA ops otherwise.  Returns the final statevector.
+    the XLA ops otherwise.  Returns ``(psi, alpha)``: the final
+    statevector and the FABLE subnormalization.
     """
     from qkan_implementation_tpu.encoding.fable import fable
     from qkan_implementation_tpu.sim.statevector import apply_gate, zero_state
@@ -375,7 +376,15 @@ def simulate_fable_pallas(
     dim = 2**q
     psi = zero_state(q, jnp.float32) if psi0 is None else psi0
     for gate in circ.gates:
-        if gate.name == "ucry" and gate.qubits[0] == q - 1 and dim // 2 >= TILE:
+        # the MSB kernel indexes thetas by the state's low bits, so the
+        # control register must be the full descending run (the same guard
+        # as statevector._pallas_eligible) -- anything else falls back
+        if (
+            gate.name == "ucry"
+            and gate.qubits[0] == q - 1
+            and tuple(gate.qubits[1:]) == tuple(range(q - 2, -1, -1))
+            and dim // 2 >= TILE
+        ):
             thetas = jnp.asarray(np.asarray(gate.params), dtype=psi.dtype)
             psi = ucry_msb_pallas(psi, thetas, interpret=interpret)
         elif (

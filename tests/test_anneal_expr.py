@@ -112,3 +112,25 @@ def test_solve_via_annealer():
     best = H.compile().solve(num_reads=64, num_sweeps=200, seed=0)
     assert best.sample == {"q[0]": 0, "q[1]": 1, "q[2]": 0, "q[3]": 0}
     assert best.constraint_satisfied("one")
+
+
+def test_power_does_not_duplicate_constraints():
+    """Regression: e * e concatenated both operands' constraint lists, so
+    (Constraint(expr) ** n) carried n copies and decode_sample evaluated
+    each constraint n times."""
+    x = Binary("x")
+    y = Binary("y")
+    c = Constraint(x + y - 1, label="one")
+    h = (c ** 2) + c * c
+    assert len(h.constraints) == 1
+    model = h.compile()
+    dec = model.decode_sample(np.array([1, 0]))
+    assert dec.broken_constraints == {}
+
+
+def test_decode_sampleset_uses_given_energies():
+    x = Binary("x")
+    model = (2.0 * x).compile()
+    samples = np.array([[1], [0]])
+    decs = model.decode_sampleset(samples, energies=np.array([123.0, 7.0]))
+    assert decs[0].energy == 123.0 and decs[1].energy == 7.0

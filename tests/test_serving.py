@@ -90,3 +90,30 @@ def test_http_server_round_trip(trained_model):
             assert json.loads(r.read())["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_predictor_non_pow2_max_batch_and_counters(trained_model):
+    """Regression trio: (1) a non-power-of-two max_batch must serve every
+    n <= max_batch (a terminal bucket is added); (2) a float64 predictor
+    must not round-trip inputs through float32; (3) stats()['requests']
+    counts requests served, not the trimmed latency window."""
+    kan, _ = trained_model
+    p = BatchedPredictor(kan, max_batch=100)
+    assert p.buckets[-1] == 100
+    x = np.random.default_rng(0).uniform(-1, 1, (70, 2))
+    out = p.predict(x)
+    assert out.shape[0] == 70
+    with pytest.raises(ValueError):
+        p.predict(np.zeros((101, 2)))
+
+    p64 = BatchedPredictor(kan, max_batch=8, dtype=jnp.float64)
+    fine = np.full((1, 2), 0.1234567890123456, dtype=np.float64)
+    # the f64 value must survive: a float32 round-trip would truncate it
+    kept = np.asarray(fine, dtype=np.dtype(p64.dtype))
+    assert kept[0, 0] == fine[0, 0]
+    p64.predict(fine)
+
+    before = p.stats()["requests"]
+    for _ in range(3):
+        p.predict(x[:2])
+    assert p.stats()["requests"] == before + 3
