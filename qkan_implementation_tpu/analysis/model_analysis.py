@@ -19,21 +19,23 @@ import numpy as np
 def extract_degrees_from_checkpoint(model_file: str) -> Dict:
     """Per-layer degrees and coefficients from a FixedKAN .npz checkpoint
     (the analog of walking ``layers.{i}.neurons.{j}._selected_degree`` keys,
-    reference :20-87)."""
-    data = np.load(model_file)
-    config = json.loads(bytes(data["config_json"]).decode())
-    layers = []
-    i = 0
-    while f"layer{i}/degrees" in data:
-        layers.append(
-            {
-                "degrees": data[f"layer{i}/degrees"],
-                "coefficients": data[f"layer{i}/coefficients"],
-                "horizontal_weights": data[f"layer{i}/horizontal_weights"],
-            }
-        )
-        i += 1
-    return {"config": config, "layers": layers}
+    reference :20-87).  Parsing delegates to ``FixedKAN.load_model`` -- one
+    source of truth for the checkpoint layout, so format changes cannot
+    silently diverge between loading and analysis."""
+    from dataclasses import asdict
+
+    from qkan_implementation_tpu.models.fixed_kan import FixedKAN
+
+    kan = FixedKAN.load_model(model_file)
+    layers = [
+        {
+            "degrees": np.asarray(lp["degrees"]),
+            "coefficients": np.asarray(lp["coefficients"]),
+            "horizontal_weights": np.asarray(lp["horizontal_weights"]),
+        }
+        for lp in kan.params
+    ]
+    return {"config": asdict(kan.config), "layers": layers}
 
 
 def compute_model_stats(model_info: Dict) -> Dict:

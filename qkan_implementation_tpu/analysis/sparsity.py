@@ -27,16 +27,15 @@ class SparsityMetrics:
     zero_clusters: List[Tuple[int, int]]
 
 
-def _null_clusters(is_null: np.ndarray, offset: int, min_len: int) -> list:
-    """Runs of consecutive nulls longer than ``min_len`` (reference :74-81)."""
+def _null_runs(is_null: np.ndarray) -> list:
+    """(start, end) of every consecutive null run in a chunk, unfiltered
+    (the min-length filter happens after cross-chunk merging -- filtering
+    per chunk would split boundary-spanning runs into droppable
+    fragments; reference diff-of-transitions trick, :74-81)."""
     transitions = np.diff(np.concatenate([[False], is_null, [False]]).astype(np.int8))
     starts = np.where(transitions == 1)[0]
     ends = np.where(transitions == -1)[0]
-    return [
-        (int(s + offset), int(e + offset))
-        for s, e in zip(starts, ends)
-        if e - s > min_len
-    ]
+    return [(int(s), int(e)) for s, e in zip(starts, ends)]
 
 
 def compute_sparsity(
@@ -56,6 +55,13 @@ def compute_sparsity(
     date_nulls: Dict[str, int] = {}
     date_counts: Dict[str, int] = {}
     zero_clusters: List[Tuple[int, int]] = []
+    # per-column null run left open at the previous chunk's boundary:
+    # col -> (global_start, global_end_so_far)
+    open_runs: Dict[str, Tuple[int, int]] = {}
+
+    def _emit(run):
+        if run[1] - run[0] > cluster_min_len:
+            zero_clusters.append(run)
 
     for batch in pf.iter_batches(batch_size=chunk_size, columns=read_cols):
         chunk = batch.to_pandas()
@@ -66,7 +72,21 @@ def compute_sparsity(
         for col in feature_cols:
             col_null = null_mask[col].to_numpy()
             null_counts[col] += int(col_null.sum())
-            zero_clusters.extend(_null_clusters(col_null, offset, cluster_min_len))
+            runs = [
+                (s + offset, e + offset) for s, e in _null_runs(col_null)
+            ]
+            pending = open_runs.pop(col, None)
+            if pending is not None:
+                if runs and runs[0][0] == offset and pending[1] == offset:
+                    # the open run continues straight into this chunk
+                    runs[0] = (pending[0], runs[0][1])
+                else:
+                    _emit(pending)
+            if runs and runs[-1][1] == offset + n:
+                # run touches the chunk end: stays open for the next chunk
+                open_runs[col] = runs.pop()
+            for run in runs:
+                _emit(run)
         if has_dates:
             row_nulls = null_mask.sum(axis=1).to_numpy()
             for date, idx in chunk.groupby(date_col).indices.items():
@@ -74,13 +94,17 @@ def compute_sparsity(
                 date_nulls[key] = date_nulls.get(key, 0) + int(row_nulls[idx].sum())
                 date_counts[key] = date_counts.get(key, 0) + len(idx)
 
+    for col in feature_cols:  # flush runs open at end-of-file
+        if col in open_runs:
+            _emit(open_runs.pop(col))
+
     denom = max(len(feature_cols) * total_rows, 1)
     overall = sum(null_counts.values()) / denom
     column_sparsity = {
         c: null_counts[c] / max(total_rows, 1) for c in feature_cols
     }
     time_based = {
-        d: date_nulls[d] / (len(feature_cols) * date_counts[d])
+        d: date_nulls[d] / max(len(feature_cols) * date_counts[d], 1)
         for d in date_nulls
     }
     return SparsityMetrics(

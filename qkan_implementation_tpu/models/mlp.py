@@ -115,11 +115,13 @@ def train_mlp(
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),  # train_utils.py:42
         optax.adam(config.learning_rate),
-        optax.contrib.reduce_on_plateau(
-            factor=0.5, patience=2, accumulation_size=1
-        ),  # ReduceLROnPlateau(factor=0.5, patience=2), train_utils.py:39
     )
     opt_state = tx.init(params)
+    # ReduceLROnPlateau(factor=0.5, patience=2) stepped ONCE PER EPOCH on
+    # the validation loss (train_utils.py:39), exactly like the reference --
+    # implemented as a per-epoch lr scale below.  (Stepping a plateau
+    # transform per mini-batch with a pre-seeded value poisons its best
+    # tracker and collapses the lr within one epoch.)
 
     def loss_fn(params, bn_state, xb, yb, wb):
         pred, new_state = mlp_apply(params, bn_state, xb, train=True)
@@ -130,13 +132,12 @@ def train_mlp(
         return loss, new_state
 
     @partial(jax.jit, static_argnames=("weighted",))
-    def step(params, bn_state, opt_state, xb, yb, wb, val_loss, weighted):
+    def step(params, bn_state, opt_state, xb, yb, wb, lr_scale, weighted):
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, bn_state, xb, yb, wb if weighted else None
         )
-        updates, opt_state = tx.update(
-            grads, opt_state, params, value=val_loss
-        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss
 
@@ -147,9 +148,11 @@ def train_mlp(
     rng = np.random.default_rng(seed)
     scores, compr2_scores = [], []
     best_val = np.inf
-    best = (params, bn_state)
+    best = None  # only meaningful with a validation set
     patience_counter = 0
-    val_loss = jnp.asarray(0.0, dtype=x.dtype)
+    lr_scale = jnp.asarray(1.0, dtype=x.dtype)
+    sched_best = np.inf  # plateau scheduler state (per-epoch)
+    sched_wait = 0
     weighted = w is not None
     wb_dummy = w if weighted else jnp.zeros_like(y)
 
@@ -160,16 +163,17 @@ def train_mlp(
             idx = perm[s * config.batch_size : (s + 1) * config.batch_size]
             wb = wb_dummy[idx]
             params, bn_state, opt_state, loss = step(
-                params, bn_state, opt_state, x[idx], y[idx], wb, val_loss, weighted
+                params, bn_state, opt_state, x[idx], y[idx], wb, lr_scale, weighted
             )
             total += float(loss)
 
+        sched_metric = total / steps  # train loss when no validation set
         if x_val is not None and y_val is not None:
             xv = jnp.asarray(x_val)
             yv = jnp.asarray(y_val).reshape(-1, 1)
             pred = eval_fn(params, bn_state, xv)
             val_mse = float(jnp.mean((pred - yv) ** 2))
-            val_loss = jnp.asarray(val_mse, dtype=x.dtype)
+            sched_metric = val_mse
             scores.append(val_mse)
             if w_val is not None:
                 wv = jnp.asarray(w_val).reshape(-1)
@@ -187,6 +191,15 @@ def train_mlp(
                 if verbose:
                     print(f"Early stopping triggered at epoch {epoch}")
                 break
+        # per-epoch plateau lr schedule (factor 0.5, patience 2)
+        if sched_metric < sched_best - 1e-12:
+            sched_best = sched_metric
+            sched_wait = 0
+        else:
+            sched_wait += 1
+            if sched_wait >= 2:
+                lr_scale = lr_scale * 0.5
+                sched_wait = 0
         if verbose:
             msg = f"Epoch {epoch}, Loss: {total/steps:.4f}"
             if scores:
@@ -195,7 +208,11 @@ def train_mlp(
                 msg += f", Val compR2: {compr2_scores[-1]:.4f}"
             print(msg)
 
-    params, bn_state = best  # best-state restore (train_utils.py:130-131)
+    if best is not None:
+        # best-state restore (train_utils.py:130-131); with no validation
+        # set there is no selection signal -- keep the final weights
+        # (restoring the pre-training init would discard all learning)
+        params, bn_state = best
     model = {"params": params, "bn_state": bn_state, "config": config}
     return scores, compr2_scores, model
 

@@ -178,6 +178,38 @@ def optimize_circuit(circuit, eps: float = 1e-12):
     return out
 
 
+def circuit_depth_native(circuit) -> int:
+    """Circuit depth via the C++ level-propagation pass.
+
+    The native ABI carries two qubit slots per gate, so any gate acting on
+    3+ qubits (ucry/diag over a register) cannot be represented -- those
+    circuits fall back to the Python ``Circuit.depth()`` (same definition)
+    rather than silently undercounting.
+    """
+    if any(len(g.qubits) > 2 for g in circuit.gates):
+        return circuit.depth()
+    lib = load_native()
+    n = len(circuit.gates)
+    q0 = np.zeros(n, dtype=np.int32)
+    q1 = np.full(n, -1, dtype=np.int32)
+    for i, g in enumerate(circuit.gates):
+        q0[i] = g.qubits[0]
+        if len(g.qubits) > 1:
+            q1[i] = g.qubits[1]
+    keep = np.ones(n, dtype=np.uint8)
+    ipc = ctypes.POINTER(ctypes.c_int)
+    upc = ctypes.POINTER(ctypes.c_uint8)
+    return int(
+        lib.qkan_circuit_depth(
+            n,
+            q0.ctypes.data_as(ipc),
+            q1.ctypes.data_as(ipc),
+            keep.ctypes.data_as(upc),
+            circuit.num_qubits,
+        )
+    )
+
+
 def energies_native(model, samples: np.ndarray) -> np.ndarray:
     lib = load_native()
     samples = np.ascontiguousarray(np.atleast_2d(samples), dtype=np.float64)

@@ -13,15 +13,38 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 
+#: column names/prefixes that are never model inputs -- excluded from the
+#: all-columns fallback so a frame carrying its target or date alongside
+#: unprefixed features cannot silently leak them into the transforms
+_NON_FEATURE_COLS = ("date_id", "weight", "weights")
+_NON_FEATURE_PREFIXES = ("responder",)
+
+
 def _extract_features(x_data) -> np.ndarray:
     """Accept a pandas DataFrame (select ``feature_*`` columns, like the
     reference's ``^feature_.*$`` polars selector, BaseOptimizer.py:23) or a
-    plain array."""
+    plain array.  A frame with no ``feature_*`` columns falls back to every
+    column EXCEPT known label/date/weight names (logged) -- feeding the
+    target into the degree transforms would be silent leakage."""
     if hasattr(x_data, "filter") and hasattr(x_data, "columns"):  # DataFrame
         feats = [c for c in x_data.columns if str(c).startswith("feature_")]
         if feats:
             return x_data[feats].to_numpy()
-        return x_data.to_numpy()
+        cols = [
+            c
+            for c in x_data.columns
+            if str(c) not in _NON_FEATURE_COLS
+            and not str(c).startswith(_NON_FEATURE_PREFIXES)
+        ]
+        dropped = [c for c in x_data.columns if c not in cols]
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "No feature_* columns; using %d columns and excluding "
+                "likely non-features %s", len(cols), dropped,
+            )
+        return x_data[cols].to_numpy()
     return np.asarray(x_data)
 
 
@@ -36,26 +59,12 @@ class BaseOptimizer(ABC):
     """Base class for QKAN optimizers implementing shared functionality."""
 
     def __init__(self):
-        self.fold_caches: Dict = {}
+        pass
 
-    def _compute_collapsed_combinations(
-        self, x_data, fold_id: str | None = None
-    ) -> Dict[int, np.ndarray]:
-        """Precompute (and cache per fold) the Chebyshev transform dict.
-
-        Equivalent of BaseOptimizer._compute_collapsed_combinations
-        (reference :12-28); the cache key hashes the underlying feature
-        bytes rather than ``str(df)`` (the reference hashes a repr, which
-        collides on elided rows).
-        """
-        feature_data = _extract_features(x_data)
-        digest = hash(feature_data.tobytes())
-        cache_key = f"{fold_id}_{digest}" if fold_id else digest
-        if cache_key in self.fold_caches:
-            return self.fold_caches[cache_key]
-        transforms = self._compute_transforms(feature_data)
-        self.fold_caches[cache_key] = transforms
-        return transforms
+    # NOTE: the reference's _compute_collapsed_combinations fold cache
+    # (BaseOptimizer.py:12-28) lives in DegreeOptimizer._cached_transforms,
+    # which adds the LRU cap these full-basis entries need; a second
+    # uncapped cache here would reintroduce the leak and drift.
 
     @abstractmethod
     def _compute_transforms(self, feature_data: np.ndarray) -> Dict[int, np.ndarray]:

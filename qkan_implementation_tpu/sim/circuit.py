@@ -26,7 +26,7 @@ def _as_param_array(values):
     return np.asarray(values).reshape(-1)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Gate:
     """One gate: a name, target qubit tuple, and static parameters.
 
@@ -34,6 +34,10 @@ class Gate:
     significant bit of the gate matrix's index.  ``params`` is a (possibly
     empty) numpy array of static parameters -- rotation angles, or the packed
     matrix for a generic unitary.
+
+    ``eq=False``: the generated structural __eq__/__hash__ would call
+    bool()/hash() on the parameter ARRAYS (ValueError / TypeError for any
+    ucry/diag/unitary gate); identity semantics are the usable contract.
     """
 
     name: str

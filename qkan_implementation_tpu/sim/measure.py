@@ -2,7 +2,9 @@
 
 The reference only ever extracts unitaries, but Aer's simulator surface also
 provides probabilities, counts, and expectation values; production serving
-of quantum-verified models needs the same.  All functions are jit-friendly.
+of quantum-verified models needs the same.  Everything except
+``sample_counts`` is jit-friendly (counting into a python dict is a host
+operation by nature).
 """
 
 from __future__ import annotations
@@ -18,8 +20,8 @@ def probabilities(psi: jax.Array) -> jax.Array:
     return p / jnp.sum(p)
 
 
-def sample_counts(psi: jax.Array, shots: int, key, num_qubits: int | None = None):
-    """Measurement counts over ``shots`` samples.
+def sample_counts(psi: jax.Array, shots: int, key):
+    """Measurement counts over ``shots`` samples (host-side; not jittable).
 
     Returns (bitstring_indices [shots], counts dict {basis_index: count}).
     """

@@ -101,3 +101,25 @@ def test_model_analysis_round_trip(tmp_path):
     )
     assert all_stats[0]["results"]["metrics"]["test_accuracy"] == 0.9
     assert fig is not None
+
+
+def test_sparsity_clusters_merge_across_chunk_boundaries(tmp_path):
+    """Regression: clusters were computed per chunk, so a null run spanning
+    a chunk boundary was split into fragments that each fell under
+    cluster_min_len and vanished."""
+    import pandas as pd
+    from qkan_implementation_tpu.analysis.sparsity import compute_sparsity
+
+    n = 60
+    col = np.arange(n, dtype=float)
+    # one 20-row null run centered on the row-30 chunk boundary
+    col[20:40] = np.nan
+    df = pd.DataFrame({"feature_00": col})
+    path = str(tmp_path / "s.parquet")
+    df.to_parquet(path)
+
+    m = compute_sparsity(path, chunk_size=30, cluster_min_len=10)
+    assert m.zero_clusters == [(20, 40)], m.zero_clusters
+    # whole-file single chunk agrees
+    m2 = compute_sparsity(path, chunk_size=1000, cluster_min_len=10)
+    assert m2.zero_clusters == [(20, 40)]

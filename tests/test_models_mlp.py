@@ -65,3 +65,37 @@ def test_unweighted_training_runs():
     scores, compr2, model = train_mlp(config, x, y)
     assert scores == [] and compr2 == []  # no validation set
     assert mlp_predict(model, x).shape == (128, 1)
+
+
+def test_train_without_validation_set_keeps_learned_weights():
+    """Regression: without a validation set, `best` was never reassigned
+    and the post-loop restore returned the untrained init network."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (256, 3))
+    y = x @ np.array([1.0, -2.0, 0.5]) + 0.3
+    config = MLPConfig(
+        input_dim=3, hidden_dims=[16], learning_rate=1e-2,
+        batch_size=64, n_epochs=30,
+    )
+    scores, _, model = train_mlp(config, x, y)
+    pred = np.asarray(mlp_predict(model, x)).ravel()
+    mse = float(np.mean((pred - y) ** 2))
+    assert mse < 0.1 * float(np.var(y)), mse
+
+
+def test_validation_training_actually_reduces_val_mse():
+    """Regression: the plateau transform was stepped per mini-batch with a
+    0.0-seeded best value, collapsing the lr within one epoch; per-epoch
+    scheduling must let easy data train to low validation MSE."""
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-1, 1, (400, 2))
+    y = 2.0 * x[:, 0] - x[:, 1]
+    xv = rng.uniform(-1, 1, (100, 2))
+    yv = 2.0 * xv[:, 0] - xv[:, 1]
+    config = MLPConfig(
+        input_dim=2, hidden_dims=[16], learning_rate=1e-2,
+        batch_size=64, n_epochs=40,
+    )
+    scores, _, model = train_mlp(config, x, y, x_val=xv, y_val=yv)
+    assert scores[-1] < 0.1 * float(np.var(yv)), scores[-5:]
+    assert min(scores) < scores[0]

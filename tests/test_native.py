@@ -137,3 +137,30 @@ def test_optimizer_on_fable_elementary_circuit():
     np.testing.assert_allclose(
         np.asarray(unitary(opt)), np.asarray(unitary(circ)), atol=1e-9
     )
+
+
+def test_circuit_depth_native_matches_python():
+    from qkan_implementation_tpu.native_bindings import (
+        circuit_depth_native,
+        native_available,
+    )
+    from qkan_implementation_tpu.sim import Circuit
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(2)
+    circ = Circuit(5)
+    for _ in range(40):
+        k = int(rng.integers(0, 3))
+        if k == 0:
+            circ.h(int(rng.integers(0, 5)))
+        elif k == 1:
+            a, b = rng.choice(5, size=2, replace=False)
+            circ.cx(int(a), int(b))
+        else:
+            circ.ry(float(rng.uniform(-1, 1)), int(rng.integers(0, 5)))
+    assert circuit_depth_native(circ) == circ.depth()
+
+    # 3+-qubit gates can't ride the 2-slot ABI: falls back to Python depth
+    circ.ucry(np.zeros(4), controls=(0, 1), target=4)
+    assert circuit_depth_native(circ) == circ.depth()
