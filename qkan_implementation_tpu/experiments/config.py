@@ -7,7 +7,7 @@ Rebuild of ``Testing and Visualization Framework/config.py`` (reference
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import yaml

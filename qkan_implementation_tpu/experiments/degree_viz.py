@@ -85,9 +85,13 @@ def plot_degree_optimization_improved(
     title: str = "Degree Optimization Results",
 ):
     """Four-panel version with per-degree prediction overlays and best-fit
-    highlight (reference plot_degree_optimization_improved :53-145)."""
-    x_np = np.asarray(x_data).reshape(-1, 1)
+    highlight (reference plot_degree_optimization_improved :53-145).
+
+    Multi-feature inputs plot against the first feature (like the sibling
+    ``plot_degree_optimization``) instead of crashing on a misaligned
+    flatten-to-column reshape."""
     y_np = np.asarray(y_data).reshape(-1, 1)
+    x_np = np.asarray(x_data).reshape(len(y_np), -1)
     sort_idx = np.argsort(x_np[:, 0])
     x_sorted = x_np[sort_idx]
     y_sorted = y_np[sort_idx]

@@ -51,7 +51,7 @@ def chebyshev_t(x: jax.Array, degree: int) -> jax.Array:
     values.  Degree is static.
     """
     if degree < 0:
-        raise ValueError("Degree must be positive integer.")
+        raise ValueError("Degree must be a non-negative integer.")
     x = jnp.clip(x, -1.0, 1.0)
     return jnp.cos(degree * jnp.arccos(x))
 
@@ -80,7 +80,7 @@ def chebyshev_basis(x: jax.Array, max_degree: int, clip: bool = True) -> jax.Arr
     interval.
     """
     if max_degree < 0:
-        raise ValueError("Degree must be positive integer.")
+        raise ValueError("Degree must be a non-negative integer.")
     if clip:
         x = jnp.clip(x, -1.0, 1.0)
     cols = [jnp.ones_like(x)]

@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis, dilate
+from qkan_implementation_tpu.ops.chebyshev import (
+    chebyshev_basis,
+    chebyshev_t,
+    dilate,
+)
 
 
 def weighted_chebyshev_diag(
@@ -34,8 +38,10 @@ def weighted_chebyshev_diag(
     ``MulStep.get_weighted_polynomial_matrix`` (reference ``MulStep.py:41-72``)
     without the dense diag.
     """
-    basis = chebyshev_basis(x, degree)  # [N, degree+1]
-    return dilate(basis[..., degree], K) * weights
+    # single-column recurrence: building the whole [N, degree+1] stack to
+    # slice one column wastes O(N*D) work/memory
+    t = chebyshev_t(x, degree)
+    return dilate(t, K) * weights
 
 
 def lcu_combine_diag(x: jax.Array, weights: jax.Array, K: int) -> jax.Array:

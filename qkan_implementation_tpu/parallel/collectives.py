@@ -43,5 +43,16 @@ def pairwise_exchange(x, axis_name: str, partner_bit: int, n_devices: int):
     partner_bit).  Implemented as a single ppermute, which XLA maps to a
     bidirectional ICI exchange.
     """
+    if n_devices & (n_devices - 1):
+        raise ValueError(
+            f"pairwise_exchange needs a power-of-two device count, got "
+            f"{n_devices} (non-power counts leave some devices without a "
+            f"hypercube partner)"
+        )
+    if (1 << partner_bit) >= n_devices:
+        raise ValueError(
+            f"partner_bit {partner_bit} out of range for {n_devices} "
+            f"devices (need 1 << partner_bit < n_devices)"
+        )
     perm = [(i, i ^ (1 << partner_bit)) for i in range(n_devices)]
     return jax.lax.ppermute(x, axis_name, perm)

@@ -19,10 +19,13 @@ import numpy as np
 
 
 def _flatten(y_true, y_pred, weights=None):
-    y_true = jnp.asarray(y_true).reshape(-1)
-    y_pred = jnp.asarray(y_pred).reshape(-1)
+    # float working dtype regardless of input (integer labels are valid
+    # targets; jnp.finfo and the ratio math need an inexact dtype)
+    ft = jnp.result_type(jnp.asarray(y_true).dtype, jnp.float32)
+    y_true = jnp.asarray(y_true, dtype=ft).reshape(-1)
+    y_pred = jnp.asarray(y_pred, dtype=ft).reshape(-1)
     if weights is not None:
-        weights = jnp.asarray(weights).reshape(-1)
+        weights = jnp.asarray(weights, dtype=ft).reshape(-1)
     return y_true, y_pred, weights
 
 
@@ -32,7 +35,10 @@ def mse(y_true, y_pred, weights=None) -> float:
     sq = (y_true - y_pred) ** 2
     if weights is None:
         return float(jnp.mean(sq))
-    return float(jnp.sum(weights * sq) / jnp.sum(weights))
+    wsum = float(jnp.sum(weights))
+    if wsum == 0.0:
+        return 0.0  # degenerate all-zero weights: consistent with the R^2s
+    return float(jnp.sum(weights * sq) / wsum)
 
 
 def r2_score(y_true, y_pred, weights=None) -> float:
@@ -40,11 +46,18 @@ def r2_score(y_true, y_pred, weights=None) -> float:
     y_true, y_pred, weights = _flatten(y_true, y_pred, weights)
     if weights is None:
         weights = jnp.ones_like(y_true)
+    if float(jnp.sum(weights)) == 0.0:
+        return 0.0  # degenerate all-zero weights (w_mean would be 0/0)
     w_mean = jnp.sum(weights * y_true) / jnp.sum(weights)
     ss_res = jnp.sum(weights * (y_true - y_pred) ** 2)
     ss_tot = jnp.sum(weights * (y_true - w_mean) ** 2)
+    # SCALE-RELATIVE degeneracy test: an absolute eps threshold wrongly
+    # zeroes small-magnitude targets (variance 5e-19 is meaningful when
+    # the targets are ~1e-4); only a variance at rounding level of the
+    # target energy is truly constant
     eps = jnp.finfo(y_true.dtype).eps
-    if float(ss_tot) < float(eps):
+    scale = float(jnp.sum(weights * y_true**2))
+    if float(ss_tot) <= float(eps) * max(scale, 0.0):
         return 0.0
     return float(1.0 - ss_res / ss_tot)
 
@@ -60,8 +73,7 @@ def weighted_competition_r2(y_true, y_pred, weights=None) -> float:
         weights = jnp.ones_like(y_true)
     num = jnp.sum(weights * (y_true - y_pred) ** 2)
     den = jnp.sum(weights * y_true**2)
-    eps = jnp.finfo(y_true.dtype).eps
-    if float(den) < float(eps):
+    if float(den) == 0.0:
         return 0.0
     return float(1.0 - num / den)
 

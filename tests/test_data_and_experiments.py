@@ -281,3 +281,36 @@ def test_run_experiment_with_degree_cv(tmp_path):
     results = run_experiment(str(cfg_path))
     assert len(results) == 1
     assert np.isfinite(results[0].MSE_Score)
+
+
+def test_metrics_integer_targets_and_small_scale():
+    """Regression trio for utils.metrics: integer targets must score (not
+    crash on jnp.finfo of an int dtype); tiny-magnitude targets must not be
+    zeroed by an absolute-eps degeneracy guard; all-zero weights return the
+    same guarded 0.0 across mse and both R^2 flavors."""
+    from qkan_implementation_tpu.utils.metrics import (
+        mse,
+        r2_score,
+        weighted_competition_r2,
+    )
+
+    assert r2_score([1, 2, 3], [1, 2, 3]) == 1.0
+    assert weighted_competition_r2([1, 2, 3], [1, 2, 3]) == 1.0
+
+    y = np.array([1e-4, 1.5e-4, 0.7e-4])
+    pred = y.copy()
+    assert r2_score(y, pred) == 1.0  # absolute-eps guard would return 0.0
+
+    z = np.zeros(3)
+    assert mse(y, pred, weights=z) == 0.0
+    assert r2_score(y, pred, weights=z) == 0.0
+    assert weighted_competition_r2(y, pred, weights=z) == 0.0
+
+
+def test_pairwise_exchange_validates_inputs():
+    from qkan_implementation_tpu.parallel.collectives import pairwise_exchange
+
+    with pytest.raises(ValueError, match="power-of-two"):
+        pairwise_exchange(np.zeros(4), "d", 1, 6)
+    with pytest.raises(ValueError, match="out of range"):
+        pairwise_exchange(np.zeros(4), "d", 3, 8)
