@@ -129,12 +129,18 @@ def qkan_layer_forward_batched(
         x = x.astype(compute_dtype)
     basis = chebyshev_basis(x, max_degree)  # [B, N, D+1]
     M = qkan_weight_tensor(weights, N, K)  # [K, N, D+1]
-    if compute_dtype is not None:
-        M = M.astype(compute_dtype)
     b = x.shape[0]
+    M2 = M.reshape(K, -1).T
+    if compute_dtype is not None:
+        # cast the FINAL dot operand, after the reshape/transpose: placing
+        # the convert before them breaks XLA's backward fusion and costs a
+        # measured 2.8x on the fwd+bwd step (A/B on v5e, 2026-08-17 --
+        # convert(transpose(M)) fuses into the dot read, transpose(convert)
+        # does not)
+        M2 = M2.astype(compute_dtype)
     return jnp.dot(
         basis.reshape(b, -1),
-        M.reshape(K, -1).T,
+        M2,
         preferred_element_type=(
             jnp.float32 if compute_dtype is not None else basis.dtype
         ),
