@@ -59,6 +59,15 @@ class FixedKANConfig:
     # row cap for use_quantum=True (block-encoding circuit size is set by
     # max(rows, cols) padded to a power of two); 0/None disables the cap
     quantum_sample_cap: int = 256
+    # optional MXU input dtype for the forward pass ('bfloat16'): the
+    # bf16io mixed-precision inference recipe -- bf16 multiplies, f32
+    # accumulation (kan_layer_apply).  None = exact f32/f64 semantics.
+    # Measured on v5e at the flagship [784,32,16,16,10] shape the forward
+    # is tanh/basis-bound and bf16 is perf-neutral (0.78 ms either way at
+    # B=16384); the win appears on WIDE layers like the QKAN batched op
+    # (docs/benchmarks.md bf16io: 1.57x at K=128) -- the flag exists for
+    # those deployments and for halving activation bandwidth.
+    compute_dtype: Optional[str] = None
 
     #: Named switch bundles for the reference-faithful-vs-fixed behaviors.
     #: 'reference' keeps the dataclass defaults (every reference quirk
@@ -151,12 +160,19 @@ def _layer_gram_kernels(dp1: int, in_dim: int, ridge: float):
     return gram_fn, solve_fn
 
 
-def kan_layer_apply(layer_params: dict, x: jax.Array, max_degree: int) -> jax.Array:
+def kan_layer_apply(
+    layer_params: dict, x: jax.Array, max_degree: int, compute_dtype=None
+) -> jax.Array:
     """Apply one KAN layer: [B, in] -> [B, target_dim].
 
     y = sum_o hw_o * (cumulative_transform(tanh(x))[<=d_o] @ C_o), the fused
     form of the reference's per-neuron loop (KANLayer.forward:180-188,
     KANNeuron.forward:72-82).
+
+    ``compute_dtype``: optional MXU input dtype for mixed-precision
+    inference (the layer-op bf16io recipe, docs/benchmarks.md): the FINAL
+    einsum operands are cast (cast placement matters -- see
+    ops/qkan_layer.py) and accumulation stays f32.  Output returns in f32.
     """
     t = jnp.tanh(x)
     basis = chebyshev_basis(t, max_degree, clip=False)  # [B, in, D+1]
@@ -167,14 +183,25 @@ def kan_layer_apply(layer_params: dict, x: jax.Array, max_degree: int) -> jax.Ar
     coeffs = layer_params["coefficients"]  # [out, in, D+1, T]
     hw = layer_params["horizontal_weights"]  # [out]
     weighted = coeffs * mask[:, None, :, None] * hw[:, None, None, None]
-    return jnp.einsum("bid,oidt->bt", basis, weighted)
+    if compute_dtype is None:
+        return jnp.einsum("bid,oidt->bt", basis, weighted)
+    return jnp.einsum(
+        "bid,oidt->bt",
+        basis.astype(compute_dtype),
+        weighted.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
 
 
-def kan_apply(params: list, x: jax.Array, max_degree: int) -> jax.Array:
+def kan_apply(
+    params: list, x: jax.Array, max_degree: int, compute_dtype=None
+) -> jax.Array:
     """Full forward pass through all layers (FixedKAN.forward:369-374)."""
     current = x
     for layer_params in params:
-        current = kan_layer_apply(layer_params, current, max_degree)
+        current = kan_layer_apply(
+            layer_params, current, max_degree, compute_dtype
+        )
     return current
 
 
@@ -184,8 +211,15 @@ class FixedKAN:
     def __init__(self, config: FixedKANConfig):
         self.config = config
         self.params: Optional[list] = None
+        cd = (
+            jnp.dtype(config.compute_dtype)
+            if config.compute_dtype
+            else None
+        )
         self._apply = jax.jit(
-            partial(kan_apply, max_degree=config.max_degree),
+            partial(
+                kan_apply, max_degree=config.max_degree, compute_dtype=cd
+            ),
         )
 
     # -- structure optimization ------------------------------------------

@@ -397,3 +397,34 @@ def test_optimize_with_integer_targets_keeps_float_coefficients():
     assert np.max(np.abs(C)) > 0.0, "integer targets truncated coefficients"
     hw = np.asarray(kan.params[0]["horizontal_weights"])
     assert np.issubdtype(hw.dtype, np.floating)
+
+
+def test_compute_dtype_bf16_inference_parity():
+    """FixedKANConfig(compute_dtype='bfloat16'): mixed-precision inference
+    (bf16 einsum operands, f32 accumulation) within bf16 rounding of the
+    exact forward, f32 output dtype, and checkpoint round-trip keeps the
+    flag."""
+    import tempfile, os
+
+    x, y = quadratic_data()
+    exact = FixedKAN(FixedKANConfig(network_shape=[1, 4, 1], max_degree=3))
+    exact.optimize(x, y, solver="exact")
+    mixed = FixedKAN(
+        FixedKANConfig(
+            network_shape=[1, 4, 1], max_degree=3, compute_dtype="bfloat16"
+        )
+    )
+    mixed.params = exact.params
+    out_e = np.asarray(exact(x), dtype=np.float32)
+    out_m = np.asarray(mixed(x))
+    assert out_m.dtype == np.float32
+    np.testing.assert_allclose(out_m, out_e, atol=3e-2)
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.npz")
+        mixed.save_model(path)
+        loaded = FixedKAN.load_model(path)
+        assert loaded.config.compute_dtype == "bfloat16"
+        np.testing.assert_allclose(
+            np.asarray(loaded(x)), out_m, atol=1e-6
+        )
