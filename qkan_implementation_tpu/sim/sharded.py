@@ -314,7 +314,6 @@ def _apply_sharded_gate(
         if (
             use_pallas
             and target == q_local - 1
-            and local_controls == tuple(range(q_local - 2, -1, -1))
             and not jnp.issubdtype(psi.dtype, jnp.complexfloating)
         ):
             from qkan_implementation_tpu.sim.pallas_kernels import (
@@ -325,6 +324,13 @@ def _apply_sharded_gate(
 
             half = 2 ** (q_local - 1)
             if half % TILE == 0:
+                # any local control structure rides the MSB kernel: the
+                # static gather broadcasts the selected angles over the
+                # half-block's low bits (identity for the canonical
+                # descending register -- same trick as the RDMA path;
+                # without it the lazy H-wall layout scrambles the control
+                # order and this fast path silently never fires)
+                expand = _broadcast_local_angles(local_controls, q_local)
                 if isinstance(gate.params, np.ndarray):
                     # static angles: host trig + device-bit selection
                     # (shared helper), then the sliceless trig-free kernel
@@ -333,13 +339,19 @@ def _apply_sharded_gate(
                     )
                     return ucry_msb_cs_pallas_pair(
                         psi,
-                        jnp.asarray(cs, dtype=psi.dtype).reshape(-1),
-                        jnp.asarray(sn, dtype=psi.dtype).reshape(-1),
+                        expand(
+                            jnp.asarray(cs, dtype=psi.dtype).reshape(-1)
+                        ),
+                        expand(
+                            jnp.asarray(sn, dtype=psi.dtype).reshape(-1)
+                        ),
                         interpret=interpret,
                     )
                 return ucry_msb_pallas(
                     psi,
-                    jnp.asarray(thetas, dtype=psi.dtype).reshape(-1),
+                    expand(
+                        jnp.asarray(thetas, dtype=psi.dtype).reshape(-1)
+                    ),
                     interpret=interpret,
                 )
         return _apply_ucry(psi, thetas, target, local_controls, q_local)

@@ -39,8 +39,10 @@ def test_complex_noisy_piecewise_target():
         learning_rate=0.01, loss="mse",
     )
     mse = float(jnp.mean((kan(jnp.asarray(x)) - jnp.asarray(y)) ** 2))
-    # noise floor is 0.0025; the piecewise jumps keep it above that
-    assert mse < 0.5, mse
+    # noise floor 0.0025, zero-predictor 0.77, achieved 0.048: the bar sits
+    # 2.5x above achieved so it constrains real quality, not just "did
+    # anything run" (the old 0.5 bar passed a 35%-of-variance fit)
+    assert mse < 0.12, mse
 
 
 def test_2d_fractal_function_grid():
@@ -60,7 +62,9 @@ def test_2d_fractal_function_grid():
     )
     mse = float(jnp.mean((kan(jnp.asarray(x)) - jnp.asarray(y)) ** 2))
     assert mse <= base_mse
-    assert mse < 0.25, (base_mse, mse)
+    # zero-predictor MSE for this target is 0.233 -- the bar must sit BELOW
+    # it or an all-zeros model passes; achieved is 0.093
+    assert mse < 0.15, (base_mse, mse)
 
     # analysis + visualization on 2-D input exercises the 3-D/contour path
     analysis = kan.analyze_network(jnp.asarray(x))
@@ -113,6 +117,23 @@ def test_chain_sharded_annealing_on_mesh():
     np.testing.assert_allclose(energies, model.energy(samples), atol=1e-4)
     # chains on different devices explored different states
     assert len({tuple(s) for s in samples[:64]}) > 1
+    # GROUND-TRUTH teeth: the degree QUBO is block-independent, so the
+    # global optimum is the blockwise argmin energy -- the sharded chains
+    # must actually find it (random initial states do not)
+    dp1 = len(scores)
+    best = np.zeros(dp1 * 4)
+    h = np.asarray(model.h)
+    J = np.asarray(model.J)
+    for blk in range(4):
+        sl = slice(blk * dp1, (blk + 1) * dp1)
+        cand_e = []
+        for d in range(dp1):
+            s = np.zeros_like(best)
+            s[blk * dp1 + d] = 1.0
+            cand_e.append(h[sl] @ s[sl] + 0.5 * s[sl] @ J[sl, sl] @ s[sl])
+        best[blk * dp1 + int(np.argmin(cand_e))] = 1.0
+    truth = float(model.energy(best))
+    assert float(energies.min()) <= truth + 1e-9, (energies.min(), truth)
 
 
 def test_visualize_analysis_1d(tmp_path):

@@ -63,9 +63,15 @@ def test_auto_backend_matches_xla_on_random_mixed_circuit():
 
 def test_unitary_through_fused_path_stays_unitary():
     rng = np.random.default_rng(6)
-    circ, alpha = fable(np.diag(rng.uniform(-1, 1, 8)))
+    d = rng.uniform(-1, 1, 8)
+    circ, alpha = fable(np.diag(d))
     u = np.asarray(unitary(circ))
     np.testing.assert_allclose(u @ u.T, np.eye(u.shape[0]), atol=1e-9)
+    # unitarity alone passes for ANY permutation/misapplied-gate bug in the
+    # fusion pass; the block-encoding contract pins the actual values
+    np.testing.assert_allclose(
+        u[:8, :8] * alpha * 8, np.diag(d), atol=1e-9
+    )
 
 
 def test_noncontiguous_h_register_segments():
@@ -108,11 +114,39 @@ def test_runtime_fable_executor_differentiable():
 
     def loss(cs, sn):
         psi = simulate_fable_runtime(jnp.asarray(cs), jnp.asarray(sn), n)
-        return jnp.sum(psi[:8] ** 2)
+        # full-state, asymmetric loss: the top-block-only quadratic has an
+        # exactly-zero sn gradient at the FABLE point (FD-verified), which
+        # would make the sn checks vacuous; psi**3 over the whole state
+        # exercises both operands and catches transposed cotangents
+        return jnp.sum(psi**3)
 
     g_cs, g_sn = jax.grad(loss, argnums=(0, 1))(
         jnp.asarray(cs), jnp.asarray(sn)
     )
     assert np.any(np.abs(np.asarray(g_cs)) > 1e-8)
+    assert np.any(np.abs(np.asarray(g_sn)) > 1e-8)
     assert np.all(np.isfinite(np.asarray(g_cs)))
     assert np.all(np.isfinite(np.asarray(g_sn)))
+
+    # FINITE-DIFFERENCE spot checks: finiteness alone passes for a wrong
+    # VJP (sign flip, factor, transposed indexing).  Central differences on
+    # a few coefficients of each operand pin the actual values.
+    eps = 1e-6
+    cs0, sn0 = np.asarray(cs, dtype=np.float64), np.asarray(sn, dtype=np.float64)
+    for arr, grad, which in ((cs0, g_cs, 0), (sn0, g_sn, 1)):
+        flat = arr.reshape(-1)
+        for idx in (0, len(flat) // 2, len(flat) - 1):
+            up, dn = flat.copy(), flat.copy()
+            up[idx] += eps
+            dn[idx] -= eps
+            args_u = [cs0, sn0]
+            args_d = [cs0, sn0]
+            args_u[which] = up.reshape(arr.shape)
+            args_d[which] = dn.reshape(arr.shape)
+            fd = (
+                float(loss(jnp.asarray(args_u[0]), jnp.asarray(args_u[1])))
+                - float(loss(jnp.asarray(args_d[0]), jnp.asarray(args_d[1])))
+            ) / (2 * eps)
+            np.testing.assert_allclose(
+                np.asarray(grad).reshape(-1)[idx], fd, rtol=1e-5, atol=1e-8
+            )

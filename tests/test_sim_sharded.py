@@ -120,16 +120,36 @@ def test_fable_block_encoding_sharded(mesh8):
 
 
 def test_20_qubit_sharded_run(mesh8):
-    # The BASELINE north-star scale: a 20-qubit statevector across the mesh.
+    # The BASELINE north-star scale: a 20-qubit statevector across the
+    # mesh, with ANALYTIC physics checks (norm alone passes for any
+    # unitary-preserving bug -- wrong exchange permutations included).
     q = 20
+    theta = 0.25
     circ = Circuit(q)
     for t in range(q):
         circ.h(t)
-    circ.cx(19, 0).cx(0, 19).ry(0.25, 18)
+    circ.cx(19, 0).cx(0, 19).ry(theta, 18)
     psi = sharded_simulate(circ, mesh8)
-    # norm preserved, amplitudes finite
+    assert np.all(np.isfinite(np.asarray(psi)))
     total = float(jnp.sum(jnp.abs(psi) ** 2))
     np.testing.assert_allclose(total, 1.0, atol=1e-6)
+
+    # analytic marginals: H makes every qubit P(1)=1/2; the CX pair
+    # permutes the uniform state (marginals unchanged); Ry(theta) on the
+    # |+> qubit 18 gives P(1) = (1 + sin theta)/2
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("t",))
+    def marginal(p, t):
+        return jnp.sum(
+            (p**2).reshape(-1, 2, 2**t)[:, 1, :]
+        )
+
+    for t in (0, 7, 17, 19):
+        np.testing.assert_allclose(float(marginal(psi, t)), 0.5, atol=1e-9)
+    np.testing.assert_allclose(
+        float(marginal(psi, 18)), (1.0 + np.sin(theta)) / 2.0, atol=1e-9
+    )
 
 
 def test_global_heavy_circuit_with_layout_tracking(mesh8):
@@ -215,12 +235,23 @@ def test_exact_amplitudes_15_qubit_fable_circuit(mesh8):
     np.testing.assert_allclose(shard[:128] * alpha * 128, a[:, 0], atol=1e-8)
 
 
-def test_pallas_ucry_inside_shard_map(mesh8):
+def test_pallas_ucry_inside_shard_map(mesh8, monkeypatch):
     # backend='pallas' routes the FABLE ucry through the streaming kernel
     # INSIDE the shard_map local (interpret mode on the CPU mesh); the
-    # result must stay amplitude-exact vs dense.
+    # result must stay amplitude-exact vs dense, and the kernel must
+    # actually FIRE (every eligibility miss silently falls back to the
+    # plain XLA ucry, which would make this a duplicate of the dense test).
+    import qkan_implementation_tpu.sim.pallas_kernels as pk
     from qkan_implementation_tpu.encoding import fable
-    from qkan_implementation_tpu.sim.sharded import _QubitLayout
+
+    fired = []
+    orig = pk.ucry_msb_cs_pallas_pair
+
+    def counting(*a, **k):
+        fired.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pk, "ucry_msb_cs_pallas_pair", counting)
 
     rng = np.random.default_rng(17)
     a = np.diag(rng.uniform(-1, 1, 128))
@@ -231,6 +262,7 @@ def test_pallas_ucry_inside_shard_map(mesh8):
             sharded_simulate(circ, mesh8, backend="pallas", dtype=jnp.float32)
         )
     )
+    assert fired, "Pallas ucry kernel did not fire inside shard_map"
     np.testing.assert_allclose(shard, dense, atol=1e-6)
 
 
