@@ -342,10 +342,18 @@ def test_fanin_lr_scaling_stabilizes_deep_training():
     base = float(
         (np.asarray(m(jnp.asarray(xt))).argmax(1) == yt).mean()
     )
+    before = [np.asarray(lp["coefficients"]).copy() for lp in m.params]
     m.train(
         jnp.asarray(x), jnp.asarray(y), epochs=4, learning_rate=2e-3,
         trainable="all", lr_scale="fanin", grad_clip=1.0,
     )
+    # negative control: 'did not degrade' must not be satisfiable by a
+    # training no-op -- the parameters have to actually move
+    moved = any(
+        not np.allclose(np.asarray(lp["coefficients"]), b)
+        for lp, b in zip(m.params, before)
+    )
+    assert moved, "fanin-scaled training updated no parameters"
     trained = float(
         (np.asarray(m(jnp.asarray(xt))).argmax(1) == yt).mean()
     )
@@ -419,6 +427,11 @@ def test_compute_dtype_bf16_inference_parity():
     out_m = np.asarray(mixed(x))
     assert out_m.dtype == np.float32
     np.testing.assert_allclose(out_m, out_e, atol=3e-2)
+    # negative control: if compute_dtype were silently ignored the outputs
+    # would be bit-identical; bf16 rounding guarantees a nonzero diff
+    assert np.max(np.abs(out_m - out_e)) > 0.0, (
+        "bf16 path produced bit-identical output -- compute_dtype ignored?"
+    )
 
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "m.npz")

@@ -69,12 +69,13 @@ def test_weighted_changes_scores():
     df, y = poly_frame(degree=3, n=150)
     rng = np.random.default_rng(2)
     w = rng.uniform(0.1, 2.0, len(y))
+    # IDENTICAL noisy target for both calls: with fresh noise per call the
+    # scores would differ even if the weights argument were ignored
+    yn = y + 0.1 * rng.normal(size=y.shape)
     opt = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
-    s_unweighted, _ = opt.evaluate_degree(df, y + 0.1 * rng.normal(size=y.shape))
+    s_unweighted, _ = opt.evaluate_degree(df, yn)
     opt2 = DegreeOptimizer(network_shape=[1, 1], max_degree=3)
-    s_weighted, _ = opt2.evaluate_degree(
-        df, y + 0.1 * rng.normal(size=y.shape), weights=w
-    )
+    s_weighted, _ = opt2.evaluate_degree(df, yn, weights=w)
     assert not np.allclose(s_unweighted, s_weighted)
 
 

@@ -63,6 +63,15 @@ def test_fable_simulation_pallas_end_to_end():
     np.testing.assert_allclose(
         float(jnp.linalg.norm(psi)), 1.0, atol=1e-5
     )
+    # FULL-STATE oracle: norm + 32 amplitudes pass for any norm-preserving
+    # corruption of the other 2016 amplitudes (e.g. a wrong permutation
+    # outside the block region)
+    from qkan_implementation_tpu.encoding import fable
+    from qkan_implementation_tpu.sim import simulate
+
+    circ, _ = fable(a)
+    ref = np.asarray(simulate(circ, backend="xla", dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(psi), ref, atol=1e-5)
 
 
 def test_tile_size_validation():
@@ -92,17 +101,30 @@ def test_ucry_cs_variant_matches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
 
 
-def test_simulate_auto_uses_cs_path_for_static_fable():
+def test_simulate_auto_uses_cs_path_for_static_fable(monkeypatch):
     # simulate(backend='pallas') on a static-angle FABLE circuit routes the
-    # ucry through the precomputed-trig kernel; result must match XLA.
+    # ucry through the precomputed-trig kernel; result must match XLA, and
+    # the kernel must actually FIRE (any _pallas_eligible miss silently
+    # falls back to apply_gate, making pallas == xla trivially true).
+    import qkan_implementation_tpu.sim.pallas_kernels as pk
     from qkan_implementation_tpu.encoding import fable
     from qkan_implementation_tpu.sim import simulate
+
+    fired = []
+    orig = pk.ucry_msb_cs_pallas_pair
+
+    def counting(*a, **k):
+        fired.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pk, "ucry_msb_cs_pallas_pair", counting)
 
     rng = np.random.default_rng(10)
     a = rng.uniform(-1, 1, (32, 32))  # 11-qubit circuit, M=1024 = one tile
     circ, alpha = fable(a)
     xla = np.asarray(simulate(circ, backend="xla", dtype=jnp.float32))
     pallas = np.asarray(simulate(circ, backend="pallas", dtype=jnp.float32))
+    assert fired, "CS Pallas kernel did not fire under backend='pallas'"
     np.testing.assert_allclose(pallas, xla, atol=1e-5)
 
 
@@ -175,3 +197,44 @@ def test_ucry_kernels_differentiable():
         g = jax.grad(loss, argnums=(0, 1))(psi, th)
         np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g_ref[0]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(g[1]), np.asarray(g_ref[1]), atol=1e-5)
+
+
+def test_multi_block_grid_path(monkeypatch):
+    """Every default-size test collapses the pallas_call grid to one block
+    (TILE=1024, BLOCK_ROWS=512 vs rows<=16), so BlockSpec index maps for
+    i>0 never execute.  Shrinking BLOCK_ROWS forces a real multi-block
+    grid through the ucry and H kernels under interpret mode."""
+    import qkan_implementation_tpu.sim.pallas_kernels as pk
+    from qkan_implementation_tpu.sim.pallas_kernels import (
+        h_gate_pallas,
+        ucry_msb_cs_pallas_pair,
+    )
+    from qkan_implementation_tpu.sim import Circuit, simulate
+
+    monkeypatch.setattr(pk, "BLOCK_ROWS", 2)  # rows=16 -> grid of 8 blocks
+    q = 12
+    rng = np.random.default_rng(21)
+    psi = jnp.asarray(rng.standard_normal(2**q), dtype=jnp.float32)
+    psi = psi / jnp.linalg.norm(psi)
+    thetas = rng.uniform(-np.pi, np.pi, 2 ** (q - 1))
+
+    circ = Circuit(q)
+    circ.ucry(thetas, tuple(range(q - 2, -1, -1)), q - 1)
+    want = np.asarray(
+        simulate(circ, psi0=psi, backend="xla", dtype=jnp.float32)
+    )
+    got = ucry_msb_cs_pallas_pair(
+        psi,
+        jnp.asarray(np.cos(thetas / 2), dtype=jnp.float32),
+        jnp.asarray(np.sin(thetas / 2), dtype=jnp.float32),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    ch = Circuit(q)
+    ch.h(q - 1)
+    want_h = np.asarray(
+        simulate(ch, psi0=psi, backend="xla", dtype=jnp.float32)
+    )
+    got_h = h_gate_pallas(psi, q - 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_h), want_h, atol=1e-6)

@@ -156,3 +156,22 @@ def test_real_circuit_uses_real_dtype():
     circ = Circuit(2).h(0).cx(0, 1)
     psi = simulate(circ)
     assert not np.iscomplexobj(np.asarray(psi))
+
+
+def test_ry_convention_hardcoded_oracle():
+    """Pin the Ry sign convention against an INDEPENDENT hard-coded matrix
+    (the other gate oracles are hard-coded, but the ry/cry/ucry tests
+    build their expectations from the implementation's own ry_matrix -- a
+    sin-sign flip would survive the whole suite otherwise).
+
+    Ry(theta) = [[cos t/2, -sin t/2], [sin t/2, cos t/2]] (Qiskit/reference
+    convention: Ry(theta)|0> = cos(t/2)|0> + sin(t/2)|1>)."""
+    theta = 0.7
+    c, s = np.cos(theta / 2), np.sin(theta / 2)
+    circ = Circuit(1)
+    circ.ry(theta, 0)
+    psi0 = np.asarray(simulate(circ))  # from |0>
+    np.testing.assert_allclose(psi0, [c, s], atol=1e-12)
+    one = jnp.zeros(2, dtype=jnp.float64).at[1].set(1.0)
+    psi1 = np.asarray(simulate(circ, psi0=one))  # from |1>
+    np.testing.assert_allclose(psi1, [-s, c], atol=1e-12)
