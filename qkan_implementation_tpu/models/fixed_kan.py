@@ -609,13 +609,34 @@ class FixedKAN:
         steps = max(1, n // batch_size)
         rng = np.random.default_rng(seed)
         losses = []
+        # divergence detection: the per-step loss is already fetched to the
+        # host, so a non-finite value costs nothing extra to catch -- stop
+        # immediately and restore the last finite epoch's parameters
+        # instead of silently returning a NaN-poisoned model
+        last_good = params
+        diverged = False
         for epoch in range(epochs):
             perm = rng.permutation(n)
             total = 0.0
             for s in range(steps):
                 idx = perm[s * batch_size : (s + 1) * batch_size]
                 params, opt_state, l = step(params, opt_state, x[idx], y_train[idx])
-                total += float(l)
+                lf = float(l)
+                if not np.isfinite(lf):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "Non-finite loss at epoch %d step %d; stopping and "
+                        "restoring the last finite epoch's parameters",
+                        epoch, s,
+                    )
+                    params = last_good
+                    diverged = True
+                    break
+                total += lf
+            if diverged:
+                break
+            last_good = params
             losses.append(total / steps)
             if verbose:
                 print(f"Epoch {epoch+1}/{epochs}, avg Loss: {losses[-1]:.4f}")

@@ -441,3 +441,22 @@ def test_compute_dtype_bf16_inference_parity():
         np.testing.assert_allclose(
             np.asarray(loaded(x)), out_m, atol=1e-6
         )
+
+
+def test_train_divergence_detection_restores_finite_params():
+    """Failure detection (SURVEY section 5): a diverging training run (here
+    an absurd learning rate on a deep-ish stack) must stop at the first
+    non-finite loss and return the last finite parameters instead of a
+    NaN-poisoned model."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(-1, 1, (128, 4)))
+    y = jnp.asarray(rng.normal(size=(128, 1)))
+    kan = FixedKAN(FixedKANConfig(network_shape=[4, 6, 1], max_degree=3))
+    kan.optimize(x, y, solver="exact")
+    kan.train(
+        x, y, epochs=30, batch_size=32, learning_rate=1e12, loss="mse"
+    )
+    for lp in kan.params:
+        assert np.all(np.isfinite(np.asarray(lp["coefficients"])))
+        assert np.all(np.isfinite(np.asarray(lp["horizontal_weights"])))
+    assert np.all(np.isfinite(np.asarray(kan(x))))
