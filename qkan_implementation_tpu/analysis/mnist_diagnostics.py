@@ -22,6 +22,16 @@ def analyze_sample_distribution(
     """Class-distribution + pixel statistics of a sample, optionally compared
     to the full dataset (reference analyze_mnist_sample :8-61)."""
     y = np.asarray(y_train_labels)
+    # widen num_classes to cover any out-of-range label in EITHER array so
+    # the sample-vs-full percentage diff always broadcasts (bincount with
+    # minlength alone yields different lengths when one side holds a label
+    # >= num_classes)
+    if full_labels is not None and len(np.asarray(full_labels)):
+        num_classes = max(
+            num_classes, int(np.asarray(full_labels).max()) + 1
+        )
+    if len(y):
+        num_classes = max(num_classes, int(y.max()) + 1)
     class_counts = np.bincount(y, minlength=num_classes)
     class_percentages = class_counts / max(len(y), 1) * 100
 

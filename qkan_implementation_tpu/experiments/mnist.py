@@ -184,19 +184,34 @@ def run_mnist_n_times(
     distribution diagnostics (reference test_mnist_n_times, :411-475)."""
     all_results = []
     distributions = []
-    x_full, y_full, _ = load_mnist(
-        root=experiment_kwargs.get("data_root"), train=True
-    )
+    base_seed = int(experiment_kwargs.pop("seed", 0))
+    # diagnostics must describe the SAME corpus the runs train on -- with
+    # dataset='digits-784' sampling load_mnist here would measure class
+    # balance of data the experiment never saw
+    if experiment_kwargs.get("dataset") == "digits-784":
+        from qkan_implementation_tpu.data.mnist import load_digits_784
+
+        x_full, y_full, _ = load_digits_784(
+            train=True,
+            augment_to=experiment_kwargs.get("train_size", 10000),
+            seed=base_seed,
+        )
+    else:
+        x_full, y_full, _ = load_mnist(
+            root=experiment_kwargs.get("data_root"), train=True
+        )
     for run in range(n):
         res = run_mnist_experiment(
-            seed=run, verbose=verbose, **experiment_kwargs
+            seed=base_seed + run, verbose=verbose, **experiment_kwargs
         )
         res.pop("_model", None)
         all_results.append(res)
         train_size = min(
             experiment_kwargs.get("train_size", 10000), len(x_full)
         )
-        x_s, y_s = sample_train_subset(x_full, y_full, train_size, seed=run)
+        x_s, y_s = sample_train_subset(
+            x_full, y_full, train_size, seed=base_seed + run
+        )
         distributions.append(
             analyze_sample_distribution(
                 x_s, y_s, full_labels=y_full, verbose=False

@@ -54,9 +54,20 @@ def make_server(predictor: BatchedPredictor, host: str = "127.0.0.1", port: int 
                     self._send(400, {"error": "missing 'inputs'"})
                     return
                 outputs = predictor.predict(np.asarray(inputs, dtype=np.float64))
+                if not np.all(np.isfinite(outputs)):
+                    # 'NaN'/'Infinity' tokens are not valid JSON; a model
+                    # producing them is a server-side fault, not a 200
+                    self._send(
+                        500, {"error": "model produced non-finite outputs"}
+                    )
+                    return
                 self._send(200, {"outputs": outputs.tolist()})
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 -- runtime faults (XLA
+                # errors, OOM) must still produce an HTTP response; the
+                # default handler would close the socket with no status
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -112,7 +112,16 @@ def timeit_chained(fn, x, iters: int = 50, consts: tuple = ()) -> float:
     t_long = min(
         _timed(lambda: float(c_long(x, *consts))) for _ in range(2)
     )
-    return max(t_long - t_short, 1e-12) / (long_n - short_n)
+    slope = (t_long - t_short) / (long_n - short_n)
+    # Noise floor: when the two chain timings are within measurement noise
+    # the slope can be ~0 or negative, and callers would report absurd
+    # ~1e12 ops/sec.  Fall back to the long chain's average per-step time
+    # -- a safe UPPER bound on the true per-step cost (it still contains
+    # 1/long_n of the fixed fetch cost, so it only overstates the time).
+    floor = t_long / long_n / 50.0
+    if slope < floor:
+        return t_long / long_n
+    return slope
 
 
 def _timed(thunk) -> float:
