@@ -67,6 +67,13 @@ class BatchedPredictor:
         x = np.asarray(inputs, dtype=np.dtype(self.dtype))
         if x.ndim == 1:
             x = x[None, :]
+        in_dim = self.model.config.network_shape[0]
+        if x.ndim != 2 or x.shape[1] != in_dim:
+            # without this, a size-1 model input dim silently BROADCASTS
+            # against mis-shaped requests via einsum instead of failing
+            raise ValueError(
+                f"Expected inputs of shape [n, {in_dim}], got {x.shape}"
+            )
         n = x.shape[0]
         bucket = self._bucket_for(n)
         if bucket != n:

@@ -62,7 +62,6 @@ def test_split_is_date_based(tmp_path):
     df = df.tail(cfg.n_rows).sort_values(cfg.date_col).reset_index(drop=True)
     norm = pipeline._normalize_features(df)
     train_feats, _, _, val_feats, _, _ = pipeline._train_val_split(norm)
-    train_dates = set(norm[cfg.date_col][: len(train_feats)])
     # dates are disjoint between train and val
     n_train = len(train_feats)
     dates = norm[cfg.date_col].to_numpy()
@@ -92,7 +91,11 @@ def test_constant_feature_fallback(tmp_path):
         date_col="date_id",
     )
     train_df, *_ = DataPipeline(cfg).load_and_preprocess_data()
-    assert np.all(np.isfinite(train_df.to_numpy()))
+    vals = train_df.to_numpy()
+    assert np.all(np.isfinite(vals))
+    # the documented fallback (scale -> std -> 1.0) centers a constant
+    # column to EXACTLY zero; finiteness alone passes for any wrong scale
+    assert np.all(vals == 0.0), vals[:3]
 
 
 def test_yaml_config_auto_features(tmp_path):
@@ -184,9 +187,14 @@ def test_run_experiment_end_to_end(tmp_path):
     assert (tmp_path / "logs" / "mini_experiment.log").exists()
 
 
-def test_mnist_fallback_loader():
-    x, y, meta = load_mnist(train=True)
-    xt, yt, _ = load_mnist(train=False)
+def test_mnist_fallback_loader(tmp_path):
+    # empty data root FORCES the sklearn-digits fallback; without pinning
+    # the source, a machine with real MNIST files would silently test the
+    # idx loader instead and the 64-dim digits contract would go untested
+    x, y, meta = load_mnist(root=str(tmp_path), train=True)
+    xt, yt, _ = load_mnist(root=str(tmp_path), train=False)
+    assert meta["source"] == "digits", meta
+    assert meta["image_dim"] == 64
     assert x.ndim == 2 and x.shape[1] == meta["image_dim"]
     assert x.min() >= 0.0 and x.max() <= 1.0
     assert set(np.unique(y)).issubset(set(range(10)))
@@ -278,7 +286,23 @@ def test_run_experiment_with_degree_cv(tmp_path):
     }
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
-    results = run_experiment(str(cfg_path))
+    # spy: the CV scoring path must actually run (count/finiteness hold
+    # with CV silently disabled, e.g. a dropped or renamed degree_cv key)
+    from qkan_implementation_tpu.optim.degree_optimizer import DegreeOptimizer
+
+    calls = {}
+    orig_cv = DegreeOptimizer.evaluate_degree_cv
+
+    def spy(self, *a, **k):
+        calls["n_splits"] = k.get("n_splits")
+        return orig_cv(self, *a, **k)
+
+    DegreeOptimizer.evaluate_degree_cv = spy
+    try:
+        results = run_experiment(str(cfg_path))
+    finally:
+        DegreeOptimizer.evaluate_degree_cv = orig_cv
+    assert calls.get("n_splits") == 3, "degree_cv path did not run"
     assert len(results) == 1
     assert np.isfinite(results[0].MSE_Score)
 

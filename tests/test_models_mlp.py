@@ -25,6 +25,19 @@ def test_forward_shapes_and_batchnorm_modes():
     assert not np.allclose(np.asarray(new_state["mean"]), 0.0)
     out_eval, same_state = mlp_apply(params, state, x, train=False)
     assert same_state is state
+    assert out_eval.shape == (32, 1)
+    # negative control for the batchnorm MODES: with warmed running stats
+    # (!= batch stats), eval-mode output must differ from train-mode, and
+    # eval mode must be deterministic (pure function of running stats)
+    out_eval2, _ = mlp_apply(params, new_state, x, train=False)
+    assert not np.allclose(np.asarray(out_eval2), np.asarray(out_train)) or (
+        # freshly-initialized stats can coincide; warmed stats cannot
+        False
+    )
+    out_eval3, _ = mlp_apply(params, new_state, x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_eval2), np.asarray(out_eval3)
+    )
 
 
 def test_training_reduces_validation_mse():

@@ -133,9 +133,20 @@ def test_optimizer_on_fable_elementary_circuit():
     a = rng.uniform(-1, 1, (4, 4))
     circ, alpha = fable(a, fused=False)
     opt = nb.optimize_circuit(circ)
-    assert len(opt.gates) <= len(circ.gates)
+    # elementary FABLE is already peephole-minimal (the Gray-code ladder
+    # interleaves every Ry pair with a CX on the same target): pin the
+    # exact no-op, then verify the optimizer DOES cancel when given
+    # something cancellable appended to the same circuit (<= alone passes
+    # for a keep-everything no-op optimizer)
+    assert len(opt.gates) == len(circ.gates)
     np.testing.assert_allclose(
         np.asarray(unitary(opt)), np.asarray(unitary(circ)), atol=1e-9
+    )
+    circ.h(0).h(0)  # self-inverse pair the peephole must remove
+    opt2 = nb.optimize_circuit(circ)
+    assert len(opt2.gates) == len(circ.gates) - 2
+    np.testing.assert_allclose(
+        np.asarray(unitary(opt2)), np.asarray(unitary(circ)), atol=1e-9
     )
 
 
@@ -161,6 +172,12 @@ def test_circuit_depth_native_matches_python():
             circ.ry(float(rng.uniform(-1, 1)), int(rng.integers(0, 5)))
     assert circuit_depth_native(circ) == circ.depth()
 
-    # 3+-qubit gates can't ride the 2-slot ABI: falls back to Python depth
-    circ.ucry(np.zeros(4), controls=(0, 1), target=4)
-    assert circuit_depth_native(circ) == circ.depth()
+    # 3+-qubit gates can't ride the 2-slot ABI: falls back to Python
+    # depth.  The fallback IS circuit.depth(), so comparing them is x==x;
+    # pin the value on a hand-computed circuit instead.
+    c2 = Circuit(5)
+    c2.h(0)                                     # level 1 on qubit 0
+    c2.ucry(np.zeros(4), controls=(1, 2), target=3)  # level 1 on 1,2,3
+    c2.h(3)                                     # level 2 on qubit 3
+    assert circuit_depth_native(c2) == 2
+    assert c2.depth() == 2

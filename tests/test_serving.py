@@ -93,25 +93,39 @@ def test_http_server_round_trip(trained_model):
 
 
 def test_predictor_non_pow2_max_batch_and_counters(trained_model):
-    """Regression trio: (1) a non-power-of-two max_batch must serve every
-    n <= max_batch (a terminal bucket is added); (2) a float64 predictor
-    must not round-trip inputs through float32; (3) stats()['requests']
-    counts requests served, not the trimmed latency window."""
+    """Regression quartet: (1) a non-power-of-two max_batch must serve
+    every n <= max_batch (a terminal bucket is added) with VALUE-correct
+    output; (2) a float64 predictor must feed float64 to the model (spied
+    at the apply boundary -- a host-side cast assertion cannot catch an
+    internal f32 round-trip); (3) stats()['requests'] counts requests
+    served, not the trimmed latency window; (4) mis-shaped inputs are
+    rejected instead of silently einsum-broadcast."""
     kan, _ = trained_model
     p = BatchedPredictor(kan, max_batch=100)
     assert p.buckets[-1] == 100
-    x = np.random.default_rng(0).uniform(-1, 1, (70, 2))
-    out = p.predict(x)
+    x = np.random.default_rng(0).uniform(-1, 1, (70, 1))
+    out = p.predict(x)  # terminal (100) bucket: pad to 100, slice to 70
     assert out.shape[0] == 70
+    np.testing.assert_allclose(
+        out, np.asarray(kan(jnp.asarray(x))), atol=1e-5
+    )
     with pytest.raises(ValueError):
-        p.predict(np.zeros((101, 2)))
+        p.predict(np.zeros((101, 1)))
+    with pytest.raises(ValueError, match="shape"):
+        p.predict(np.zeros((4, 2)))  # wrong feature count
 
     p64 = BatchedPredictor(kan, max_batch=8, dtype=jnp.float64)
-    fine = np.full((1, 2), 0.1234567890123456, dtype=np.float64)
-    # the f64 value must survive: a float32 round-trip would truncate it
-    kept = np.asarray(fine, dtype=np.dtype(p64.dtype))
-    assert kept[0, 0] == fine[0, 0]
+    seen = {}
+    orig_apply = p64._apply
+
+    def spy(params, xp):
+        seen["dtype"] = xp.dtype
+        return orig_apply(params, xp)
+
+    p64._apply = spy
+    fine = np.full((1, 1), 0.1234567890123456, dtype=np.float64)
     p64.predict(fine)
+    assert seen["dtype"] == jnp.float64, seen
 
     before = p.stats()["requests"]
     for _ in range(3):
