@@ -236,6 +236,12 @@ def _launch(block, coeffs, dev_bit, axis_name, chunk_rows, compute,
     if m % TILE != 0:
         raise ValueError(f"half size {m} not a multiple of {TILE}")
     rows = m // LANES
+    if rows % chunk_rows != 0:
+        # flooring nchunks would leave the output tail unwritten -- make
+        # a bad direct chunk_rows loud instead of returning garbage
+        raise ValueError(
+            f"chunk_rows {chunk_rows} does not divide {rows} rows"
+        )
     nchunks = rows // chunk_rows
     nstreams = len(coeffs)
     v = block.reshape(2, rows, LANES)

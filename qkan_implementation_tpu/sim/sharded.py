@@ -68,6 +68,14 @@ def _exchange_global_local(
     h1 = v[:, 1, :]
     send = jnp.where(g == 0, h1, h0)
     total = send.shape[0] * send.shape[1]
+    if chunks > 1 and total % chunks != 0:
+        import warnings
+
+        warnings.warn(
+            f"exchange_chunks={chunks} does not divide the half-block "
+            f"({total} elements); falling back to one unchunked permute",
+            stacklevel=2,
+        )
     if chunks > 1 and total % chunks == 0:
         flat = send.reshape(-1)
         parts = [
@@ -85,20 +93,42 @@ def _exchange_global_local(
 def _select_global_control_angles(params, controls, q_local, axis_name):
     """Collapse global-control axes of a ucry/diag parameter tensor by
     indexing them with this device's bits.  Returns (local_params,
-    local_controls)."""
+    local_controls).
+
+    Implemented as ONE flat gather: a static offset table enumerates the
+    local-control bit patterns and a traced scalar base adds the
+    device-bit contributions.  The earlier (2,)*k reshape + per-axis
+    ``take`` chain built rank-k tensors in the traced graph -- the exact
+    compile-time blowup ``statevector._pattern_index`` exists to avoid
+    (CLAUDE.md rank-20+ invariant; a 24-control flagship ucry would trace
+    a rank-24 16M-element tensor per selection)."""
     k = len(controls)
-    th = jnp.asarray(params).reshape((2,) * k)
+    th = jnp.asarray(params).reshape(-1)
     idx = jax.lax.axis_index(axis_name)
-    local_controls = []
-    axis = 0
-    for c in controls:
-        if c >= q_local:  # global control: its value is a device-index bit
-            bit = (idx >> (c - q_local)) & 1
-            th = jnp.take(th, bit, axis=axis)
+    local_controls = [c for c in controls if c < q_local]
+    kk = len(local_controls)
+    if kk == k:
+        return th, tuple(local_controls)
+    # traced base: device bits placed at their axis positions (axis 0 is
+    # the MSB of the parameter index, matching the reshape convention)
+    base = jnp.zeros((), dtype=jnp.int32)
+    local_axis = 0
+    shifts = []  # (axis position from the right) per LOCAL control
+    for axis, c in enumerate(controls):
+        if c >= q_local:
+            bit = ((idx >> (c - q_local)) & 1).astype(jnp.int32)
+            base = base + (bit << (k - 1 - axis))
         else:
-            local_controls.append(c)
-            axis += 1
-    return th.reshape(-1), tuple(local_controls)
+            shifts.append(k - 1 - axis)
+            local_axis += 1
+    # static offsets: local pattern j (kk bits, MSB-first over the local
+    # controls in axis order) -> its contribution to the full index
+    j = np.arange(2**kk, dtype=np.int64)
+    offs = np.zeros_like(j)
+    for bit_pos, shift in enumerate(shifts):  # bit_pos 0 = local MSB
+        offs |= (((j >> (kk - 1 - bit_pos)) & 1) << shift)
+    sel = th[base + jnp.asarray(offs, dtype=jnp.int32)]
+    return sel, tuple(local_controls)
 
 
 class _QubitLayout:
@@ -220,13 +250,9 @@ def _broadcast_local_angles(local_controls: tuple, q_local: int):
     when the controls are already the full descending low-bit register."""
     if local_controls == tuple(range(q_local - 2, -1, -1)):
         return lambda v: v
-    m = 2 ** (q_local - 1)
-    kk = len(local_controls)
-    ar = np.arange(m, dtype=np.int64)
-    idx = np.zeros(m, dtype=np.int64)
-    for a_k, c in enumerate(local_controls):
-        idx |= ((ar >> c) & 1) << (kk - 1 - a_k)
-    gather = jnp.asarray(idx)
+    from qkan_implementation_tpu.sim.statevector import _pattern_index
+
+    gather = jnp.asarray(_pattern_index(local_controls, 2 ** (q_local - 1)))
     return lambda v: v.reshape(-1)[gather]
 
 
@@ -275,20 +301,26 @@ def _apply_sharded_gate(
                 phys_controls = tuple(
                     layout.phys[c] for c in gate.qubits[1:]
                 )
-                probe, local_controls = _select_global_control_angles(
-                    gate.params, phys_controls, q_local, axis_name
-                )
                 # Any local control structure fuses: the kernel wants
                 # coefficients indexed by the half-block's low bits, so a
                 # static gather broadcasts the selected angles over the
                 # non-control bits (identity for FABLE's full descending
                 # register -- the dominant case -- which skips the pass).
+                # local_controls needs no tracing (pure filter); static
+                # params take the host-trig route directly so only the
+                # cos/sin vectors are ever selected.
+                local_controls = tuple(
+                    c for c in phys_controls if c < q_local
+                )
                 expand = _broadcast_local_angles(local_controls, q_local)
                 if isinstance(gate.params, np.ndarray):
                     cs, sn = _host_cos_sin(
                         gate.params, phys_controls, q_local, axis_name
                     )
                 else:
+                    probe, _ = _select_global_control_angles(
+                        gate.params, phys_controls, q_local, axis_name
+                    )
                     cs, sn = jnp.cos(probe / 2.0), jnp.sin(probe / 2.0)
                 return ucry_exchange_fused_rdma(
                     psi,
@@ -307,9 +339,7 @@ def _apply_sharded_gate(
             psi, gate.qubits[0], pinned=set(), prefer=q_local - 1
         )
         phys_controls = tuple(layout.phys[c] for c in gate.qubits[1:])
-        thetas, local_controls = _select_global_control_angles(
-            gate.params, phys_controls, q_local, axis_name
-        )
+        local_controls = tuple(c for c in phys_controls if c < q_local)
         target = layout.phys[gate.qubits[0]]
         if (
             use_pallas
@@ -347,6 +377,9 @@ def _apply_sharded_gate(
                         ),
                         interpret=interpret,
                     )
+                thetas, _ = _select_global_control_angles(
+                    gate.params, phys_controls, q_local, axis_name
+                )
                 return ucry_msb_pallas(
                     psi,
                     expand(
@@ -354,6 +387,9 @@ def _apply_sharded_gate(
                     ),
                     interpret=interpret,
                 )
+        thetas, _ = _select_global_control_angles(
+            gate.params, phys_controls, q_local, axis_name
+        )
         return _apply_ucry(psi, thetas, target, local_controls, q_local)
 
     if gate.name == "swap":
@@ -456,7 +492,12 @@ def _apply_h_wall(psi, logicals, layout: _QubitLayout, q_local: int,
                 pending.remove(glb[0])
     if not pending:
         return psi
-    pinned = set()
+    # seed pinned with the already-local pending qubits (like the dense
+    # path): an empty set lets make_local evict a PENDING local qubit and
+    # pay an extra exchange round-trip bringing it back
+    pinned = {
+        layout.phys[t] for t in pending if layout.phys[t] < q_local
+    }
     for t in pending:
         psi = layout.make_local(psi, t, pinned)
         pinned.add(layout.phys[t])
@@ -497,7 +538,10 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
         while i < len(gates):
             run = _h_wall_run(gates, i, q_local)
             if run:
-                pinned = set()
+                pinned = {
+                    layout.phys[t] for t in run
+                    if layout.phys[t] < q_local
+                }
                 for t in run:
                     psi = layout.make_local(psi, t, pinned)
                     pinned.add(layout.phys[t])
@@ -561,16 +605,26 @@ def sharded_simulate(
     the inner ``jit``/``shard_map`` would leak it.  Gradients flow through
     the overrides (the replicated in_spec psums their cotangents).
     """
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if axis_name not in mesh.axis_names:
+        raise ValueError(
+            f"axis {axis_name!r} not in mesh axes {mesh.axis_names}"
+        )
+    # size of the SHARDED axis only: on a multi-axis mesh the state splits
+    # over axis_name alone, and the old all-axes product produced a wrong
+    # q_local plus a pairwise_exchange perm sized for the wrong count
+    n_dev = int(mesh.shape[axis_name])
     k = int(np.log2(n_dev))
     if 2**k != n_dev:
-        raise ValueError(f"Mesh size {n_dev} must be a power of two")
+        raise ValueError(f"Mesh axis size {n_dev} must be a power of two")
     q = circuit.num_qubits
     if q <= k:
         raise ValueError(f"Need more qubits ({q}) than mesh bits ({k})")
     q_local = q - k
     dtype = dtype or default_dtype(circuit)
-    on_tpu = jax.devices()[0].platform == "tpu"
+    # platform of the mesh's OWN devices: keying off jax.devices()[0]
+    # would lower Mosaic TPU kernels for a CPU test mesh on a TPU-default
+    # image (and skip the interpret-mode guards)
+    on_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
     use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
     if exchange_impl not in ("collective", "rdma"):
         raise ValueError(f"unknown exchange_impl {exchange_impl!r}")
@@ -583,6 +637,14 @@ def sharded_simulate(
 
     override_idx = tuple(sorted(runtime_params)) if runtime_params else ()
     override_vals = [runtime_params[i] for i in override_idx]
+
+    cache_key = (
+        id(circuit), len(circuit.gates), mesh, axis_name, backend,
+        exchange_chunks, exchange_impl, override_idx, str(dtype),
+    )
+    cached = getattr(circuit, "_sharded_exec_cache", None)
+    if cached is not None and cache_key in cached:
+        return cached[cache_key](psi0, *override_vals)
 
     def local_fn(block, *params):  # flat [2^q_local] slice on each device
         override = dict(zip(override_idx, params))
@@ -623,4 +685,16 @@ def sharded_simulate(
             check_vma=False,
         )
     )
+    # Cache the jitted executor ON the circuit (a fresh jit per call would
+    # re-trace and re-compile every repeated simulate -- minutes-scale on
+    # the remote TPU; CLAUDE.md: minimize distinct compiles).  Keyed on
+    # the circuit's identity AND gate count so post-hoc appends miss.
+    if cached is None:
+        cached = {}
+        try:
+            circuit._sharded_exec_cache = cached
+        except AttributeError:
+            cached = None  # exotic circuit type without a __dict__
+    if cached is not None:
+        cached[cache_key] = fn
     return fn(psi0, *override_vals)

@@ -315,3 +315,27 @@ def test_24_qubit_marginals_and_expectations(mesh8):
     # norm preserved at f32
     total = float(jnp.sum(psi.astype(jnp.float32) ** 2))
     np.testing.assert_allclose(total, 1.0, atol=1e-4)
+
+
+def test_repeated_simulate_reuses_compiled_executor(mesh8):
+    """sharded_simulate caches the jitted executor on the circuit: a fresh
+    jit per call re-traced and re-compiled every repeated simulate
+    (minutes-scale on the remote TPU).  Repeat calls must reuse the
+    compiled fn (spied via the cache dict) and return identical results;
+    appending a gate must miss the cache."""
+    rng = np.random.default_rng(31)
+    q = 8
+    circ = Circuit(q)
+    for t in range(q):
+        circ.ry(float(rng.uniform(0, np.pi)), t)
+    circ.h(q - 1).cx(q - 1, 0)
+    p1 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+    cache = circ._sharded_exec_cache
+    assert len(cache) == 1
+    p2 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+    assert len(cache) == 1  # same executor reused
+    np.testing.assert_array_equal(p1, p2)
+    circ.h(0)  # structural change -> new cache entry, correct result
+    p3 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+    assert len(cache) == 2
+    np.testing.assert_allclose(p3, np.asarray(simulate(circ)), atol=1e-12)
