@@ -121,7 +121,11 @@ def main():
         sn = jnp.sqrt(1.0 - cs**2)
         psi_sv = jnp.zeros(2**sv_q, dtype=jnp.float32).at[0].set(1.0)
         on_tpu = jax.devices()[0].platform == "tpu"
-        gate_iters = 5 if quick else 50
+        # chain long enough that the device work dominates the ~25 ms
+        # tunnel fetch: at ~7 us/gate a 50/300 chain left the slope inside
+        # run-to-run noise (observed 2-3x swings, incl. a >HBM-bandwidth
+        # reading); 400/2400 puts ~17 ms of real work in the long chain
+        gate_iters = 5 if quick else 400
 
         if on_tpu:
             from qkan_implementation_tpu.sim.pallas_kernels import (
@@ -147,8 +151,9 @@ def main():
         gbps = (2**sv_q) * 4 * 3 / dt / 1e9  # rd psi+cs/sn, wr psi
         print(
             f"statevector: {bound}{dt * 1e3:.3f} ms/gate multiplexed-Ry at "
-            f"{sv_q} qubits ({gops:,.0f} gates/s, ~{gbps:.0f} GB/s, "
-            f"slope-timed)",
+            f"{sv_q} qubits ({gops:,.0f} gates/s, ~{gbps:.0f} GB/s "
+            f"effective, slope-timed; above-HBM rates mean XLA kept the "
+            f"8 MB scan carry in VMEM)",
             file=sys.stderr,
         )
     except Exception as e:  # diagnostics must never break the JSON contract
