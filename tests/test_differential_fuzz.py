@@ -5,8 +5,9 @@ multiplexed-Ry with arbitrary control subsets) must produce identical
 amplitudes on:
 
 - the fused-executor path (``simulate(backend='auto')``: H-wall register
-  contractions, bit-permutation rewrites, ladder scan fusion) vs the plain
-  per-gate XLA path;
+  contractions and bit-permutation rewrites; ladder scan fusion needs
+  128+-gate runs and has its own spied test in test_sim_ladder) vs the
+  plain per-gate XLA path;
 - the mesh-sharded engine (lazy qubit layout, device-bit angle selection,
   hypercube exchanges) vs the dense engine, on the 8-virtual-device mesh.
 
@@ -88,6 +89,15 @@ def test_sharded_engine_matches_dense(data, mesh8):
     q = data.draw(st.integers(6, 8))
     n_gates = data.draw(st.integers(3, 12))
     circ = _random_circuit(data.draw, q, n_gates)
-    want = np.asarray(simulate(circ, backend="xla"))
-    got = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+    # RANDOM initial state: from |0...0> most drawn gates act on zero
+    # subspaces (CX on an unexcited control is the identity), so a
+    # misrouted gate would be invisible -- and hypothesis shrinking drives
+    # toward exactly those degenerate circuits
+    rng = np.random.default_rng(q * 1000 + n_gates)
+    psi0 = rng.standard_normal(2**q)
+    psi0 = jnp.asarray(psi0 / np.linalg.norm(psi0))
+    want = np.asarray(simulate(circ, psi0=psi0, backend="xla"))
+    got = np.asarray(
+        jax.device_get(sharded_simulate(circ, mesh8, psi0=psi0))
+    )
     np.testing.assert_allclose(got, want, atol=1e-11)

@@ -33,6 +33,23 @@ def mesh8():
     return make_mesh(8, axis_name=AXIS)
 
 
+def _count_calls(monkeypatch, attr: str) -> list:
+    """Spy on an rdma-module kernel: returns the list that records calls.
+
+    The engine falls back to the collective path SILENTLY whenever
+    eligibility fails, so every test claiming RDMA coverage must assert
+    its kernel actually fired (or explicitly that it did not)."""
+    fired = []
+    orig = getattr(rdma_mod, attr)
+
+    def counting(*a, **k):
+        fired.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rdma_mod, attr, counting)
+    return fired
+
+
 def _run_pair(mesh, q_local, dev_bit, dtype=jnp.float64):
     """Fused kernel vs collective-exchange + elementwise rotation."""
     m = 2 ** (q_local - 1)
@@ -84,17 +101,23 @@ def test_kernel_matches_collective_single_chunk(mesh8, dev_bit):
 
 @pytest.mark.parametrize("dev_bit", [0, 2])
 def test_kernel_matches_collective_multi_chunk(mesh8, dev_bit, monkeypatch):
-    # Shrink the chunk so the double-buffered capacity protocol runs 4 deep.
-    monkeypatch.setattr(rdma_mod, "CHUNK_ROWS", 8)
-    _run_pair(mesh8, q_local=13, dev_bit=dev_bit)
+    # Shrink the chunk so the double-buffered capacity protocol runs 4
+    # deep -- at q_local=12 (block 4096), inside the single-core interpret
+    # envelope (rdma.INTERPRET_MAX_BLOCK documents q_local >= 13 as a
+    # nondeterministic scheduler wedge on this image).
+    monkeypatch.setattr(rdma_mod, "CHUNK_ROWS", 4)
+    _run_pair(mesh8, q_local=12, dev_bit=dev_bit)
 
 
-def test_fable_circuit_rdma_matches_dense(mesh8):
+def test_fable_circuit_rdma_matches_dense(mesh8, monkeypatch):
     """Full FABLE block encoding with the fused-RDMA exchange: the fused
     ucry targets the top (global) qubit, so the RDMA path carries the whole
-    encoding's communication."""
+    encoding's communication -- and must actually FIRE (the engine falls
+    back silently; q_local=12 sits exactly on the interpret block
+    ceiling)."""
     from qkan_implementation_tpu.encoding.fable import fable
 
+    fired = _count_calls(monkeypatch, "ucry_exchange_fused_rdma")
     rng = np.random.default_rng(7)
     a = rng.standard_normal((128, 128))
     a /= np.max(np.abs(a))
@@ -106,12 +129,14 @@ def test_fable_circuit_rdma_matches_dense(mesh8):
             sharded_simulate(circ, mesh8, exchange_impl="rdma")
         )
     )
+    assert fired, "fused RDMA ucry did not fire"
     np.testing.assert_allclose(shard, dense, atol=1e-12)
 
 
-def test_rdma_engine_matches_collective_engine(mesh8):
+def test_rdma_engine_matches_collective_engine(mesh8, monkeypatch):
     from qkan_implementation_tpu.encoding.fable import fable
 
+    fired = _count_calls(monkeypatch, "ucry_exchange_fused_rdma")
     rng = np.random.default_rng(11)
     a = rng.standard_normal((128, 128))
     a /= np.max(np.abs(a))
@@ -122,14 +147,16 @@ def test_rdma_engine_matches_collective_engine(mesh8):
     out = np.asarray(
         jax.device_get(sharded_simulate(circ, mesh8, exchange_impl="rdma"))
     )
+    assert fired, "fused RDMA ucry did not fire"
     np.testing.assert_allclose(out, ref, atol=1e-13)
 
 
-def test_rdma_falls_back_below_tile(mesh8):
-    """Small circuits (half-block under one tile) must silently use the
-    collective path and still match dense."""
+def test_rdma_falls_back_below_tile(mesh8, monkeypatch):
+    """Small circuits (half-block under one tile) must use the collective
+    path (negative firing assertion) and still match dense."""
     from qkan_implementation_tpu.encoding.fable import fable
 
+    fired = _count_calls(monkeypatch, "ucry_exchange_fused_rdma")
     rng = np.random.default_rng(3)
     a = rng.standard_normal((8, 8))
     a /= np.max(np.abs(a))
@@ -138,6 +165,7 @@ def test_rdma_falls_back_below_tile(mesh8):
     shard = np.asarray(
         jax.device_get(sharded_simulate(circ, mesh8, exchange_impl="rdma"))
     )
+    assert not fired, "fused kernel fired below the tile floor"
     np.testing.assert_allclose(shard, dense, atol=1e-12)
 
 
@@ -204,14 +232,7 @@ def test_quantum_sharded_grad_through_rdma(mesh8, monkeypatch):
         quantum_extract_diag_packed_sharded,
     )
 
-    fired = []
-    orig = rdma_mod.ucry_exchange_fused_rdma
-
-    def counting(*a, **k):
-        fired.append(1)
-        return orig(*a, **k)
-
-    monkeypatch.setattr(rdma_mod, "ucry_exchange_fused_rdma", counting)
+    fired = _count_calls(monkeypatch, "ucry_exchange_fused_rdma")
 
     rng = np.random.default_rng(5)
     # diag of 128 -> 15-qubit circuit, q_local=12 (m=2048, tile-aligned and
@@ -230,11 +251,17 @@ def test_quantum_sharded_grad_through_rdma(mesh8, monkeypatch):
     )
 
 
-def test_rdma_partial_control_register(mesh8):
+def test_rdma_partial_control_register(mesh8, monkeypatch):
     """Generalized eligibility: a global-target ucry whose controls are an
     arbitrary (partial, unordered) qubit subset fuses via the angle
-    broadcast (sim.sharded._broadcast_local_angles) and must match dense."""
+    broadcast (sim.sharded._broadcast_local_angles) and must match dense.
+    The second ucry targets a DIFFERENT still-global qubit with a control
+    that became global after the first fusion's eviction -- exercising the
+    device-bit angle selection INSIDE the fused branch (the first fusion
+    parks the original target at the local MSB, so re-targeting it would
+    take the plain local path and leave that branch untested)."""
     q = 14  # q_local = 11 on the 8-device mesh
+    fired = _count_calls(monkeypatch, "ucry_exchange_fused_rdma")
     rng = np.random.default_rng(17)
     circ = Circuit(q)
     circ.h(2).h(5)
@@ -243,14 +270,16 @@ def test_rdma_partial_control_register(mesh8):
         rng.uniform(-np.pi, np.pi, 8), controls=(7, 2, 4), target=q - 1
     )
     circ.h(0)
-    # second fused ucry with a global control mixed in
+    # after the first fusion logical 10 was evicted to a device slot:
+    # a fused ucry on the still-global q-2 with that GLOBAL control
     circ.ucry(
-        rng.uniform(-np.pi, np.pi, 4), controls=(q - 2, 3), target=q - 1
+        rng.uniform(-np.pi, np.pi, 4), controls=(10, 3), target=q - 2
     )
     dense = np.asarray(simulate(circ))
     shard = np.asarray(
         jax.device_get(sharded_simulate(circ, mesh8, exchange_impl="rdma"))
     )
+    assert len(fired) == 2, f"expected 2 fused ucry calls, got {len(fired)}"
     np.testing.assert_allclose(shard, dense, atol=1e-12)
     col = np.asarray(
         jax.device_get(
@@ -266,14 +295,7 @@ def test_fused_h_exchange_matches_dense(mesh8, monkeypatch):
     including the wall case where fusing one global H evicts a pending
     local-MSB wall qubit to global (the termination loop).  Must match the
     dense and collective engines exactly."""
-    fired = []
-    orig = rdma_mod.h_exchange_fused_rdma
-
-    def counting(*a, **k):
-        fired.append(1)
-        return orig(*a, **k)
-
-    monkeypatch.setattr(rdma_mod, "h_exchange_fused_rdma", counting)
+    fired = _count_calls(monkeypatch, "h_exchange_fused_rdma")
 
     q = 14  # q_local = 11 on the 8-device mesh
     rng = np.random.default_rng(23)
@@ -297,18 +319,25 @@ def test_fused_h_exchange_matches_dense(mesh8, monkeypatch):
     )
     np.testing.assert_allclose(shard, col, atol=1e-12)
 
+    # MID-WALL eviction: with no prior global H, fusing the wall's global
+    # member 12 evicts the still-PENDING local-MSB member 10 to a device
+    # slot, and the termination loop must fuse it too (2 fused calls)
+    del fired[:]
+    c2 = Circuit(q)
+    c2.ry(0.3, 0)
+    c2.h(12).h(10).h(2)
+    dense2 = np.asarray(simulate(c2))
+    shard2 = np.asarray(
+        jax.device_get(sharded_simulate(c2, mesh8, exchange_impl="rdma"))
+    )
+    assert len(fired) == 2, f"expected 2 fused-H calls, got {len(fired)}"
+    np.testing.assert_allclose(shard2, dense2, atol=1e-12)
+
 
 def test_fused_h_gradient_matches_collective(mesh8, monkeypatch):
     """d(loss)/d(psi0) through the fused H kernel's custom VJP equals the
     collective path's gradient."""
-    fired = []
-    orig = rdma_mod.h_exchange_fused_rdma
-
-    def counting(*a, **k):
-        fired.append(1)
-        return orig(*a, **k)
-
-    monkeypatch.setattr(rdma_mod, "h_exchange_fused_rdma", counting)
+    fired = _count_calls(monkeypatch, "h_exchange_fused_rdma")
 
     q = 14  # q_local = 11: block 2048 = 2*TILE, kernel-eligible
     rng = np.random.default_rng(29)
