@@ -204,6 +204,27 @@ def _block_diagonal_J(model: QuboModel, block_size: int):
     return np.stack([J[b, :, b, :] for b in range(nb)])
 
 
+def _apply_replica_swaps(s, f, E, do_swap):
+    """Lift pairwise exchange decisions ``do_swap`` [C, T-1] to per-slot
+    replica swaps of (state, local field, energy) -- shared by the local
+    and mesh-ladder tempering kernels so the exchange algebra cannot
+    drift between them."""
+    swap_lo = jnp.pad(do_swap, ((0, 0), (0, 1)))  # slot t swaps up
+    swap_hi = jnp.pad(do_swap, ((0, 0), (1, 0)))  # slot t swaps down
+    up = jnp.roll(s, -1, axis=1)
+    down = jnp.roll(s, 1, axis=1)
+    s = jnp.where(
+        swap_lo[:, :, None], up, jnp.where(swap_hi[:, :, None], down, s)
+    )
+    f_up, f_dn = jnp.roll(f, -1, axis=1), jnp.roll(f, 1, axis=1)
+    f = jnp.where(
+        swap_lo[:, :, None], f_up, jnp.where(swap_hi[:, :, None], f_dn, f)
+    )
+    E_up, E_dn = jnp.roll(E, -1, axis=1), jnp.roll(E, 1, axis=1)
+    E = jnp.where(swap_lo, E_up, jnp.where(swap_hi, E_dn, E))
+    return s, f, E
+
+
 @partial(
     jax.jit, static_argnames=("num_chains", "num_replicas", "num_sweeps")
 )
@@ -259,22 +280,7 @@ def _tempering_kernel(
             u = jax.random.uniform(ex_key, (C, T - 1), dtype=h.dtype)
             pair_mask = even if parity == 0 else ~even
             do_swap = (jnp.log(u) < logp) & pair_mask[None, :]  # [C, T-1]
-            # lift the pairwise decision to per-slot swap partners
-            swap_lo = jnp.pad(do_swap, ((0, 0), (0, 1)))  # slot t swaps up
-            swap_hi = jnp.pad(do_swap, ((0, 0), (1, 0)))  # slot t swaps down
-            up = jnp.roll(s, -1, axis=1)
-            down = jnp.roll(s, 1, axis=1)
-            s = jnp.where(
-                swap_lo[:, :, None], up, jnp.where(swap_hi[:, :, None], down, s)
-            )
-            f_up, f_down = jnp.roll(f, -1, axis=1), jnp.roll(f, 1, axis=1)
-            f = jnp.where(
-                swap_lo[:, :, None],
-                f_up,
-                jnp.where(swap_hi[:, :, None], f_down, f),
-            )
-            E_up, E_down = jnp.roll(E, -1, axis=1), jnp.roll(E, 1, axis=1)
-            E = jnp.where(swap_lo, E_up, jnp.where(swap_hi, E_down, E))
+            s, f, E = _apply_replica_swaps(s, f, E, do_swap)
         return (s, f, E), None
 
     keys = jax.random.split(key, num_sweeps)
@@ -340,7 +346,14 @@ def parallel_tempering_sharded(
 
     Returns (samples [C'*T, n], energies) with C' = ceil(C / n_dev) * n_dev.
     """
-    n_dev = int(np.prod(list(mesh.shape.values())))
+    if axis_name not in mesh.axis_names:
+        raise ValueError(
+            f"axis {axis_name!r} not in mesh axes {mesh.axis_names}"
+        )
+    # the SHARDED axis size only: on a multi-axis mesh the all-axes
+    # product silently dropped reads (chains shard over axis_name alone;
+    # other axes just duplicate work) or crashed the ladder split
+    n_dev = int(mesh.shape[axis_name])
     chains_local = -(-num_chains // n_dev)
     if beta_range is None:
         beta_range = default_beta_range(model)
@@ -445,23 +458,7 @@ def _tempering_mesh_kernel(
                 u = jax.random.uniform(ex_key, (C, Tl - 1), dtype=h.dtype)
                 pair_mask = (g_idx[:-1] % 2) == parity
                 do_swap = (jnp.log(u) < logp) & pair_mask[None, :]
-                swap_lo = jnp.pad(do_swap, ((0, 0), (0, 1)))
-                swap_hi = jnp.pad(do_swap, ((0, 0), (1, 0)))
-                up = jnp.roll(s, -1, axis=1)
-                down = jnp.roll(s, 1, axis=1)
-                s = jnp.where(
-                    swap_lo[:, :, None],
-                    up,
-                    jnp.where(swap_hi[:, :, None], down, s),
-                )
-                f_up, f_dn = jnp.roll(f, -1, axis=1), jnp.roll(f, 1, axis=1)
-                f = jnp.where(
-                    swap_lo[:, :, None],
-                    f_up,
-                    jnp.where(swap_hi[:, :, None], f_dn, f),
-                )
-                E_up, E_dn = jnp.roll(E, -1, axis=1), jnp.roll(E, 1, axis=1)
-                E = jnp.where(swap_lo, E_up, jnp.where(swap_hi, E_dn, E))
+                s, f, E = _apply_replica_swaps(s, f, E, do_swap)
 
             # -- boundary pairs across the mesh axis ---------------------
             # shared uniforms: boundary b lives between devices b, b+1
@@ -533,7 +530,14 @@ def parallel_tempering_mesh_ladder(
     must be divisible by the mesh size.  Returns (samples [C*T, n],
     energies) with offset included.
     """
-    n_dev = int(np.prod(list(mesh.shape.values())))
+    if axis_name not in mesh.axis_names:
+        raise ValueError(
+            f"axis {axis_name!r} not in mesh axes {mesh.axis_names}"
+        )
+    # the SHARDED axis size only: on a multi-axis mesh the all-axes
+    # product silently dropped reads (chains shard over axis_name alone;
+    # other axes just duplicate work) or crashed the ladder split
+    n_dev = int(mesh.shape[axis_name])
     if num_replicas % n_dev != 0:
         raise ValueError(
             f"num_replicas {num_replicas} must divide over {n_dev} devices"
@@ -585,7 +589,14 @@ def simulated_annealing_sharded(
     stream; no communication is needed until the final argmin.  Returns
     (samples [R', n], energies [R']) with R' = ceil(R / n_dev) * n_dev.
     """
-    n_dev = int(np.prod(list(mesh.shape.values())))
+    if axis_name not in mesh.axis_names:
+        raise ValueError(
+            f"axis {axis_name!r} not in mesh axes {mesh.axis_names}"
+        )
+    # the SHARDED axis size only: on a multi-axis mesh the all-axes
+    # product silently dropped reads (chains shard over axis_name alone;
+    # other axes just duplicate work) or crashed the ladder split
+    n_dev = int(mesh.shape[axis_name])
     reads_local = -(-num_reads // n_dev)
     if beta_range is None:
         beta_range = default_beta_range(model)
@@ -620,9 +631,12 @@ def simulated_annealing_sharded(
 
 @jax.jit
 def _greedy_kernel(h, J, s):
+    # the local field is CARRIED and updated incrementally per flip (one
+    # row of J), like the annealing kernels: recomputing the full s@J
+    # every round costs O(R*n^2) per single flip -- the dominant cost of
+    # solve-then-polish on large QUBOs for no accuracy benefit
     def round_(carry):
-        s, _ = carry
-        f = h[None, :] + s @ J  # [R, n]
+        s, f, _ = carry
         de = (1.0 - 2.0 * s) * f  # dE of flipping each bit
         best = jnp.argmin(de, axis=1)  # steepest single flip per sample
         gain = jnp.take_along_axis(de, best[:, None], axis=1)[:, 0]
@@ -632,13 +646,16 @@ def _greedy_kernel(h, J, s):
             1.0 - 2.0 * s,
             0.0,
         )
-        return s + delta, jnp.any(flip)
+        # rank-1 field update: f += delta_best * J[best] per sample
+        f = f + delta @ J
+        return s + delta, f, jnp.any(flip)
 
     def cond(carry):
-        return carry[1]
+        return carry[2]
 
-    s, _ = jax.lax.while_loop(
-        cond, lambda c: round_(c), (s, jnp.asarray(True))
+    f0 = h[None, :] + s @ J  # [R, n]
+    s, _, _ = jax.lax.while_loop(
+        cond, lambda c: round_(c), (s, f0, jnp.asarray(True))
     )
     return s
 

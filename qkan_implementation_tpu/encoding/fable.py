@@ -102,6 +102,9 @@ def fable_runtime_params(a: np.ndarray):
     until the remote compiler's request limit (~0.5 GB, hit at 13+
     encoded qubits).  These arrays instead ride as runtime arguments.
     """
+    if np.iscomplexobj(a):
+        # match fable(): silently casting would block-encode Re(a)
+        raise ValueError("fable encodes real matrices")
     a = np.asarray(a, dtype=np.float64)
     if a.ndim != 2:
         raise ValueError("fable expects a 2-D matrix")
@@ -156,6 +159,14 @@ def fable(
     # Angle index c = (i << n) | j  ->  row-major flatten of the matrix.
     flat = scaled.reshape(-1)
     if fused:
+        if compression_threshold > 0.0:
+            # the fused gate carries every rotation; silently returning an
+            # UNcompressed encoding to a caller who asked for the
+            # reference's approximate compression would be a lie
+            raise ValueError(
+                "compression_threshold requires the elementary ladder: "
+                "call fable(a, threshold, fused=False)"
+            )
         # Fused multiplexed rotation with the *raw* angles theta_c.
         thetas = 2.0 * np.arccos(np.clip(flat, -1.0, 1.0))
         controls = tuple(range(2 * n - 1, -1, -1))  # MSB = qubit 2n-1

@@ -377,3 +377,24 @@ def test_annealer_oracle_sweep_random_dense_qubos():
         # tolerance covers the on-device f32 energy accumulation vs the
         # f64 oracle (same state, ~1e-6 energy gap), not search slack
         assert energy <= truth + 1e-5, (trial, energy, truth)
+
+
+def test_sharded_annealing_multi_axis_mesh():
+    """Regression: n_dev was the product of ALL mesh axes while chains
+    shard over axis_name only -- a 2-axis mesh silently returned a quarter
+    of the requested reads.  The sharded axis size alone must govern."""
+    import jax
+    from qkan_implementation_tpu.anneal import simulated_annealing_sharded
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 CPU devices")
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("x", "y"))
+    scores = np.array([0.8, 0.35, 0.3, 0.29])
+    model = degree_selection_qubo(scores, num_functions=2, complexity_weight=0.1)
+    samples, energies = simulated_annealing_sharded(
+        model, mesh, axis_name="y", num_reads=16, num_sweeps=100, seed=0
+    )
+    assert samples.shape[0] >= 16, samples.shape
+    np.testing.assert_allclose(energies, model.energy(samples), atol=1e-4)

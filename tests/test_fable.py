@@ -169,3 +169,22 @@ def test_sum_step_block_encoding():
     out = np.asarray(sum_step(input_vals, N, K))
     np.testing.assert_allclose(out, [0.75, -0.75], atol=1e-12)
     verify_block_encoding(np.diag(out), tol=1e-6)
+
+
+def test_runtime_params_rejects_complex():
+    """Regression: fable() rejects complex matrices but
+    fable_runtime_params silently dropped the imaginary part and encoded
+    Re(a)."""
+    from qkan_implementation_tpu.encoding.fable import fable_runtime_params
+
+    a = np.eye(4) + 1j * np.ones((4, 4))
+    with pytest.raises(ValueError, match="real"):
+        fable_runtime_params(a)
+
+
+def test_fused_rejects_compression_threshold():
+    """The fused gate carries every rotation: asking for the reference's
+    approximate compression with fused=True must be an error, not a
+    silently-uncompressed encoding."""
+    with pytest.raises(ValueError, match="compression"):
+        fable(np.eye(4), 1e-2, fused=True)
