@@ -82,6 +82,105 @@ def _anneal_kernel(h, J, betas, key, num_reads: int, num_sweeps: int):
     return s, energies
 
 
+@partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "block"))
+def _anneal_kernel_delayed(
+    h, J, betas, key, num_reads: int, num_sweeps: int, block: int
+):
+    """Delayed-update sequential-sweep SA -- the TPU-native schedule.
+
+    Produces the SAME Markov chain as a per-variable sequential Metropolis
+    sweep consuming the same uniforms in the same variable order (pinned by
+    the block-size-invariance test at x64): variables are still visited and
+    accepted one at a time in index order, but the O(R*n) global field
+    update per flip is DEFERRED.  Within a block of ``block`` variables only
+    the block's own field rows are maintained incrementally from the J
+    diagonal block (O(R*block) VPU work per variable), and the full-field
+    update lands as ONE [n,block]x[block,R] matmul per block -- MXU work
+    instead of n scan steps of strided minor-axis updates.  This is a
+    computation-schedule change only; acceptance decisions are bit-unchanged
+    up to fp reassociation of the field sums.
+
+    Layout is [n, R] (reads on lanes): per-variable rows are contiguous
+    slices on the major axis, where the old [R, n] layout's ``s.at[:, i]``
+    dynamic minor-axis updates destroy TPU codegen.
+
+    TPU-native replacement for neal's sequential C++ sweep (reference
+    ``DegreeOptimizer.py:236-237``).
+    """
+    n = h.shape[0]
+    R = num_reads
+    assert n % block == 0, "caller pads n to a multiple of block"
+    nb = n // block
+    key, init_key = jax.random.split(key)
+    s = jax.random.bernoulli(init_key, 0.5, (n, R)).astype(h.dtype)
+    hi = jax.lax.Precision.HIGHEST  # TPU matmuls are bf16 by default
+    f = h[:, None] + jax.lax.dot_general(
+        J, s, (((1,), (0,)), ((), ())), precision=hi
+    )
+    J_rows = J.reshape(nb, block, n)  # scan xs: leading-axis slicing is free
+    J_diag = J.reshape(nb, block, nb, block)[
+        jnp.arange(nb), :, jnp.arange(nb), :
+    ]  # [nb, block, block] within-block couplings
+    i0s = jnp.arange(nb) * block
+
+    def sweep(carry, beta_key):
+        s, f = carry
+        beta, skey = beta_key
+        # one RNG draw per sweep, consumed in variable order (the per-step
+        # key split of the naive kernel is 2 extra ops per variable)
+        u = jax.random.uniform(skey, (nb, block, R), dtype=h.dtype)
+
+        def block_step(carry, xs):
+            s, f = carry
+            Jrow, Jd, u_blk, i0 = xs
+            sblk = jax.lax.dynamic_slice(s, (i0, 0), (block, R))
+            fblk = jax.lax.dynamic_slice(f, (i0, 0), (block, R))
+            deltas = []
+            for j in range(block):  # static unroll: tiny [R] vector ops
+                de = (1.0 - 2.0 * sblk[j]) * fblk[j]
+                accept = (de <= 0.0) | (u_blk[j] < jnp.exp(-beta * de))
+                delta = jnp.where(accept, 1.0 - 2.0 * sblk[j], 0.0)
+                deltas.append(delta)
+                # within-block field maintenance; row j itself is J_jj=0
+                fblk = fblk + delta[None, :] * Jd[j][:, None]
+            dblk = jnp.stack(deltas)  # [block, R]
+            s = jax.lax.dynamic_update_slice(s, sblk + dblk, (i0, 0))
+            # deferred global field update: fblk was scratch, so adding the
+            # full J[block,:].T @ dblk here is exact for block rows too
+            f = f + jax.lax.dot_general(
+                Jrow, dblk, (((0,), (0,)), ((), ())), precision=hi
+            )
+            return (s, f), None
+
+        (s, f), _ = jax.lax.scan(
+            block_step, (s, f), (J_rows, J_diag, u, i0s)
+        )
+        return (s, f), None
+
+    keys = jax.random.split(key, num_sweeps)
+    (s, f), _ = jax.lax.scan(sweep, (s, f), (betas, keys))
+    s_flat = s.T  # [R, n]
+    energies = s_flat @ h + 0.5 * jnp.einsum(
+        "ri,ij,rj->r", s_flat, J, s_flat, precision=hi
+    )
+    return s_flat, energies
+
+
+def _pad_for_block(h, J, block: int):
+    """Zero-pad (h, J) so the variable count is a multiple of ``block``.
+    Padding variables have zero bias and zero couplings: they random-walk
+    freely and contribute nothing to any energy or field."""
+    n = h.shape[0]
+    pad = (-n) % block
+    if pad == 0:
+        return h, J, n
+    h2 = np.zeros(n + pad, dtype=h.dtype)
+    h2[:n] = h
+    J2 = np.zeros((n + pad, n + pad), dtype=J.dtype)
+    J2[:n, :n] = J
+    return h2, J2, n
+
+
 def simulated_annealing(
     model: QuboModel,
     num_reads: int = 1000,
@@ -91,6 +190,7 @@ def simulated_annealing(
     dtype=jnp.float32,
     backend: str = "jax",
     block_structure: int | None = None,
+    sweep_block: int | None = None,
 ):
     """Sample a QUBO with batched SA.  Returns (samples [R, n], energies [R]).
 
@@ -106,6 +206,10 @@ def simulated_annealing(
     blocks flip simultaneously -- a sweep is block_size sequential steps
     instead of n, the latency win for the per-function-independent degree
     QUBO.
+
+    ``sweep_block``: delayed-update block size for the dense path (see
+    ``_anneal_kernel_delayed``); the chain is block-size-invariant, so this
+    is a pure scheduling knob.  None = auto (min(32, next pow2 >= n)).
     """
     if backend == "native":
         from qkan_implementation_tpu.native_bindings import anneal_native
@@ -133,11 +237,22 @@ def simulated_annealing(
             num_sweeps,
         )
     else:
-        h = jnp.asarray(model.h, dtype=dtype)
-        J = jnp.asarray(model.J, dtype=dtype)
-        samples, energies = _anneal_kernel(
-            h, J, betas, key, num_reads, num_sweeps
+        n = model.num_variables
+        if sweep_block is None:
+            sweep_block = min(32, 1 << (n - 1).bit_length())
+        h_np, J_np, n_orig = _pad_for_block(
+            model.h.astype(np.float64), model.J.astype(np.float64), sweep_block
         )
+        samples, energies = _anneal_kernel_delayed(
+            jnp.asarray(h_np, dtype=dtype),
+            jnp.asarray(J_np, dtype=dtype),
+            betas,
+            key,
+            num_reads,
+            num_sweeps,
+            sweep_block,
+        )
+        samples = samples[:, :n_orig]
     return np.asarray(samples), np.asarray(energies, dtype=np.float64) + model.offset
 
 
@@ -641,14 +756,13 @@ def _greedy_kernel(h, J, s):
         best = jnp.argmin(de, axis=1)  # steepest single flip per sample
         gain = jnp.take_along_axis(de, best[:, None], axis=1)[:, 0]
         flip = gain < -1e-12
-        delta = jnp.where(
-            flip[:, None] & (jnp.arange(s.shape[1])[None, :] == best[:, None]),
-            1.0 - 2.0 * s,
-            0.0,
-        )
-        # rank-1 field update: f += delta_best * J[best] per sample
-        f = f + delta @ J
-        return s + delta, f, jnp.any(flip)
+        s_best = jnp.take_along_axis(s, best[:, None], axis=1)[:, 0]
+        dval = jnp.where(flip, 1.0 - 2.0 * s_best, 0.0)  # [R]
+        # genuine rank-1 field update: gather the flipped row of J per
+        # sample -- O(R*n) per round, vs the O(R*n^2) dense s@J recompute
+        f = f + dval[:, None] * J[best]
+        onehot = jnp.arange(s.shape[1])[None, :] == best[:, None]
+        return s + dval[:, None] * onehot, f, jnp.any(flip)
 
     def cond(carry):
         return carry[2]

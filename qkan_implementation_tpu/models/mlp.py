@@ -167,7 +167,7 @@ def train_mlp(
             )
             total += float(loss)
 
-        sched_metric = total / steps  # train loss when no validation set
+        sched_metric = None  # reference only steps the scheduler on val MSE
         if x_val is not None and y_val is not None:
             xv = jnp.asarray(x_val)
             yv = jnp.asarray(y_val).reshape(-1, 1)
@@ -191,15 +191,20 @@ def train_mlp(
                 if verbose:
                     print(f"Early stopping triggered at epoch {epoch}")
                 break
-        # per-epoch plateau lr schedule (factor 0.5, patience 2)
-        if sched_metric < sched_best - 1e-12:
-            sched_best = sched_metric
-            sched_wait = 0
-        else:
-            sched_wait += 1
-            if sched_wait >= 2:
-                lr_scale = lr_scale * 0.5
+        # per-epoch plateau lr schedule (factor 0.5, patience 2).  The
+        # reference calls scheduler.step(val_mse) only inside its validation
+        # branch (train_utils.py:126) -- without val data the LR never
+        # decays -- and ReduceLROnPlateau's default threshold is a RELATIVE
+        # 1e-4 improvement, not an absolute epsilon.
+        if sched_metric is not None:
+            if sched_metric < sched_best * (1 - 1e-4):
+                sched_best = sched_metric
                 sched_wait = 0
+            else:
+                sched_wait += 1
+                if sched_wait >= 2:
+                    lr_scale = lr_scale * 0.5
+                    sched_wait = 0
         if verbose:
             msg = f"Epoch {epoch}, Loss: {total/steps:.4f}"
             if scores:

@@ -20,6 +20,7 @@ Tested against the dense engine on the virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
+import hashlib
 from functools import partial
 
 import jax
@@ -572,6 +573,33 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
     return layout.exchange_count
 
 
+def _circuit_fingerprint(circuit, override_idx) -> tuple:
+    """Content hash of a circuit's gate list for the executor cache.
+
+    The compiled executor bakes every non-override gate's parameters in as
+    closure constants, so the cache key must cover gate CONTENT: replacing a
+    same-length gate list or mutating a params ndarray in place must miss the
+    cache (previously it silently returned stale compiled results).  Gates
+    whose parameters arrive via ``runtime_params`` are operands, not
+    constants, so their params are excluded (name/qubits still matter).
+    """
+    override = set(override_idx)
+    h = hashlib.sha256()
+    h.update(str(circuit.num_qubits).encode())
+    for i, g in enumerate(circuit.gates):
+        h.update(g.name.encode())
+        h.update(np.asarray(g.qubits, dtype=np.int64).tobytes())
+        if i in override:
+            h.update(b"<override>")
+        elif isinstance(g.params, tuple) and not g.params:
+            h.update(b"<none>")
+        else:
+            p = np.asarray(g.params)
+            h.update(str(p.dtype).encode())
+            h.update(p.tobytes())
+    return (id(type(circuit)), len(circuit.gates), h.digest())
+
+
 def sharded_simulate(
     circuit: Circuit,
     mesh: Mesh,
@@ -639,8 +667,8 @@ def sharded_simulate(
     override_vals = [runtime_params[i] for i in override_idx]
 
     cache_key = (
-        id(circuit), len(circuit.gates), mesh, axis_name, backend,
-        exchange_chunks, exchange_impl, override_idx, str(dtype),
+        _circuit_fingerprint(circuit, override_idx), mesh, axis_name,
+        backend, exchange_chunks, exchange_impl, override_idx, str(dtype),
     )
     cached = getattr(circuit, "_sharded_exec_cache", None)
     if cached is not None and cache_key in cached:
@@ -688,7 +716,8 @@ def sharded_simulate(
     # Cache the jitted executor ON the circuit (a fresh jit per call would
     # re-trace and re-compile every repeated simulate -- minutes-scale on
     # the remote TPU; CLAUDE.md: minimize distinct compiles).  Keyed on
-    # the circuit's identity AND gate count so post-hoc appends miss.
+    # gate CONTENT (_circuit_fingerprint) so appends, gate replacement,
+    # and in-place params mutation all miss instead of going stale.
     if cached is None:
         cached = {}
         try:

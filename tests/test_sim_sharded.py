@@ -339,3 +339,33 @@ def test_repeated_simulate_reuses_compiled_executor(mesh8):
     p3 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
     assert len(cache) == 2
     np.testing.assert_allclose(p3, np.asarray(simulate(circ)), atol=1e-12)
+
+
+def test_gate_content_change_misses_executor_cache(mesh8):
+    """Regression (advisor r2): the executor cache was keyed on circuit
+    identity + gate COUNT, so replacing a gate (same length) or mutating a
+    params ndarray in place returned stale compiled results.  The key now
+    covers gate content; both mutations must produce fresh, dense-exact
+    results."""
+    from qkan_implementation_tpu.sim.circuit import Gate
+
+    q = 6
+    circ = Circuit(q)
+    for t in range(q):
+        circ.ry(0.3 + 0.1 * t, t)
+    circ.h(q - 1)
+    p1 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+
+    # same-length gate replacement
+    circ.gates[0] = Gate("ry", (0,), np.asarray([1.234]))
+    p2 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+    assert not np.allclose(p1, p2)
+    np.testing.assert_allclose(p2, np.asarray(simulate(circ)), atol=1e-12)
+
+    # in-place params mutation
+    params = np.asarray(circ.gates[1].params)
+    params[...] = 2.5
+    object.__setattr__(circ.gates[1], "params", params)
+    p3 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
+    assert not np.allclose(p2, p3)
+    np.testing.assert_allclose(p3, np.asarray(simulate(circ)), atol=1e-12)
