@@ -143,8 +143,22 @@ def main():
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
     path = out / "anneal_headtohead.json"
-    path.write_text(json.dumps(all_records, indent=1))
-    print(f"records -> {path}")
+    # merge: keep rows from other platforms/workloads (the head-to-head
+    # record holds CPU and TPU rows side by side); replace rows this run
+    # re-measured
+    existing = json.loads(path.read_text()) if path.exists() else []
+    fresh_keys = {
+        (r["workload"], r["sampler"], r["sweeps"], r["platform"])
+        for r in all_records
+    }
+    merged = [
+        r
+        for r in existing
+        if (r["workload"], r["sampler"], r["sweeps"], r["platform"])
+        not in fresh_keys
+    ] + all_records
+    path.write_text(json.dumps(merged, indent=1))
+    print(f"records -> {path} ({len(merged)} rows)")
 
 
 if __name__ == "__main__":

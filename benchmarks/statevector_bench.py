@@ -100,6 +100,41 @@ def main():
         )
         results["pallas_h_ms"] = dt * 1e3
 
+    # Aer-class CPU baseline (native/qkan_native.cpp dense gate loop): the
+    # denominator of BASELINE.md's "gate-ops/sec vs Aer CPU" north star.
+    # Per-gate rows on the same state size as the device rows above.
+    from qkan_implementation_tpu.native_bindings import (
+        native_available,
+        statevector_native,
+        sv_encode_circuit,
+    )
+    from qkan_implementation_tpu.sim.circuit import Circuit
+
+    if native_available() and q <= 26:
+        th_np = np.asarray(thetas, dtype=np.float64)
+        cu = Circuit(q)
+        cu.ucry(th_np, tuple(range(q - 2, -1, -1)), q - 1)
+        ch = Circuit(q)
+        ch.h(q // 2)
+        psi0 = np.asarray(psi, dtype=np.complex128)
+        for name, circn in (("ucry", cu), ("h", ch)):
+            enc = sv_encode_circuit(circn)
+            reps = max(1, args.iters // 20)
+            statevector_native(circn, psi0=psi0, encoded=enc)  # warm cache
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                statevector_native(circn, psi0=psi0, encoded=enc)
+            dt = (time.perf_counter() - t0) / reps
+            results[f"native_{name}_ms"] = dt * 1e3
+        if "pallas_ucry_cs_pair_ms" in results:
+            results["ucry_vs_aer_class"] = (
+                results["native_ucry_ms"] / results["pallas_ucry_cs_pair_ms"]
+            )
+        elif "pallas_ucry_ms" in results:
+            results["ucry_vs_aer_class"] = (
+                results["native_ucry_ms"] / results["pallas_ucry_ms"]
+            )
+
     # Full FABLE simulation (auto backend): circuit has 2n+1 = q qubits when
     # the encoded block is 2^((q-1)/2).  Static circuit params become
     # program constants, so this row stops at 25 qubits (remote-compile
@@ -116,6 +151,18 @@ def main():
         )
         results["fable_sim_ms"] = dt * 1e3
         results["fable_gates_per_sec"] = circ.gate_count / dt
+        if native_available() and q <= 25:
+            enc = sv_encode_circuit(circ)
+            psi0 = np.asarray(psi, dtype=np.complex128)
+            statevector_native(circ, psi0=psi0, encoded=enc)  # warm
+            reps = max(1, args.iters // 50)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                statevector_native(circ, psi0=psi0, encoded=enc)
+            dt_n = (time.perf_counter() - t0) / reps
+            results["native_fable_sim_ms"] = dt_n * 1e3
+            results["native_fable_gates_per_sec"] = circ.gate_count / dt_n
+            results["fable_vs_aer_class"] = dt_n / dt
 
     for k, v in results.items():
         print(f"{k}: {v:,.3f}")

@@ -133,6 +133,196 @@ void qkan_energies(int n, int num_samples, const double* h, const double* J,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Dense statevector engine: the Aer-class CPU baseline.
+//
+// The reference's only quantum runtime is Qiskit Aer's C++ gate loop
+// (MulStep.py:120-122); Aer is not installable in this environment, so this
+// engine provides the denominator for the "statevector gate-ops/sec vs Aer
+// CPU" north-star ratio (BASELINE.md row 5).  Same structure as Aer's
+// qubitvector: complex amplitudes over 2^q, one cache-friendly strided loop
+// per gate, specialized per opcode.  Little-endian qubit convention (qubit t
+// has bit weight 2^t) matching sim/circuit.py; for multi-qubit gates
+// qubits[0] is the MSB of the gate-matrix index.
+//
+// Amplitudes are stored as separate re/im planes: real-only gates (H, X,
+// Ry, CX, CZ, CRY, SWAP, UCRY -- everything FABLE emits) then run the same
+// real 2x2 kernel on each plane.
+
+#include <complex>
+
+namespace sv {
+
+inline void apply_1q_real(double* re, double* im, size_t dim, int t,
+                          double m00, double m01, double m10, double m11) {
+  const size_t step = 1ULL << t;
+  for (size_t base = 0; base < dim; base += 2 * step) {
+    for (size_t i = base; i < base + step; ++i) {
+      const size_t j = i + step;
+      const double r0 = re[i], i0 = im[i], r1 = re[j], i1 = im[j];
+      re[i] = m00 * r0 + m01 * r1;
+      im[i] = m00 * i0 + m01 * i1;
+      re[j] = m10 * r0 + m11 * r1;
+      im[j] = m10 * i0 + m11 * i1;
+    }
+  }
+}
+
+}  // namespace sv
+
+extern "C" {
+
+// Gate stream ABI (flattened, ctypes-friendly):
+//   ops[g]               opcode: 0=h 1=x 2=z 3=ry 4=rz 5=cx 6=cz 7=swap
+//                                8=cry 9=ucry 10=diag
+//   qubits[qoff[g]..qoff[g+1])   gate qubit list (ucry: target, then
+//                                controls MSB-first; diag: qubits MSB-first)
+//   params_re/params_im[poff[g]..poff[g+1])  angles / phases
+// State: re/im planes of length 2^num_qubits, updated in place.
+// Returns 0 on success, -1 on an unknown opcode.
+int qkan_sv_run(int num_qubits, int num_gates, const int* ops,
+                const long long* qoff, const int* qubits,
+                const long long* poff, const double* params_re,
+                const double* params_im, double* re, double* im) {
+  const size_t dim = 1ULL << num_qubits;
+  const double inv_sqrt2 = 0.7071067811865475244;
+  std::vector<double> cos_tab, sin_tab;
+  for (int g = 0; g < num_gates; ++g) {
+    const int* q = qubits + qoff[g];
+    const int nq = (int)(qoff[g + 1] - qoff[g]);
+    const double* pr = params_re + poff[g];
+    const double* pi = params_im ? params_im + poff[g] : nullptr;
+    const long long np = poff[g + 1] - poff[g];
+    switch (ops[g]) {
+      case 0:  // h
+        sv::apply_1q_real(re, im, dim, q[0], inv_sqrt2, inv_sqrt2, inv_sqrt2,
+                          -inv_sqrt2);
+        break;
+      case 1:  // x
+        sv::apply_1q_real(re, im, dim, q[0], 0.0, 1.0, 1.0, 0.0);
+        break;
+      case 2: {  // z
+        const size_t step = 1ULL << q[0];
+        for (size_t base = step; base < dim; base += 2 * step)
+          for (size_t i = base; i < base + step; ++i) {
+            re[i] = -re[i];
+            im[i] = -im[i];
+          }
+        break;
+      }
+      case 3: {  // ry
+        const double c = std::cos(pr[0] / 2), s = std::sin(pr[0] / 2);
+        sv::apply_1q_real(re, im, dim, q[0], c, -s, s, c);
+        break;
+      }
+      case 4: {  // rz: diag(e^{-i a/2}, e^{i a/2})
+        const double c = std::cos(pr[0] / 2), s = std::sin(pr[0] / 2);
+        const size_t step = 1ULL << q[0];
+        for (size_t base = 0; base < dim; base += 2 * step)
+          for (size_t i = base; i < base + step; ++i) {
+            const size_t j = i + step;
+            double r = re[i], m = im[i];
+            re[i] = c * r + s * m;   // * e^{-ia/2}
+            im[i] = c * m - s * r;
+            r = re[j]; m = im[j];
+            re[j] = c * r - s * m;   // * e^{+ia/2}
+            im[j] = c * m + s * r;
+          }
+        break;
+      }
+      case 5: {  // cx(control, target): swap amplitudes where control set
+        const size_t cbit = 1ULL << q[0], step = 1ULL << q[1];
+        for (size_t base = 0; base < dim; base += 2 * step)
+          for (size_t i = base; i < base + step; ++i) {
+            if (!(i & cbit)) continue;
+            const size_t j = i + step;
+            std::swap(re[i], re[j]);
+            std::swap(im[i], im[j]);
+          }
+        break;
+      }
+      case 6: {  // cz
+        const size_t m = (1ULL << q[0]) | (1ULL << q[1]);
+        for (size_t i = 0; i < dim; ++i)
+          if ((i & m) == m) {
+            re[i] = -re[i];
+            im[i] = -im[i];
+          }
+        break;
+      }
+      case 7: {  // swap(a, b)
+        const size_t ab = (1ULL << q[0]) | (1ULL << q[1]);
+        const size_t abit = 1ULL << q[0], bbit = 1ULL << q[1];
+        for (size_t i = 0; i < dim; ++i)
+          if ((i & abit) && !(i & bbit)) {
+            const size_t j = i ^ ab;
+            std::swap(re[i], re[j]);
+            std::swap(im[i], im[j]);
+          }
+        break;
+      }
+      case 8: {  // cry(control, target)
+        const double c = std::cos(pr[0] / 2), s = std::sin(pr[0] / 2);
+        const size_t cbit = 1ULL << q[0], step = 1ULL << q[1];
+        for (size_t base = 0; base < dim; base += 2 * step)
+          for (size_t i = base; i < base + step; ++i) {
+            if (!(i & cbit)) continue;
+            const size_t j = i + step;
+            const double r0 = re[i], i0 = im[i], r1 = re[j], i1 = im[j];
+            re[i] = c * r0 - s * r1;
+            im[i] = c * i0 - s * i1;
+            re[j] = s * r0 + c * r1;
+            im[j] = s * i0 + c * i1;
+          }
+        break;
+      }
+      case 9: {  // ucry(target; controls MSB-first), 2^k angles
+        const int t = q[0];
+        const int k = nq - 1;
+        cos_tab.resize((size_t)np);
+        sin_tab.resize((size_t)np);
+        for (long long a = 0; a < np; ++a) {
+          cos_tab[a] = std::cos(pr[a] / 2);
+          sin_tab[a] = std::sin(pr[a] / 2);
+        }
+        const size_t step = 1ULL << t;
+        for (size_t base = 0; base < dim; base += 2 * step)
+          for (size_t i = base; i < base + step; ++i) {
+            size_t idx = 0;
+            for (int b = 0; b < k; ++b)
+              idx = (idx << 1) | ((i >> q[1 + b]) & 1ULL);
+            const double c = cos_tab[idx], s = sin_tab[idx];
+            const size_t j = i + step;
+            const double r0 = re[i], i0 = im[i], r1 = re[j], i1 = im[j];
+            re[i] = c * r0 - s * r1;
+            im[i] = c * i0 - s * i1;
+            re[j] = s * r0 + c * r1;
+            im[j] = s * i0 + c * i1;
+          }
+        break;
+      }
+      case 10: {  // diag over qubits (MSB-first), 2^k complex phases
+        const int k = nq;
+        for (size_t i = 0; i < dim; ++i) {
+          size_t idx = 0;
+          for (int b = 0; b < k; ++b)
+            idx = (idx << 1) | ((i >> q[b]) & 1ULL);
+          const double dr = pr[idx], di = pi ? pi[idx] : 0.0;
+          const double r = re[i], m = im[i];
+          re[i] = dr * r - di * m;
+          im[i] = dr * m + di * r;
+        }
+        break;
+      }
+      default:
+        return -1;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Circuit optimizer: the gate-graph scheduling pass of the runtime.
 //
 // Consumes a flat gate encoding (opcode, q0, q1, param) and applies

@@ -65,12 +65,17 @@ def load_native():
     lib.qkan_energies.restype = None
     ip = ctypes.POINTER(ctypes.c_int)
     up = ctypes.POINTER(ctypes.c_uint8)
+    lp = ctypes.POINTER(ctypes.c_longlong)
     lib.qkan_optimize_circuit.argtypes = [
         ctypes.c_int, ip, ip, ip, dp, ctypes.c_double, up,
     ]
     lib.qkan_optimize_circuit.restype = ctypes.c_int
     lib.qkan_circuit_depth.argtypes = [ctypes.c_int, ip, ip, up, ctypes.c_int]
     lib.qkan_circuit_depth.restype = ctypes.c_int
+    lib.qkan_sv_run.argtypes = [
+        ctypes.c_int, ctypes.c_int, ip, lp, ip, lp, dp, dp, dp, dp,
+    ]
+    lib.qkan_sv_run.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -208,6 +213,88 @@ def circuit_depth_native(circuit) -> int:
             circuit.num_qubits,
         )
     )
+
+
+_SV_OPCODES = {
+    "h": 0, "x": 1, "z": 2, "ry": 3, "rz": 4, "cx": 5, "cz": 6,
+    "swap": 7, "cry": 8, "ucry": 9, "diag": 10,
+}
+
+
+def sv_encode_circuit(circuit):
+    """Flatten a gate-IR circuit into the C statevector-engine stream.
+
+    Returns (ops, qoff, qubits, poff, params_re, params_im) numpy arrays;
+    raises ValueError on a gate the engine does not support (``unitary``).
+    Encode once, run many times -- the encoding is reusable across
+    ``statevector_native`` calls.
+    """
+    ops, qoff, qubits_flat, poff = [], [0], [], [0]
+    pr, pim = [], []
+    complex_params = False
+    for g in circuit.gates:
+        if g.name not in _SV_OPCODES:
+            raise ValueError(f"native engine does not support gate {g.name!r}")
+        ops.append(_SV_OPCODES[g.name])
+        qubits_flat.extend(g.qubits)
+        qoff.append(len(qubits_flat))
+        p = np.asarray(g.params, dtype=np.complex128).reshape(-1)
+        if np.any(p.imag != 0.0):
+            complex_params = True
+        pr.extend(p.real.tolist())
+        pim.extend(p.imag.tolist())
+        poff.append(len(pr))
+    return (
+        np.asarray(ops, dtype=np.int32),
+        np.asarray(qoff, dtype=np.int64),
+        np.asarray(qubits_flat, dtype=np.int32),
+        np.asarray(poff, dtype=np.int64),
+        np.asarray(pr, dtype=np.float64),
+        np.asarray(pim, dtype=np.float64) if complex_params else None,
+    )
+
+
+def statevector_native(circuit, psi0=None, encoded=None):
+    """Run a circuit on the C++ dense statevector engine (Aer-class CPU
+    baseline; see native/qkan_native.cpp).  Returns the final state as
+    complex128 [2^q].
+
+    This is the denominator of the "gate-ops/sec vs Aer CPU" north star
+    (reference ``MulStep.py:120-122`` is the Aer boundary): same amplitude
+    layout and gate set as ``sim.statevector.simulate``, one strided C loop
+    per gate.  ``encoded``: pass a ``sv_encode_circuit`` result to skip
+    re-encoding on repeated runs.
+    """
+    lib = load_native()
+    ops, qoff, qubits, poff, pr, pim = (
+        encoded if encoded is not None else sv_encode_circuit(circuit)
+    )
+    dim = 2 ** circuit.num_qubits
+    if psi0 is None:
+        re = np.zeros(dim, dtype=np.float64)
+        im = np.zeros(dim, dtype=np.float64)
+        re[0] = 1.0
+    else:
+        psi0 = np.asarray(psi0, dtype=np.complex128).reshape(dim)
+        re = np.ascontiguousarray(psi0.real)
+        im = np.ascontiguousarray(psi0.imag)
+    ipc = ctypes.POINTER(ctypes.c_int)
+    lpc = ctypes.POINTER(ctypes.c_longlong)
+    rc = lib.qkan_sv_run(
+        circuit.num_qubits,
+        len(ops),
+        ops.ctypes.data_as(ipc),
+        qoff.ctypes.data_as(lpc),
+        qubits.ctypes.data_as(ipc),
+        poff.ctypes.data_as(lpc),
+        _as_c(pr),
+        _as_c(pim) if pim is not None else None,
+        _as_c(re),
+        _as_c(im),
+    )
+    if rc != 0:
+        raise RuntimeError(f"qkan_sv_run failed with code {rc}")
+    return re + 1j * im
 
 
 def energies_native(model, samples: np.ndarray) -> np.ndarray:

@@ -253,7 +253,16 @@ def simulate(
     unrolled pure-XLA lowering; 'pallas' additionally allows interpret-mode
     Pallas off-TPU.
     """
-    dtype = dtype or default_dtype(circuit)
+    if dtype is None:
+        dtype = default_dtype(circuit)
+        # inferred dtype covers the CIRCUIT; a complex initial state must
+        # promote it or .astype silently drops the imaginary part
+        if psi0 is not None and jnp.issubdtype(
+            jnp.asarray(psi0).dtype, jnp.complexfloating
+        ) and not jnp.issubdtype(dtype, jnp.complexfloating):
+            dtype = (
+                jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+            )
     psi = zero_state(circuit.num_qubits, dtype) if psi0 is None else psi0.astype(dtype)
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
