@@ -15,6 +15,12 @@ from qkan_implementation_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
 
+import jax as _jax
+
+# the exactness section compares f64 amplitudes; without x64 the float64
+# request silently degrades to f32 and 1e-12 bars become unreachable
+_jax.config.update("jax_enable_x64", True)
+
 import argparse
 import json
 import pathlib
@@ -66,10 +72,22 @@ def main():
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument(
         "--exchange-impl", default="collective",
-        choices=["collective", "rdma"],
+        choices=["collective", "rdma", "all_to_all"],
         help="'rdma' times the fused exchange+ucry kernel (sim/rdma.py); "
         "meaningful on a real TPU slice -- on the CPU mesh the kernel runs "
-        "under interpret mode, so wall-clock there only checks the path",
+        "under interpret mode, so wall-clock there only checks the path; "
+        "'all_to_all' uses the grouped all_to_all exchange lowering",
+    )
+    ap.add_argument(
+        "--exact-qubits", type=int, default=20,
+        help="amplitude-exact sharded-vs-dense comparison size (f64; 0 "
+        "disables).  VERDICT r2 item 5: push exactness to the memory edge "
+        "of the CPU mesh",
+    )
+    ap.add_argument(
+        "--marginals-qubits", type=int, default=27,
+        help="large sharded run checked via analytic marginals (f32; 0 "
+        "disables) -- pairs with the single-chip 27q dense record",
     )
     args = ap.parse_args()
 
@@ -111,6 +129,96 @@ def main():
             jax.block_until_ready(psi)
             row[f"wall_s_chunks{chunks}"] = round(time.time() - t0, 4)
         row["platform"] = jax.devices()[0].platform
+        records.append(row)
+        print(row)
+
+    if args.exact_qubits:
+        from qkan_implementation_tpu.sim import simulate
+
+        q = args.exact_qubits
+        rng = np.random.default_rng(7)
+        circ = Circuit(q)
+        for t in range(q):
+            circ.ry(float(rng.uniform(-2, 2)), t)
+        for t in range(q - 5, q):  # global-qubit traffic
+            circ.h(t)
+        circ.cx(q - 1, 0).cx(3, q - 2).swap(q - 3, 1)
+        circ.ucry(
+            rng.uniform(-2, 2, 2 ** (q - 1)),
+            tuple(range(q - 2, -1, -1)),
+            q - 1,
+        )
+        dense = np.asarray(simulate(circ, dtype=jnp.float64))
+        row = {
+            "workload": f"exact_q{q}_random",
+            "qubits": q,
+            "gates": circ.gate_count,
+            "devices": n_dev,
+            "dtype": "float64",
+            "platform": jax.devices()[0].platform,
+        }
+        for impl in ("collective", "all_to_all"):
+            for chunks in (1, 4):
+                t0 = time.time()
+                shard = np.asarray(
+                    jax.device_get(
+                        sharded_simulate(
+                            circ, mesh, dtype=jnp.float64,
+                            exchange_impl=impl, exchange_chunks=chunks,
+                        )
+                    )
+                )
+                err = float(np.max(np.abs(shard - dense)))
+                row[f"max_abs_err_{impl}_chunks{chunks}"] = err
+                row[f"wall_s_{impl}_chunks{chunks}"] = round(
+                    time.time() - t0, 3
+                )
+                assert err < 1e-12, (impl, chunks, err)
+        records.append(row)
+        print(row)
+
+    if args.marginals_qubits:
+        from functools import partial
+
+        q = args.marginals_qubits
+        rng = np.random.default_rng(23)
+        thetas = rng.uniform(0.2, np.pi - 0.2, q)
+        circ = Circuit(q)
+        for t in range(q):
+            circ.ry(float(thetas[t]), t)
+        circ.cx(q - 1, 0).cx(5, q - 2)
+        t0 = time.time()
+        psi = sharded_simulate(circ, mesh, dtype=jnp.float32)
+        jax.block_until_ready(psi)
+        wall = time.time() - t0
+
+        p1 = np.sin(thetas / 2.0) ** 2
+        expect = p1.copy()
+        expect[0] = p1[q - 1] * (1 - p1[0]) + (1 - p1[q - 1]) * p1[0]
+        expect[q - 2] = p1[5] * (1 - p1[q - 2]) + (1 - p1[5]) * p1[q - 2]
+
+        @partial(jax.jit, static_argnames=("t",))
+        def marginal(psi, t):
+            probs = (psi.astype(jnp.float32) ** 2).reshape(-1, 2, 2**t)
+            return jnp.sum(probs[:, 1, :])
+
+        errs = [
+            abs(float(marginal(psi, t)) - expect[t])
+            for t in (0, 5, q // 2, q - 2, q - 1)
+        ]
+        norm = float(jnp.sum(psi.astype(jnp.float32) ** 2))
+        row = {
+            "workload": f"marginals_q{q}_sharded",
+            "qubits": q,
+            "devices": n_dev,
+            "dtype": "float32",
+            "amplitudes": 2**q,
+            "wall_s_first_call": round(wall, 3),
+            "max_marginal_abs_err": float(np.max(errs)),
+            "norm_err": abs(norm - 1.0),
+            "platform": jax.devices()[0].platform,
+        }
+        assert row["max_marginal_abs_err"] < 1e-4, row
         records.append(row)
         print(row)
 

@@ -112,10 +112,38 @@ def main():
             bar_s = f"{bar:.0e}" if bar else "-"
             print(f"{k:36s} {v:14.3e}  {bar_s}")
 
+    # Regression gate (VERDICT r2 item 4): the chip-level f32 contract is
+    # DECLARED here -- 2x the values measured and committed in round 2
+    # (records/tpu_contracts.json @ TPU v5 lite) -- and the bench FAILS
+    # when any contract regresses past it, so a silent 10x precision loss
+    # can no longer "pass".  docs/benchmarks.md states the same floors.
+    chip_floor = {
+        "cheb_dilated_N4_deg8": 2.2e-07,
+        "mul_deg0": 6.0e-07,
+        "mul_deg1": 8.0e-07,
+        "mul_deg2": 1.3e-06,
+        "mul_deg3": 1.1e-06,
+        "lcu": 1.7e-06,
+        "sum": 1.6e-06,
+        "dense_8x8": 1.6e-07,
+        "packed_extract_256": 3.9e-05,
+        "layer_quantum_vs_classical_N16": 2.3e-05,
+    }
+    regressions = {}
+    if jax.devices()[0].platform == "tpu":
+        for k, floor in chip_floor.items():
+            if k in results and results[k] > floor:
+                regressions[k] = {"achieved": results[k], "floor": floor}
+    results["chip_floor"] = chip_floor
+    results["regressions"] = regressions
+
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
     (out / "tpu_contracts.json").write_text(json.dumps(results, indent=1))
     print(f"records -> {out / 'tpu_contracts.json'}")
+    if regressions:
+        print(f"PRECISION REGRESSION vs declared chip floor: {regressions}")
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

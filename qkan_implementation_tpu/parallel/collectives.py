@@ -56,3 +56,35 @@ def pairwise_exchange(x, axis_name: str, partner_bit: int, n_devices: int):
         )
     perm = [(i, i ^ (1 << partner_bit)) for i in range(n_devices)]
     return jax.lax.ppermute(x, axis_name, perm)
+
+
+def pairwise_exchange_a2a(x, axis_name: str, partner_bit: int, n_devices: int):
+    """``pairwise_exchange`` lowered through ``all_to_all`` over 2-device
+    groups instead of ``ppermute`` -- the second implementation behind the
+    swappable comm surface (SURVEY.md section 5: collective choice
+    swappable and testable).
+
+    Each hypercube pair forms an ``axis_index_groups`` group; the payload is
+    stacked [2, ...] so the all-to-all transpose delivers the partner's copy
+    in the partner slot (the self-chunk stays device-local, so ICI traffic
+    matches the ppermute lowering).
+    """
+    if n_devices & (n_devices - 1):
+        raise ValueError(
+            f"pairwise_exchange_a2a needs a power-of-two device count, got "
+            f"{n_devices}"
+        )
+    if (1 << partner_bit) >= n_devices:
+        raise ValueError(
+            f"partner_bit {partner_bit} out of range for {n_devices} devices"
+        )
+    bit = 1 << partner_bit
+    groups = [[i, i | bit] for i in range(n_devices) if not (i & bit)]
+    stacked = jnp.stack([x, x])
+    out = jax.lax.all_to_all(
+        stacked, axis_name, split_axis=0, concat_axis=0,
+        axis_index_groups=groups,
+    )
+    own = (jax.lax.axis_index(axis_name) >> partner_bit) & 1
+    # out[k] holds group-member k's payload; the partner sits in slot 1-own
+    return jnp.where(own == 0, out[1], out[0])

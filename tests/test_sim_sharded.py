@@ -369,3 +369,103 @@ def test_gate_content_change_misses_executor_cache(mesh8):
     p3 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
     assert not np.allclose(p2, p3)
     np.testing.assert_allclose(p3, np.asarray(simulate(circ)), atol=1e-12)
+
+
+def test_all_to_all_exchange_impl_matches_dense(mesh8):
+    """The swappable comm surface, actually swapped: exchange_impl=
+    'all_to_all' replaces the ppermute pairwise exchange with the grouped
+    all_to_all lowering and must stay amplitude-exact on an exchange-heavy
+    circuit (global H/CX/ucry), chunked and unchunked."""
+    rng = np.random.default_rng(5)
+    q = 9
+    circ = Circuit(q)
+    for t in range(q):
+        circ.h(t)
+    circ.cx(8, 2).ry(0.7, 7).cx(6, 0)
+    circ.ucry(rng.uniform(-2, 2, 2 ** (q - 1)), tuple(range(q - 2, -1, -1)), q - 1)
+    circ.h(8).swap(7, 1)
+    dense = np.asarray(simulate(circ))
+    for chunks in (1, 4):
+        shard = np.asarray(
+            jax.device_get(
+                sharded_simulate(
+                    circ, mesh8, exchange_impl="all_to_all",
+                    exchange_chunks=chunks,
+                )
+            )
+        )
+        np.testing.assert_allclose(shard, dense, atol=1e-10)
+
+
+def test_count_exchanges_dry_run_flag():
+    """count_exchanges now runs on the layout's first-class dry_run mode
+    (no class-level monkey-patching): the count must match the number of
+    exchanges the real executor performs, and concurrent layouts must not
+    interfere."""
+    from qkan_implementation_tpu.sim.sharded import _QubitLayout, count_exchanges
+
+    q = 8
+    circ = Circuit(q)
+    circ.h(7).cx(6, 0).h(5)
+    n = count_exchanges(circ, 8)
+    assert n >= 3  # three global qubits touched non-diagonally
+    # a fresh real layout is untouched by the dry run (no global state)
+    layout = _QubitLayout(q, 5, "d", 8)
+    assert layout.exchange_count == 0
+    assert not layout.dry_run
+    # dry-run layout walks restore() without touching amplitudes
+    dry = _QubitLayout(q, 5, "d", 8, dry_run=True)
+    out = dry.exchange(None, 6, 0)
+    assert out is None and dry.exchange_count == 1
+    dry.restore(None)
+    assert dry.phys == list(range(q))
+
+
+def test_exact_amplitudes_20_qubits_both_exchange_impls(mesh8):
+    """VERDICT r2 item 5: amplitude-exact sharded-vs-dense at the memory
+    edge of the CPU mesh (f64 at q=20 is 1 MB/device here).  Random
+    circuit with heavy global-qubit traffic; both exchange
+    implementations, chunked and unchunked, must agree to 1e-12."""
+    rng = np.random.default_rng(41)
+    q = 20
+    circ = Circuit(q)
+    for t in range(q):
+        circ.ry(float(rng.uniform(-2, 2)), t)
+    for t in range(q - 4, q):
+        circ.h(t)
+    circ.cx(q - 1, 0).cx(2, q - 2).swap(q - 3, 1)
+    circ.ucry(
+        rng.uniform(-2, 2, 2 ** (q - 1)), tuple(range(q - 2, -1, -1)), q - 1
+    )
+    dense = np.asarray(simulate(circ, dtype=jnp.float64))
+    for impl in ("collective", "all_to_all"):
+        for chunks in (1, 4):
+            shard = np.asarray(
+                jax.device_get(
+                    sharded_simulate(
+                        circ, mesh8, dtype=jnp.float64,
+                        exchange_impl=impl, exchange_chunks=chunks,
+                    )
+                )
+            )
+            np.testing.assert_allclose(
+                shard, dense, atol=1e-12,
+                err_msg=f"impl={impl} chunks={chunks}",
+            )
+
+
+def test_exact_amplitudes_19_qubit_fable_circuit(mesh8):
+    """A real 512x512 FABLE block-encoding (19 qubits) stays amplitude-
+    exact under sharding at f64 -- the workload-shaped counterpart of the
+    random-circuit exactness test."""
+    from qkan_implementation_tpu.encoding import fable
+
+    rng = np.random.default_rng(43)
+    a = rng.uniform(-1, 1, (512, 512))
+    circ, _ = fable(a)
+    assert circ.num_qubits == 19
+    dense = np.asarray(simulate(circ, dtype=jnp.float64))
+    shard = np.asarray(
+        jax.device_get(sharded_simulate(circ, mesh8, dtype=jnp.float64))
+    )
+    np.testing.assert_allclose(shard, dense, atol=1e-12)
