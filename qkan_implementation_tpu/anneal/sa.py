@@ -82,30 +82,101 @@ def _anneal_kernel(h, J, betas, key, num_reads: int, num_sweeps: int):
     return s, energies
 
 
+_HI = jax.lax.Precision.HIGHEST  # TPU matmuls are bf16 by default
+
+
+def _delayed_structs(J, block: int):
+    """Static per-problem structures for the delayed-update sweep:
+    row blocks of J, and the within-block coupling rows PRE-ROLLED so that
+    row r of the rolled diagonal block couples variable j with variable
+    (j + r) mod block -- aligned with the rolling field buffer in
+    ``_delayed_sweep``."""
+    n = J.shape[0]
+    nb = n // block
+    J_rows = J.reshape(nb, block, n)  # scan xs: leading-axis slicing is free
+    J_diag = J.reshape(nb, block, nb, block)[
+        jnp.arange(nb), :, jnp.arange(nb), :
+    ]  # [nb, block, block] within-block couplings
+    roll_idx = (
+        np.arange(block)[:, None] + np.arange(block)[None, :]
+    ) % block
+    Jd_rolled = J_diag[:, np.arange(block)[:, None], roll_idx]
+    i0s = jnp.arange(nb) * block
+    return J_rows, Jd_rolled, i0s
+
+
+def _delayed_sweep(s, f, beta_r, u, J_rows, Jd_rolled, i0s, block: int):
+    """One delayed-update sequential Metropolis sweep over all variables.
+
+    The TPU-native schedule shared by the SA and tempering kernels: the
+    chain is the per-variable sequential sweep (variables visited in index
+    order, each seeing every earlier acceptance through its field), but the
+    O(R*n) global field update per flip is DEFERRED -- within a block only
+    the block's own field rows are maintained (O(R*block) VPU work per
+    variable, via a rolling [block, R] buffer whose row 0 is always the
+    current variable), and the full-field update lands as ONE
+    [n,block]x[block,R] matmul per block: MXU work instead of n scan steps
+    of strided minor-axis updates.  Layout is [n, R] (reads on lanes); the
+    old [R, n] layout's ``s.at[:, i]`` minor-axis updates destroy TPU
+    codegen, and the inner loop is a scan (a 32-wide static unroll
+    compiled into a minutes-scale program on the remote TPU compiler).
+
+    ``beta_r`` is per-read [R]: a broadcast scalar for SA's annealing
+    schedule, the tiled temperature ladder for parallel tempering.
+
+    Returns (s, f, dE) where dE [R] is the summed accepted energy change
+    (for incremental energy tracking; fp drift only, callers recompute
+    exact energies at the end).
+
+    TPU-native replacement for neal's sequential C++ sweep (reference
+    ``DegreeOptimizer.py:236-237``).
+    """
+    R = s.shape[1]
+
+    def block_step(carry, xs):
+        s, f = carry
+        Jrow, Jdr, u_blk, i0 = xs
+        sblk = jax.lax.dynamic_slice(s, (i0, 0), (block, R))
+        fblk = jax.lax.dynamic_slice(f, (i0, 0), (block, R))
+
+        def var_step(fblk, xs_j):
+            s_j, u_j, Jdr_j = xs_j
+            de = (1.0 - 2.0 * s_j) * fblk[0]
+            accept = (de <= 0.0) | (u_j < jnp.exp(-beta_r * de))
+            delta = jnp.where(accept, 1.0 - 2.0 * s_j, 0.0)
+            # roll so the CURRENT variable is always row 0: rows ahead get
+            # their field maintenance, processed rows roll to the back
+            # (their stale fields are never read again)
+            fblk = jnp.roll(fblk + delta[None, :] * Jdr_j[:, None], -1, 0)
+            return fblk, (delta, jnp.where(accept, de, 0.0))
+
+        _, (dblk, deblk) = jax.lax.scan(
+            var_step, fblk, (sblk, u_blk, Jdr)
+        )
+        s = jax.lax.dynamic_update_slice(s, sblk + dblk, (i0, 0))
+        # deferred global field update: fblk was scratch, so adding the
+        # full J[block,:].T @ dblk here is exact for block rows too
+        f = f + jax.lax.dot_general(
+            Jrow, dblk, (((0,), (0,)), ((), ())), precision=_HI
+        )
+        return (s, f), jnp.sum(deblk, axis=0)
+
+    (s, f), de_blocks = jax.lax.scan(
+        block_step, (s, f), (J_rows, Jd_rolled, u, i0s)
+    )
+    return s, f, jnp.sum(de_blocks, axis=0)
+
+
 @partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "block"))
 def _anneal_kernel_delayed(
     h, J, betas, key, num_reads: int, num_sweeps: int, block: int
 ):
-    """Delayed-update sequential-sweep SA -- the TPU-native schedule.
+    """Delayed-update sequential-sweep SA (see ``_delayed_sweep``).
 
     Produces the SAME Markov chain as a per-variable sequential Metropolis
     sweep consuming the same uniforms in the same variable order (pinned by
-    the block-size-invariance test at x64): variables are still visited and
-    accepted one at a time in index order, but the O(R*n) global field
-    update per flip is DEFERRED.  Within a block of ``block`` variables only
-    the block's own field rows are maintained incrementally from the J
-    diagonal block (O(R*block) VPU work per variable), and the full-field
-    update lands as ONE [n,block]x[block,R] matmul per block -- MXU work
-    instead of n scan steps of strided minor-axis updates.  This is a
-    computation-schedule change only; acceptance decisions are bit-unchanged
-    up to fp reassociation of the field sums.
-
-    Layout is [n, R] (reads on lanes): per-variable rows are contiguous
-    slices on the major axis, where the old [R, n] layout's ``s.at[:, i]``
-    dynamic minor-axis updates destroy TPU codegen.
-
-    TPU-native replacement for neal's sequential C++ sweep (reference
-    ``DegreeOptimizer.py:236-237``).
+    the block-size-invariance test at x64); ``block`` is a pure scheduling
+    knob.
     """
     n = h.shape[0]
     R = num_reads
@@ -113,15 +184,10 @@ def _anneal_kernel_delayed(
     nb = n // block
     key, init_key = jax.random.split(key)
     s = jax.random.bernoulli(init_key, 0.5, (n, R)).astype(h.dtype)
-    hi = jax.lax.Precision.HIGHEST  # TPU matmuls are bf16 by default
     f = h[:, None] + jax.lax.dot_general(
-        J, s, (((1,), (0,)), ((), ())), precision=hi
+        J, s, (((1,), (0,)), ((), ())), precision=_HI
     )
-    J_rows = J.reshape(nb, block, n)  # scan xs: leading-axis slicing is free
-    J_diag = J.reshape(nb, block, nb, block)[
-        jnp.arange(nb), :, jnp.arange(nb), :
-    ]  # [nb, block, block] within-block couplings
-    i0s = jnp.arange(nb) * block
+    structs = _delayed_structs(J, block)
 
     def sweep(carry, beta_key):
         s, f = carry
@@ -129,31 +195,8 @@ def _anneal_kernel_delayed(
         # one RNG draw per sweep, consumed in variable order (the per-step
         # key split of the naive kernel is 2 extra ops per variable)
         u = jax.random.uniform(skey, (nb, block, R), dtype=h.dtype)
-
-        def block_step(carry, xs):
-            s, f = carry
-            Jrow, Jd, u_blk, i0 = xs
-            sblk = jax.lax.dynamic_slice(s, (i0, 0), (block, R))
-            fblk = jax.lax.dynamic_slice(f, (i0, 0), (block, R))
-            deltas = []
-            for j in range(block):  # static unroll: tiny [R] vector ops
-                de = (1.0 - 2.0 * sblk[j]) * fblk[j]
-                accept = (de <= 0.0) | (u_blk[j] < jnp.exp(-beta * de))
-                delta = jnp.where(accept, 1.0 - 2.0 * sblk[j], 0.0)
-                deltas.append(delta)
-                # within-block field maintenance; row j itself is J_jj=0
-                fblk = fblk + delta[None, :] * Jd[j][:, None]
-            dblk = jnp.stack(deltas)  # [block, R]
-            s = jax.lax.dynamic_update_slice(s, sblk + dblk, (i0, 0))
-            # deferred global field update: fblk was scratch, so adding the
-            # full J[block,:].T @ dblk here is exact for block rows too
-            f = f + jax.lax.dot_general(
-                Jrow, dblk, (((0,), (0,)), ((), ())), precision=hi
-            )
-            return (s, f), None
-
-        (s, f), _ = jax.lax.scan(
-            block_step, (s, f), (J_rows, J_diag, u, i0s)
+        s, f, _ = _delayed_sweep(
+            s, f, jnp.broadcast_to(beta, (R,)), u, *structs, block
         )
         return (s, f), None
 
@@ -161,7 +204,77 @@ def _anneal_kernel_delayed(
     (s, f), _ = jax.lax.scan(sweep, (s, f), (betas, keys))
     s_flat = s.T  # [R, n]
     energies = s_flat @ h + 0.5 * jnp.einsum(
-        "ri,ij,rj->r", s_flat, J, s_flat, precision=hi
+        "ri,ij,rj->r", s_flat, J, s_flat, precision=_HI
+    )
+    return s_flat, energies
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_chains", "num_replicas", "num_sweeps", "block"),
+)
+def _tempering_kernel_delayed(
+    h, J, betas, key, num_chains: int, num_replicas: int,
+    num_sweeps: int, block: int,
+):
+    """Parallel tempering on the delayed-update sweep (TPU schedule).
+
+    Same replica-exchange algebra as ``_tempering_kernel`` (shared
+    ``_apply_replica_swaps``), but each replica's Metropolis sweep runs
+    through ``_delayed_sweep`` with the temperature ladder tiled into the
+    per-read beta vector: state [n, C*T] with reads on lanes, deferred MXU
+    field updates.  Energies are maintained incrementally from the sweep's
+    accepted-dE sums (exchange decisions), with an exact recompute at the
+    end.
+    """
+    n = h.shape[0]
+    C, T = num_chains, num_replicas
+    R = C * T
+    nb = n // block
+    beta_r = jnp.tile(betas, C)  # read r = c*T + t holds replica t
+    key, init_key = jax.random.split(key)
+    s = jax.random.bernoulli(init_key, 0.5, (n, R)).astype(h.dtype)
+    f = h[:, None] + jax.lax.dot_general(
+        J, s, (((1,), (0,)), ((), ())), precision=_HI
+    )
+    E = jax.lax.dot_general(
+        s, h, (((0,), (0,)), ((), ())), precision=_HI
+    ) + 0.5 * jnp.einsum("ir,ij,jr->r", s, J, s, precision=_HI)
+    structs = _delayed_structs(J, block)
+    even = (jnp.arange(T - 1) % 2) == 0
+
+    def sweep(carry, skey):
+        s, f, E = carry
+        skey, flip_key = jax.random.split(skey)
+        u = jax.random.uniform(flip_key, (nb, block, R), dtype=h.dtype)
+        s, f, dE = _delayed_sweep(s, f, beta_r, u, *structs, block)
+        E = E + dE
+
+        # replica exchange, even pairs then odd pairs, via the shared swap
+        # algebra on [C, T, n] views (transposes are n*R*4B -- trivial next
+        # to the sweep)
+        for parity in (0, 1):
+            skey, ex_key = jax.random.split(skey)
+            E2 = E.reshape(C, T)
+            dB = betas[:-1] - betas[1:]
+            dE2 = E2[:, :-1] - E2[:, 1:]
+            logp = dB[None, :] * dE2
+            u2 = jax.random.uniform(ex_key, (C, T - 1), dtype=h.dtype)
+            pair_mask = even if parity == 0 else ~even
+            do_swap = (jnp.log(u2) < logp) & pair_mask[None, :]
+            s_v = jnp.moveaxis(s.reshape(n, C, T), 0, 2)
+            f_v = jnp.moveaxis(f.reshape(n, C, T), 0, 2)
+            s_v, f_v, E2 = _apply_replica_swaps(s_v, f_v, E2, do_swap)
+            s = jnp.moveaxis(s_v, 2, 0).reshape(n, R)
+            f = jnp.moveaxis(f_v, 2, 0).reshape(n, R)
+            E = E2.reshape(R)
+        return (s, f, E), None
+
+    keys = jax.random.split(key, num_sweeps)
+    (s, f, E), _ = jax.lax.scan(sweep, (s, f, E), keys)
+    s_flat = s.T
+    energies = s_flat @ h + 0.5 * jnp.einsum(
+        "ri,ij,rj->r", s_flat, J, s_flat, precision=_HI
     )
     return s_flat, energies
 
@@ -414,6 +527,8 @@ def parallel_tempering(
     beta_range: tuple[float, float] | None = None,
     seed: int = 0,
     dtype=jnp.float32,
+    sweep_block: int | None = None,
+    kernel: str = "delayed",
 ):
     """Sample a QUBO with on-device parallel tempering (replica exchange).
 
@@ -422,21 +537,46 @@ def parallel_tempering(
     adjacent-replica state exchanges after every sweep.  All
     chains x replicas run as one batched kernel.  Returns
     (samples [C*T, n], energies [C*T]) with offset included.
+
+    ``kernel='delayed'`` (default) runs sweeps on the delayed-update TPU
+    schedule (``_delayed_sweep``); ``'reference'`` keeps the per-variable
+    kernel (the statistical-equivalence oracle).  ``sweep_block`` as in
+    ``simulated_annealing``.
     """
     if beta_range is None:
         beta_range = default_beta_range(model)
     betas = jnp.asarray(
         np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
     )
-    samples, energies = _tempering_kernel(
-        jnp.asarray(model.h, dtype=dtype),
-        jnp.asarray(model.J, dtype=dtype),
-        betas,
-        jax.random.key(seed),
-        num_chains,
-        num_replicas,
-        num_sweeps,
-    )
+    if kernel == "reference":
+        samples, energies = _tempering_kernel(
+            jnp.asarray(model.h, dtype=dtype),
+            jnp.asarray(model.J, dtype=dtype),
+            betas,
+            jax.random.key(seed),
+            num_chains,
+            num_replicas,
+            num_sweeps,
+        )
+    else:
+        n = model.num_variables
+        if sweep_block is None:
+            sweep_block = min(32, 1 << (n - 1).bit_length())
+        h_np, J_np, n_orig = _pad_for_block(
+            model.h.astype(np.float64), model.J.astype(np.float64),
+            sweep_block,
+        )
+        samples, energies = _tempering_kernel_delayed(
+            jnp.asarray(h_np, dtype=dtype),
+            jnp.asarray(J_np, dtype=dtype),
+            betas,
+            jax.random.key(seed),
+            num_chains,
+            num_replicas,
+            num_sweeps,
+            sweep_block,
+        )
+        samples = samples[:, :n_orig]
     return (
         np.asarray(samples),
         np.asarray(energies, dtype=np.float64) + model.offset,

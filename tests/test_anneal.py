@@ -469,3 +469,33 @@ def test_delayed_kernel_quality_matches_sequential_reference():
     )
     assert e_new.min() <= truth + 1e-5
     assert float(np.min(np.asarray(e_old))) <= truth + 1e-5
+
+
+def test_delayed_tempering_matches_reference_kernel_quality():
+    """The delayed-update tempering kernel (TPU schedule) and the
+    per-variable reference kernel must both reach the brute-force ground
+    state on a dense QUBO, with energies consistent with samples."""
+    from qkan_implementation_tpu.anneal import parallel_tempering
+    from qkan_implementation_tpu.native_bindings import (
+        brute_force_native,
+        native_available,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 18
+    J = rng.normal(0, 1 / np.sqrt(n), (n, n))
+    J = J + J.T
+    np.fill_diagonal(J, 0.0)
+    model = QuboModel(h=rng.normal(0, 1, n), J=J, offset=0.25)
+    mins = {}
+    for kern in ("delayed", "reference"):
+        s, e = parallel_tempering(
+            model, num_chains=16, num_replicas=8, num_sweeps=300,
+            seed=1, kernel=kern,
+        )
+        np.testing.assert_allclose(e, model.energy(s), atol=1e-4)
+        mins[kern] = e.min()
+    assert abs(mins["delayed"] - mins["reference"]) < 1e-4
+    if native_available():
+        truth = brute_force_native(model)[1]
+        assert mins["delayed"] <= truth + 1e-5
