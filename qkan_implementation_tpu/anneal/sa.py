@@ -615,16 +615,24 @@ def parallel_tempering_sharded(
     betas = jnp.asarray(
         np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
     )
-    h = jnp.asarray(model.h, dtype=dtype)
-    J = jnp.asarray(model.J, dtype=dtype)
+    # same delayed-update TPU schedule as the single-device path
+    n = model.num_variables
+    sweep_block = min(32, 1 << (n - 1).bit_length())
+    h_np, J_np, n_orig = _pad_for_block(
+        model.h.astype(np.float64), model.J.astype(np.float64), sweep_block
+    )
+    h = jnp.asarray(h_np, dtype=dtype)
+    J = jnp.asarray(J_np, dtype=dtype)
     keys = jax.random.split(jax.random.key(seed), n_dev)
 
     from jax.sharding import PartitionSpec as P
 
     def local(keys_local):
-        return _tempering_kernel(
-            h, J, betas, keys_local[0], chains_local, num_replicas, num_sweeps
+        s, e = _tempering_kernel_delayed(
+            h, J, betas, keys_local[0], chains_local, num_replicas,
+            num_sweeps, sweep_block,
         )
+        return s[:, :n_orig], e
 
     fn = jax.jit(
         jax.shard_map(
@@ -858,16 +866,23 @@ def simulated_annealing_sharded(
     betas = jnp.asarray(
         np.geomspace(beta_range[0], beta_range[1], num_sweeps), dtype=dtype
     )
-    h = jnp.asarray(model.h, dtype=dtype)
-    J = jnp.asarray(model.J, dtype=dtype)
+    # same delayed-update TPU schedule as the single-device path
+    n = model.num_variables
+    sweep_block = min(32, 1 << (n - 1).bit_length())
+    h_np, J_np, n_orig = _pad_for_block(
+        model.h.astype(np.float64), model.J.astype(np.float64), sweep_block
+    )
+    h = jnp.asarray(h_np, dtype=dtype)
+    J = jnp.asarray(J_np, dtype=dtype)
     keys = jax.random.split(jax.random.key(seed), n_dev)
 
     from jax.sharding import PartitionSpec as P
 
     def local(keys_local):
-        return _anneal_kernel(
-            h, J, betas, keys_local[0], reads_local, num_sweeps
+        s, e = _anneal_kernel_delayed(
+            h, J, betas, keys_local[0], reads_local, num_sweeps, sweep_block
         )
+        return s[:, :n_orig], e
 
     fn = jax.jit(
         jax.shard_map(
