@@ -285,6 +285,25 @@ int qkan_sv_run(int num_qubits, int num_gates, const int* ops,
           sin_tab[a] = std::sin(pr[a] / 2);
         }
         const size_t step = 1ULL << t;
+        // FABLE layout fast path (target = MSB, controls = all remaining
+        // qubits descending): the angle index IS the pair index, no
+        // per-pair bit gathering.  Keeps the baseline honest -- an
+        // optimized Aer-class loop would specialize this too.
+        bool contiguous = (t == num_qubits - 1) && (k == num_qubits - 1);
+        for (int b = 0; contiguous && b < k; ++b)
+          if (q[1 + b] != k - 1 - b) contiguous = false;
+        if (contiguous) {
+          for (size_t i = 0; i < step; ++i) {
+            const double c = cos_tab[i], s = sin_tab[i];
+            const size_t j = i + step;
+            const double r0 = re[i], i0 = im[i], r1 = re[j], i1 = im[j];
+            re[i] = c * r0 - s * r1;
+            im[i] = c * i0 - s * i1;
+            re[j] = s * r0 + c * r1;
+            im[j] = s * i0 + c * i1;
+          }
+          break;
+        }
         for (size_t base = 0; base < dim; base += 2 * step)
           for (size_t i = base; i < base + step; ++i) {
             size_t idx = 0;
