@@ -1,0 +1,124 @@
+"""Serving latency/throughput record for the BatchedPredictor.
+
+Builds a flagship-shape FixedKAN ([784, 32, 16, 16, 10], deg 5), wraps it
+in ``serving.BatchedPredictor``, warms every bucket, then measures
+per-request latency (p50/p99) at several request sizes and steady-state
+throughput at the max bucket.
+
+Caveat recorded in the output: on this image the TPU sits behind a remote
+tunnel whose per-fetch round-trip is ~25 ms, so request LATENCY here is
+tunnel-dominated and is an upper bound for a colocated deployment;
+THROUGHPUT at large batches amortizes the fixed cost and is the honest
+device-rate number.
+
+Run: PYTHONPATH=. python benchmarks/serving_bench.py           (TPU)
+     PYTHONPATH=. QKAN_PLATFORM=cpu python benchmarks/serving_bench.py --quick
+"""
+
+from qkan_implementation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import argparse
+import json
+import pathlib
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.models.fixed_kan import FixedKAN, FixedKANConfig
+from qkan_implementation_tpu.serving import BatchedPredictor
+
+
+def build_model(shape, max_degree=5, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, (1024, shape[0])).astype(np.float32)
+    y = np.eye(shape[-1], dtype=np.float32)[rng.integers(0, shape[-1], 1024)]
+    kan = FixedKAN(
+        FixedKANConfig(
+            network_shape=shape, max_degree=max_degree, lstsq_method="normal"
+        )
+    )
+    kan.optimize(jnp.asarray(x), jnp.asarray(y), solver="exact")
+    return kan
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--max-batch", type=int, default=4096)
+    ap.add_argument("--requests", type=int, default=50)
+    args = ap.parse_args()
+
+    shape = [64, 16, 10] if args.quick else [784, 32, 16, 16, 10]
+    requests = 10 if args.quick else args.requests
+    max_batch = 256 if args.quick else args.max_batch
+
+    kan = build_model(shape)
+    pred = BatchedPredictor(kan, max_batch=max_batch)
+    t0 = time.time()
+    pred.warmup()
+    warmup_s = time.time() - t0
+
+    rng = np.random.default_rng(1)
+    dev = jax.devices()[0]
+    results = {
+        "workload": f"BatchedPredictor FixedKAN {shape} deg 5",
+        "platform": dev.platform,
+        "device": str(dev),
+        "max_batch": max_batch,
+        "warmup_s": round(warmup_s, 2),
+        "latency_note": (
+            "per-request latency includes this image's ~25 ms fixed "
+            "tunnel round-trip per fetch; an upper bound for a colocated "
+            "deployment.  Throughput at the max bucket amortizes it."
+        ),
+        "request_sizes": {},
+    }
+
+    for n in [1, 32, max_batch // 4, max_batch]:
+        n = max(1, n)
+        lat = []
+        for _ in range(requests):
+            x = rng.uniform(-1, 1, (n, shape[0])).astype(np.float32)
+            t0 = time.perf_counter()
+            out = pred.predict(x)
+            lat.append(time.perf_counter() - t0)
+            assert out.shape == (n, shape[-1])
+        lat = np.array(lat)
+        results["request_sizes"][str(n)] = {
+            "p50_ms": round(float(np.percentile(lat, 50) * 1e3), 3),
+            "p99_ms": round(float(np.percentile(lat, 99) * 1e3), 3),
+            "rows_per_sec": round(float(n / np.percentile(lat, 50)), 1),
+        }
+        print(
+            f"batch {n:5d}: p50 {np.percentile(lat, 50)*1e3:8.2f} ms  "
+            f"p99 {np.percentile(lat, 99)*1e3:8.2f} ms  "
+            f"{n / np.percentile(lat, 50):12.0f} rows/s"
+        )
+
+    # steady-state throughput: back-to-back max-bucket requests
+    x = rng.uniform(-1, 1, (max_batch, shape[0])).astype(np.float32)
+    reps = 5 if args.quick else 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        pred.predict(x)
+    dt = time.perf_counter() - t0
+    results["steady_state_rows_per_sec"] = round(max_batch * reps / dt, 1)
+    results["predictor_stats"] = pred.stats()
+    print(
+        f"steady state ({reps} x {max_batch}): "
+        f"{max_batch * reps / dt:,.0f} rows/s"
+    )
+
+    out_dir = pathlib.Path(__file__).resolve().parent / "records"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    name = f"serving_latency_{dev.platform}.json"
+    (out_dir / name).write_text(json.dumps(results, indent=1))
+    print(f"records -> {out_dir / name}")
+
+
+if __name__ == "__main__":
+    main()
