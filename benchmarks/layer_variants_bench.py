@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
 from qkan_implementation_tpu.ops.qkan_layer import (
     qkan_layer_forward_batched,
+    qkan_layer_forward_batched_int8,
     qkan_weight_tensor,
 )
 from qkan_implementation_tpu.experimental.pallas_layer import (
@@ -123,12 +124,73 @@ def time_variant(name, fn, x, w, iters):
     }
 
 
+def time_variant_forward(name, fn, x, w, iters):
+    """Forward-only (serving) chain: each step's output feeds an
+    un-foldable 1e-30-scaled perturbation of the weights, so the scan is
+    a genuine dependent chain without changing any value in f32."""
+
+    @jax.jit
+    def chained(w, x):
+        def body(w, _):
+            out = fn(x, w)
+            return w + 1e-30 * jnp.mean(out).astype(w.dtype), None
+
+        return jax.lax.scan(body, w, None, length=iters)[0]
+
+    t0 = time.time()
+    _ = float(jnp.sum(chained(w, x)))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    _ = float(jnp.sum(chained(w, x)))
+    exec_s = time.time() - t0
+    layers_per_sec = x.shape[0] * iters / exec_s
+    print(
+        f"  {name:8s} {layers_per_sec:.3e} layers/s fwd-only "
+        f"({exec_s / iters * 1e3:.3f} ms/step, compile {compile_s:.1f}s)"
+    )
+    return {
+        "variant": name,
+        "mode": "forward_only",
+        "layers_per_sec": layers_per_sec,
+        "ms_per_step": exec_s / iters * 1e3,
+        "compile_s": round(compile_s, 2),
+    }
+
+
+def run_forward_shootout(N, K, d, B, iters, x, w):
+    """f32 vs bf16io vs int8 forward-only: the serving-path question."""
+    print(f"forward-only (serving) shootout, B={B}:")
+    variants = {
+        "xla": lambda x, w: qkan_layer_forward_batched(x, w, N, K),
+        "bf16io": lambda x, w: qkan_layer_forward_batched(
+            x, w, N, K, compute_dtype=jnp.bfloat16
+        ),
+        "int8": lambda x, w: qkan_layer_forward_batched_int8(x, w, N, K),
+    }
+    ref = np.asarray(qkan_layer_forward_batched(x[:512], w, N, K))
+    records = []
+    for name, fn in variants.items():
+        xv = x.astype(jnp.bfloat16) if name == "bf16io" else x
+        got = np.asarray(fn(xv[:512], w)).astype(np.float32)
+        err = float(np.max(np.abs(got - ref)))
+        tol = 5e-2 if name != "xla" else 1e-6
+        assert err < tol, f"{name}: parity error {err}"
+        rec = time_variant_forward(name, fn, xv, w, iters)
+        rec["parity_max_err"] = err
+        rec["batch"] = B
+        rec["device"] = str(jax.devices()[0])
+        records.append(rec)
+    return records
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--K", type=int, default=16, help="output width (16 = the reference workload; 128 fills the MXU lanes)")
     ap.add_argument("--N", type=int, default=16, help="input width (8 = the BASELINE north-star small point)")
+    ap.add_argument("--forward-only", action="store_true",
+                    help="serving shootout: f32/bf16io/int8 forward-only")
     args = ap.parse_args()
     N = args.N
     K = args.K
@@ -140,6 +202,15 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (B, N)), dtype=jnp.float32)
     w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)), dtype=jnp.float32)
+
+    if args.forward_only:
+        records = run_forward_shootout(N, K, d, B, iters, x, w)
+        out = pathlib.Path(__file__).resolve().parent / "records"
+        out.mkdir(parents=True, exist_ok=True)
+        name = f"layer_variants_fwd_N{N}K{K}.json"
+        (out / name).write_text(json.dumps(records, indent=1))
+        print(f"records -> {out / name}")
+        return
 
     print(
         f"QKANLayer(N={N},K={K},deg={d}) fwd+bwd, B={B}, {iters} chained "

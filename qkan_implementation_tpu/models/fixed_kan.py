@@ -67,6 +67,8 @@ class FixedKANConfig:
     # B=16384); the win appears on WIDE layers like the QKAN batched op
     # (docs/benchmarks.md bf16io: 1.57x at K=128) -- the flag exists for
     # those deployments and for halving activation bandwidth.
+    # 'int8' selects the quantized serving path (inference-only; training
+    # methods always run the exact-f32 kan_apply regardless of this flag).
     compute_dtype: Optional[str] = None
 
     #: Named switch bundles for the reference-faithful-vs-fixed behaviors.
@@ -173,6 +175,13 @@ def kan_layer_apply(
     inference (the layer-op bf16io recipe, docs/benchmarks.md): the FINAL
     einsum operands are cast (cast placement matters -- see
     ops/qkan_layer.py) and accumulation stays f32.  Output returns in f32.
+
+    ``compute_dtype=jnp.int8`` selects the quantized SERVING path (same
+    scheme as ``ops.qkan_layer_forward_batched_int8``: the basis is
+    analytically bounded in [-1, 1] because it is Chebyshev-of-tanh, so a
+    static 127 activation scale is exact; weights get a per-target-channel
+    symmetric scale; int32 MXU accumulation).  Inference-only -- rounding
+    has zero gradient.
     """
     t = jnp.tanh(x)
     basis = chebyshev_basis(t, max_degree, clip=False)  # [B, in, D+1]
@@ -185,6 +194,21 @@ def kan_layer_apply(
     weighted = coeffs * mask[:, None, :, None] * hw[:, None, None, None]
     if compute_dtype is None:
         return jnp.einsum("bid,oidt->bt", basis, weighted)
+    if jnp.dtype(compute_dtype) == jnp.int8:
+        # basis carries no `o` axis, so the contraction collapses to one
+        # [B, in*(D+1)] @ [in*(D+1), T] matmul over the o-summed weights
+        b = x.shape[0]
+        W = jnp.sum(weighted, axis=0).reshape(-1, weighted.shape[-1])
+        s_w = jnp.max(jnp.abs(W), axis=0, keepdims=True) / 127.0  # [1, T]
+        qa = jnp.round(basis.reshape(b, -1) * 127.0).astype(jnp.int8)
+        qw = jnp.round(W / jnp.maximum(s_w, 1e-30)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qa, qw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # cast the scale too: under x64 an f64 scale would silently promote
+        # the output back to float64
+        return acc.astype(jnp.float32) * (s_w / 127.0).astype(jnp.float32)
     return jnp.einsum(
         "bid,oidt->bt",
         basis.astype(compute_dtype),

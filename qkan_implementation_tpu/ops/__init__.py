@@ -21,6 +21,7 @@ from qkan_implementation_tpu.ops.qkan_layer import (
     sum_step,
     qkan_layer_forward,
     qkan_layer_forward_batched,
+    qkan_layer_forward_batched_int8,
     qkan_intermediates,
 )
 
@@ -38,5 +39,6 @@ __all__ = [
     "sum_step",
     "qkan_layer_forward",
     "qkan_layer_forward_batched",
+    "qkan_layer_forward_batched_int8",
     "qkan_intermediates",
 ]

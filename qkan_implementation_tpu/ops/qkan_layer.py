@@ -147,6 +147,45 @@ def qkan_layer_forward_batched(
     )
 
 
+def qkan_layer_forward_batched_int8(
+    x: jax.Array, weights: jax.Array, N: int, K: int
+) -> jax.Array:
+    """Inference-only int8 MXU path: [B, N] -> [B, K] float32.
+
+    The serving-throughput lever past bf16io (docs/roadmap.md): v5e's MXU
+    runs int8 x int8 -> int32 at 2x its bf16 rate.  Quantization scheme:
+
+    - activations: the Chebyshev basis is analytically bounded in [-1, 1]
+      (T_d of eps-clipped inputs), so a STATIC symmetric scale of 127 is
+      exact -- no per-row max reduction, no dynamic-range surprises.
+    - weights: the folded contraction tensor column for output k spans
+      [-1, 1]/(N*(D+1)) (|w| <= 1 enforced by ``check_weight_magnitudes``);
+      a per-output-channel symmetric scale keeps each column at full int8
+      resolution.
+    - accumulate int32 on the MXU (``preferred_element_type``), dequantize
+      once per output element.
+
+    Worst-case per-element quantization error is 1/254 on the basis and
+    1/254 of the column range on the weights; across the N*(D+1)-term mean
+    the observed output error vs the f32 path is ~1e-3 relative (pinned by
+    tests/test_ops_qkan_layer.py).  Rounding is not differentiable --
+    this path is for serving, not training; use ``compute_dtype=bfloat16``
+    for mixed-precision training.
+    """
+    max_degree = weights.shape[0] - 1
+    basis = chebyshev_basis(x, max_degree)  # [B, N, D+1] in [-1, 1]
+    b = x.shape[0]
+    M2 = qkan_weight_tensor(weights, N, K).reshape(K, -1).T  # [F, K]
+    s_w = jnp.max(jnp.abs(M2), axis=0, keepdims=True) / 127.0  # [1, K]
+    qa = jnp.round(basis.reshape(b, -1) * 127.0).astype(jnp.int8)
+    qw = jnp.round(M2 / jnp.maximum(s_w, 1e-30)).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qa, qw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (s_w / 127.0)
+
+
 def qkan_intermediates(
     x: jax.Array, weights: jax.Array, N: int, K: int
 ) -> dict:

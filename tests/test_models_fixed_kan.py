@@ -460,3 +460,40 @@ def test_train_divergence_detection_restores_finite_params():
         assert np.all(np.isfinite(np.asarray(lp["coefficients"])))
         assert np.all(np.isfinite(np.asarray(lp["horizontal_weights"])))
     assert np.all(np.isfinite(np.asarray(kan(x))))
+
+
+def test_compute_dtype_int8_serving_parity():
+    """FixedKANConfig(compute_dtype='int8'): the quantized serving path
+    stays close to the exact forward on a trained model (MSE preserved),
+    quantization actually happened (nonzero diff), and training methods
+    ignore the flag (gradients stay exact-f32)."""
+    x, y = quadratic_data()
+    # penalized_mse: the reference-faithful degree reward would select the
+    # degenerate all-degree-0 constant model, which quantizes losslessly
+    # and proves nothing
+    cfg = dict(
+        network_shape=[1, 4, 1], max_degree=3,
+        degree_objective="penalized_mse", complexity_weight=1e-3,
+    )
+    exact = FixedKAN(FixedKANConfig(**cfg))
+    exact.optimize(x, y, solver="exact")
+    quant = FixedKAN(FixedKANConfig(**cfg, compute_dtype="int8"))
+    quant.params = exact.params
+    out_e = np.asarray(exact(x), dtype=np.float32)
+    out_q = np.asarray(quant(x))
+    assert out_q.dtype == np.float32
+    # int8 quantization noise must not destroy the fit quality
+    mse_e = float(np.mean((out_e - np.asarray(y)) ** 2))
+    mse_q = float(np.mean((out_q - np.asarray(y)) ** 2))
+    assert mse_q < max(2.0 * mse_e, 1e-3), (mse_e, mse_q)
+    scale = float(np.std(out_e)) + 1e-12
+    assert np.max(np.abs(out_q - out_e)) < 0.05 * max(scale, 1.0)
+    assert np.max(np.abs(out_q - out_e)) > 0.0, (
+        "int8 path produced bit-identical output -- quantization ignored?"
+    )
+    # training bypasses compute_dtype: train() must run on exact-f32
+    # gradients (the int8 rounding would zero them)
+    losses = quant.train(
+        x, y, epochs=3, learning_rate=1e-3, batch_size=64, loss="mse"
+    )
+    assert np.isfinite(np.asarray(losses)).all()

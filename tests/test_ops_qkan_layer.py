@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from qkan_implementation_tpu.ops import (
     qkan_layer_forward,
     qkan_layer_forward_batched,
+    qkan_layer_forward_batched_int8,
     qkan_intermediates,
 )
 
@@ -177,3 +178,44 @@ def test_degree_sweep_stability():
         out = qkan_layer_forward(jnp.asarray(x), jnp.asarray(w), N, K)
         np.testing.assert_allclose(out, oracle_forward(x, w, N, K), atol=1e-12)
         assert np.all(np.abs(np.asarray(out)) <= 1)
+
+
+def test_batched_forward_int8_serving_path():
+    """The int8 MXU serving path (static 127 activation scale, per-output-
+    channel weight scale, int32 accumulate): f32 output within the declared
+    ~1e-3 absolute error of the exact path at the headline shape, and the
+    quantization is deterministic."""
+    N = K = 16
+    d, B = 7, 256
+    rng = np.random.default_rng(11)
+    xb = jnp.asarray(rng.uniform(-1, 1, (B, N)), dtype=jnp.float32)
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)), dtype=jnp.float32)
+    exact = np.asarray(qkan_layer_forward_batched(xb, w, N, K))
+    q = np.asarray(qkan_layer_forward_batched_int8(xb, w, N, K))
+    assert q.dtype == np.float32
+    err = np.max(np.abs(q - exact))
+    assert err < 2e-3, err
+    # typical-magnitude relative error is sub-percent (quantization noise
+    # averages down over the N*(D+1)-term contraction)
+    scale = np.median(np.abs(exact))
+    assert np.median(np.abs(q - exact)) < 0.02 * scale
+    q2 = np.asarray(qkan_layer_forward_batched_int8(xb, w, N, K))
+    np.testing.assert_array_equal(q, q2)
+
+
+def test_batched_forward_int8_jits_and_handles_edges():
+    """jit-compatible; exact-zero weights give exact-zero outputs (the
+    1e-30 scale guard avoids 0/0); boundary inputs quantize in range."""
+    N = K = 4
+    d = 3
+    w0 = jnp.zeros((d + 1, N * K), dtype=jnp.float32)
+    x = jnp.asarray([[-1.0, -0.5, 0.5, 1.0]], dtype=jnp.float32)
+    out = jax.jit(
+        lambda x, w: qkan_layer_forward_batched_int8(x, w, N, K)
+    )(x, w0)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)), dtype=jnp.float32)
+    got = np.asarray(qkan_layer_forward_batched_int8(x, w, N, K))
+    ref = np.asarray(qkan_layer_forward_batched(x, w, N, K))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
