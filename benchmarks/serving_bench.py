@@ -125,33 +125,20 @@ def main():
     # slope-timed) -- what a colocated server with on-device batching sees
     import jax.numpy as jnp
 
+    from qkan_implementation_tpu.utils.profiling import timeit_chained
+
     xd = jnp.asarray(x)
     params = kan.params
     apply_ = pred._apply
 
-    def chain(n):
-        @jax.jit
-        def run(xd):
-            def body(xc, _):
-                out = apply_(params, xc)
-                return xc + 1e-30 * jnp.mean(out).astype(xc.dtype), None
+    def step(xc):
+        out = apply_(params, xc)
+        return xc + 1e-30 * jnp.mean(out).astype(xc.dtype)
 
-            return jax.lax.scan(body, xd, None, length=n)[0]
-
-        return run
-
-    short_n, long_n = (3, 9) if args.quick else (10, 40)
-    r_s, r_l = chain(short_n), chain(long_n)
-    np.asarray(r_s(xd)); np.asarray(r_l(xd))  # compile
-
-    def timed(run):
-        t0 = time.perf_counter()
-        np.asarray(run(xd))
-        return time.perf_counter() - t0
-
-    t_s = min(timed(r_s) for _ in range(2))
-    t_l = min(timed(r_l) for _ in range(2))
-    per_step = (t_l - t_s) / (long_n - short_n)
+    # chains of 100/600 steps (~50/300 ms at the flagship shape) so the
+    # slope dwarfs the ~25 ms tunnel round-trip jitter; 10/60 steps was
+    # inside the noise and could even produce a negative slope.
+    per_step = timeit_chained(step, xd, iters=5 if args.quick else 100)
     results["device_resident_rows_per_sec"] = round(max_batch / per_step, 1)
     results["device_resident_ms_per_batch"] = round(per_step * 1e3, 3)
     print(

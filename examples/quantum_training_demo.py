@@ -31,8 +31,8 @@ from qkan_implementation_tpu.ops.quantum import (
 )
 
 
-def main():
-    N = K = 16
+def main(nk: int = 16):
+    N = K = nk
     d = 7
     B = 8
     steps = 60
@@ -120,7 +120,8 @@ def main():
     }
     out = pathlib.Path(__file__).resolve().parents[1] / "benchmarks" / "records"
     out.mkdir(parents=True, exist_ok=True)
-    name = f"quantum_training_{jax.devices()[0].platform}.json"
+    suffix = "" if N == 16 else f"_NK{N}"
+    name = f"quantum_training_{jax.devices()[0].platform}{suffix}.json"
     (out / name).write_text(json.dumps(record, indent=1))
     print(f"record -> {out / name}")
     print("OK: gradients through the simulator train the layer")
@@ -215,4 +216,7 @@ if __name__ == "__main__":
     if "--sharded" in sys.argv:
         main_sharded()
     else:
-        main()
+        nk = 16
+        if "--nk" in sys.argv:
+            nk = int(sys.argv[sys.argv.index("--nk") + 1])
+        main(nk)
