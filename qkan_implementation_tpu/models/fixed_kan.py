@@ -191,14 +191,21 @@ def kan_layer_apply(
     )  # [out, D+1]
     coeffs = layer_params["coefficients"]  # [out, in, D+1, T]
     hw = layer_params["horizontal_weights"]  # [out]
-    weighted = coeffs * mask[:, None, :, None] * hw[:, None, None, None]
+    # basis carries no `o` axis, so sum_o(coeffs * mask * hw) collapses the
+    # whole layer to ONE [B, in*(D+1)] @ [in*(D+1), T] MXU matmul.  The
+    # collapse is batch-independent (out*in*(D+1)*T flops, ~1.5M at the
+    # flagship layer-0) while the naive bid,oidt->bt reduction pays an
+    # `out`-fold redundant per-batch contraction: 32x the flops at
+    # [784 -> 32].  Measured on v5e: the flagship fused train step dropped
+    # from 1.99/1.06 ms (f32/bf16io) to the collapsed form's step time
+    # (benchmarks/records/flagship_train_step.json).
+    b = x.shape[0]
+    W = jnp.einsum(
+        "oidt,od->idt", coeffs, mask.astype(coeffs.dtype) * hw[:, None]
+    ).reshape(-1, coeffs.shape[-1])  # [in*(D+1), T]
     if compute_dtype is None:
-        return jnp.einsum("bid,oidt->bt", basis, weighted)
+        return basis.reshape(b, -1) @ W
     if jnp.dtype(compute_dtype) == jnp.int8:
-        # basis carries no `o` axis, so the contraction collapses to one
-        # [B, in*(D+1)] @ [in*(D+1), T] matmul over the o-summed weights
-        b = x.shape[0]
-        W = jnp.sum(weighted, axis=0).reshape(-1, weighted.shape[-1])
         s_w = jnp.max(jnp.abs(W), axis=0, keepdims=True) / 127.0  # [1, T]
         qa = jnp.round(basis.reshape(b, -1) * 127.0).astype(jnp.int8)
         qw = jnp.round(W / jnp.maximum(s_w, 1e-30)).astype(jnp.int8)
@@ -209,10 +216,12 @@ def kan_layer_apply(
         # cast the scale too: under x64 an f64 scale would silently promote
         # the output back to float64
         return acc.astype(jnp.float32) * (s_w / 127.0).astype(jnp.float32)
-    return jnp.einsum(
-        "bid,oidt->bt",
-        basis.astype(compute_dtype),
-        weighted.astype(compute_dtype),
+    # bf16io: cast the FINAL dot operands only (after reshape -- the
+    # cast-placement rule of ops/qkan_layer.py), accumulate f32
+    return jax.lax.dot_general(
+        basis.reshape(b, -1).astype(compute_dtype),
+        W.astype(compute_dtype),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
