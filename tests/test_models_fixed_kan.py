@@ -497,3 +497,36 @@ def test_compute_dtype_int8_serving_parity():
         x, y, epochs=3, learning_rate=1e-3, batch_size=64, loss="mse"
     )
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_collapsed_layer_matches_naive_oidt_einsum():
+    """The o-collapsed kan_layer_apply must equal the naive per-output
+    contraction sum_o hw_o * (basis[:, :, <=d_o] . C_o) exactly (same
+    floating-point class of operation, tolerance only for reassociation).
+    Degrees are deliberately ragged so the mask path is exercised."""
+    from qkan_implementation_tpu.models.fixed_kan import kan_layer_apply
+    from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
+
+    rng = np.random.default_rng(11)
+    B, in_dim, out, T, D = 17, 5, 4, 3, 6
+    lp = {
+        "degrees": jnp.asarray([0, 2, 6, 3], dtype=jnp.int32),
+        "coefficients": jnp.asarray(
+            rng.normal(0, 1, (out, in_dim, D + 1, T))
+        ),
+        "horizontal_weights": jnp.asarray(rng.normal(0, 1, out)),
+    }
+    x = jnp.asarray(rng.uniform(-2, 2, (B, in_dim)))
+    got = np.asarray(kan_layer_apply(lp, x, D))
+
+    basis = chebyshev_basis(jnp.tanh(x), D, clip=False)  # [B, in, D+1]
+    mask = (
+        jnp.arange(D + 1)[None, :] <= lp["degrees"][:, None]
+    )  # [out, D+1]
+    weighted = (
+        lp["coefficients"]
+        * mask[:, None, :, None]
+        * lp["horizontal_weights"][:, None, None, None]
+    )
+    want = np.asarray(jnp.einsum("bid,oidt->bt", basis, weighted))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
