@@ -129,12 +129,16 @@ def main():
     kan = build_model(shape, max_degree, batch)
     t_dim = shape[-1]
 
+    # 2*batch-row pool, each step training on a DIFFERENT rotating slice:
+    # with a fixed batch the layer-0 tanh+basis is loop-invariant and XLA
+    # can hoist it out of the timing scan, flattering every variant by the
+    # cost of the dominant tensor.  Real training streams fresh batches.
     rng = np.random.default_rng(3)
-    xb = jnp.asarray(
-        rng.uniform(-1, 1, (batch, shape[0])).astype(np.float32)
+    pool_x = jnp.asarray(
+        rng.uniform(-1, 1, (2 * batch, shape[0])).astype(np.float32)
     )
-    yb = jnp.asarray(
-        np.eye(t_dim, dtype=np.float32)[rng.integers(0, t_dim, batch)]
+    pool_y = jnp.asarray(
+        np.eye(t_dim, dtype=np.float32)[rng.integers(0, t_dim, 2 * batch)]
     )
 
     degrees = [lp["degrees"] for lp in kan.params]
@@ -163,25 +167,52 @@ def main():
         ),
     }
 
-    for mode, compute_dtype in (("f32", None), ("bf16io", jnp.bfloat16)):
+    modes = (
+        ("f32", None, "xla"),
+        ("bf16io", jnp.bfloat16, "xla"),
+        # Pallas fused rows (ops/fused_layer.py): the [B, in*(D+1)] basis
+        # never touches HBM.  XLA materializes it (the honest-bench f32
+        # bottleneck), so these rows measure the traffic win directly.
+        ("f32_fused", None, "fused"),
+        ("bf16_fused", jnp.bfloat16, "fused"),
+    )
+    for mode, compute_dtype, backend in modes:
+        # the bf16io recipe stores x in bf16 (ops/qkan_layer.py docstring),
+        # so the bf16 pool is sliced directly -- tanh AND the Chebyshev
+        # recurrence then run in bf16 (kan_layer_apply follows x's dtype),
+        # halving every byte of the dominant [B, in*(D+1)] basis tensor.
+        # Gradient cosine vs f32 stays >= 0.9957 at this shape
+        # (flagship_variants_probe.json provenance).
+        px = pool_x if compute_dtype is None else pool_x.astype(compute_dtype)
 
-        def loss_fn(tp):
+        def loss_fn(tp, xs, ys):
             params = [
                 dict(p, degrees=d) for p, d in zip(tp, degrees)
             ]
-            logits = kan_apply(params, xb, max_degree, compute_dtype)
-            return jnp.mean(optax.softmax_cross_entropy(logits, yb))
+            logits = kan_apply(params, xs, max_degree, compute_dtype, backend)
+            return jnp.mean(optax.softmax_cross_entropy(logits, ys))
 
         def step(carry):
-            tp, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(tp)
+            tp, opt_state, i = carry
+            start = (i * 997) % batch
+            xs = jax.lax.dynamic_slice(
+                px, (start, 0), (batch, px.shape[1])
+            )
+            ys = jax.lax.dynamic_slice(pool_y, (start, 0), (batch, t_dim))
+            loss, grads = jax.value_and_grad(loss_fn)(tp, xs, ys)
             updates, opt_state = opt.update(grads, opt_state, tp)
-            return optax.apply_updates(tp, updates), opt_state
+            return (
+                optax.apply_updates(tp, updates),
+                opt_state,
+                i + jnp.int32(1),
+            )
 
-        carry = (train_params, opt.init(train_params))
-        # 200/1200-step chains: after the o-collapse a bf16io step is
-        # ~0.07 ms, so 10/60 chains sat inside the ~25 ms tunnel jitter
-        dt = slope_time(step, carry, short_n=5 if args.quick else 200)
+        carry = (train_params, opt.init(train_params), jnp.int32(0))
+        # 300/1800-step chains: a post-collapse step is ~0.2-0.3 ms, so the
+        # long chain carries >=400 ms of device work -- well above the
+        # tunnel's run-to-run jitter (a 1200x25us chain once read 0.025
+        # ms/step, pure noise)
+        dt = slope_time(step, carry, short_n=5 if args.quick else 300)
         results[f"{mode}_step_ms"] = dt * 1e3
         results[f"{mode}_steps_per_sec"] = 1.0 / dt
         results[f"{mode}_achieved_tflops"] = flops / dt / 1e12

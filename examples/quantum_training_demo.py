@@ -31,11 +31,10 @@ from qkan_implementation_tpu.ops.quantum import (
 )
 
 
-def main(nk: int = 16):
+def main(nk: int = 16, batch: int = 8, steps: int = 60):
     N = K = nk
     d = 7
-    B = 8
-    steps = 60
+    B = batch
     rng = np.random.default_rng(0)
     # target: outputs of a hidden "true" weight setting on a few probes
     w_true = jnp.asarray(rng.uniform(-0.8, 0.8, (d + 1, N * K)))
@@ -217,6 +216,12 @@ if __name__ == "__main__":
         main_sharded()
     else:
         nk = 16
+        batch = 8
+        steps = 60
         if "--nk" in sys.argv:
             nk = int(sys.argv[sys.argv.index("--nk") + 1])
-        main(nk)
+        if "--batch" in sys.argv:
+            batch = int(sys.argv[sys.argv.index("--batch") + 1])
+        if "--steps" in sys.argv:
+            steps = int(sys.argv[sys.argv.index("--steps") + 1])
+        main(nk, batch, steps)

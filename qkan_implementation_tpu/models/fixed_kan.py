@@ -70,6 +70,11 @@ class FixedKANConfig:
     # 'int8' selects the quantized serving path (inference-only; training
     # methods always run the exact-f32 kan_apply regardless of this flag).
     compute_dtype: Optional[str] = None
+    # forward-pass kernel: 'xla' (default, exact reference path) or
+    # 'fused' (Pallas tanh->basis->matmul, basis never materialized to
+    # HBM -- the wide-layer training/serving recipe; same math, see
+    # ops/fused_layer.py).  Incompatible with compute_dtype='int8'.
+    layer_backend: str = "xla"
 
     #: Named switch bundles for the reference-faithful-vs-fixed behaviors.
     #: 'reference' keeps the dataclass defaults (every reference quirk
@@ -163,7 +168,11 @@ def _layer_gram_kernels(dp1: int, in_dim: int, ridge: float):
 
 
 def kan_layer_apply(
-    layer_params: dict, x: jax.Array, max_degree: int, compute_dtype=None
+    layer_params: dict,
+    x: jax.Array,
+    max_degree: int,
+    compute_dtype=None,
+    backend: str = "xla",
 ) -> jax.Array:
     """Apply one KAN layer: [B, in] -> [B, target_dim].
 
@@ -182,23 +191,43 @@ def kan_layer_apply(
     static 127 activation scale is exact; weights get a per-target-channel
     symmetric scale; int32 MXU accumulation).  Inference-only -- rounding
     has zero gradient.
+
+    ``backend='fused'`` routes tanh -> basis -> matmul through the Pallas
+    kernel (``ops.fused_layer``): the [B, in*(D+1)] basis never touches
+    HBM, which is the honest train-step bottleneck at wide layers (XLA
+    materializes it; see flagship_train_step.json).  Identical math to
+    'xla' (reassociation only); composes with float compute_dtypes but not
+    'int8'.
     """
-    t = jnp.tanh(x)
-    basis = chebyshev_basis(t, max_degree, clip=False)  # [B, in, D+1]
     degs = layer_params["degrees"]  # [out]
     mask = (
         jnp.arange(max_degree + 1)[None, :] <= degs[:, None]
     )  # [out, D+1]
     coeffs = layer_params["coefficients"]  # [out, in, D+1, T]
     hw = layer_params["horizontal_weights"]  # [out]
+    if backend == "fused":
+        if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+            raise ValueError(
+                "backend='fused' has no int8 path; use backend='xla'"
+            )
+        from qkan_implementation_tpu.ops.fused_layer import kan_layer_fused
+
+        # degree-major [dp1*in, T] fold for the kernel's basis layout
+        w_dm = jnp.einsum(
+            "oidt,od->dit", coeffs, mask.astype(coeffs.dtype) * hw[:, None]
+        ).reshape(-1, coeffs.shape[-1]).astype(jnp.float32)
+        xin = x if compute_dtype is None else x.astype(compute_dtype)
+        interpret = jax.devices()[0].platform != "tpu"
+        return kan_layer_fused(xin, w_dm, max_degree + 1, interpret)
+    t = jnp.tanh(x)
+    basis = chebyshev_basis(t, max_degree, clip=False)  # [B, in, D+1]
     # basis carries no `o` axis, so sum_o(coeffs * mask * hw) collapses the
     # whole layer to ONE [B, in*(D+1)] @ [in*(D+1), T] MXU matmul.  The
     # collapse is batch-independent (out*in*(D+1)*T flops, ~1.5M at the
     # flagship layer-0) while the naive bid,oidt->bt reduction pays an
     # `out`-fold redundant per-batch contraction: 32x the flops at
-    # [784 -> 32].  Measured on v5e: the flagship fused train step dropped
-    # from 1.99/1.06 ms (f32/bf16io) to the collapsed form's step time
-    # (benchmarks/records/flagship_train_step.json).
+    # [784 -> 32] (31.3x model-wide; see collapse_speedup_factor in
+    # benchmarks/records/flagship_train_step.json).
     b = x.shape[0]
     W = jnp.einsum(
         "oidt,od->idt", coeffs, mask.astype(coeffs.dtype) * hw[:, None]
@@ -227,13 +256,17 @@ def kan_layer_apply(
 
 
 def kan_apply(
-    params: list, x: jax.Array, max_degree: int, compute_dtype=None
+    params: list,
+    x: jax.Array,
+    max_degree: int,
+    compute_dtype=None,
+    backend: str = "xla",
 ) -> jax.Array:
     """Full forward pass through all layers (FixedKAN.forward:369-374)."""
     current = x
     for layer_params in params:
         current = kan_layer_apply(
-            layer_params, current, max_degree, compute_dtype
+            layer_params, current, max_degree, compute_dtype, backend
         )
     return current
 
@@ -251,7 +284,10 @@ class FixedKAN:
         )
         self._apply = jax.jit(
             partial(
-                kan_apply, max_degree=config.max_degree, compute_dtype=cd
+                kan_apply,
+                max_degree=config.max_degree,
+                compute_dtype=cd,
+                backend=config.layer_backend,
             ),
         )
 

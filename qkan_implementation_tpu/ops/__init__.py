@@ -24,6 +24,7 @@ from qkan_implementation_tpu.ops.qkan_layer import (
     qkan_layer_forward_batched_int8,
     qkan_intermediates,
 )
+from qkan_implementation_tpu.ops.fused_layer import kan_layer_fused
 
 __all__ = [
     "chebyshev_t",
@@ -41,4 +42,5 @@ __all__ = [
     "qkan_layer_forward_batched",
     "qkan_layer_forward_batched_int8",
     "qkan_intermediates",
+    "kan_layer_fused",
 ]

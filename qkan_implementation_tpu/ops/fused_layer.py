@@ -1,0 +1,188 @@
+"""Pallas-fused FixedKAN layer: tanh -> Chebyshev basis -> matmul in VMEM.
+
+Why this exists (measured, v5e, 2026-08-17): after the o-collapse the
+FixedKAN layer is one ``[B, in*(D+1)] @ [in*(D+1), T]`` matmul, and the
+honest train-step bench (rotating batches -- no loop-invariant hoisting)
+shows XLA MATERIALIZES the basis tensor to HBM between the elementwise
+recurrence and the dot: at the flagship shape ([784,32,16,16,10], B=8192)
+the [8192, 4704] f32 basis is 154 MB, ~6x the input batch, and the f32
+step reads/writes it several times (1.05 ms/step, flagship_train_step.json
+honest revision).  These kernels build the basis tile-by-tile in VMEM so
+HBM traffic is x + dout + the small W/dW tensors only.
+
+This is the opposite regime from ``experimental/pallas_layer.py`` (the
+recorded NEGATIVE result): there N=16 made the basis 8 KB/tile and XLA
+kept it in registers on its own.  At in=784 the basis is ~100x larger and
+XLA demonstrably spills it.
+
+Layout contract: ``w2`` is DEGREE-MAJOR, ``w2[d*in + i, t]`` -- the fold
+of per-output coefficients/degree-mask/horizontal weights is done by the
+caller in plain jnp (batch-independent, tiny).  The in-kernel basis
+concatenates the per-degree tiles along features, matching that layout.
+
+Gradient math (custom VJP; t = tanh(x)):
+    out[b, t]   = sum_{d,i} T_d(t[b,i]) w2[d*in+i, t]
+    dW[d*in+i, t] = sum_b T_d(t[b,i]) g[b, t]        (one [F, TB]@[TB, T])
+    dx[b, i]    = (1 - t^2) * sum_d T'_d(t) (g @ W_d^T)[b, i],
+                  T'_d = d * U_{d-1}  (Chebyshev 2nd kind)
+
+Reference semantics: KANLayer.forward / KANNeuron.forward
+(KAN_w_cumulative_polynomials.py:180-188, :72-82) -- identical math to
+``models.fixed_kan.kan_layer_apply``, reassociation-level differences only
+(pinned by tests/test_fused_layer.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Batch rows per grid step.  VMEM at TILE_B=256, in=784, D+1=6, f32:
+# basis 4.8 MB + x/dx 0.8 MB each + W/dW 0.2 MB each -- comfortably under
+# the ~16 MB budget for fwd and bwd alike.
+TILE_B = 256
+
+
+def _cheb_blocks(t, dp1):
+    """[T_0 | T_1 | ... | T_D](t) of a [TB, in] tile, degree-major list."""
+    ts = [jnp.ones_like(t), t]
+    for _ in range(2, dp1):
+        ts.append(2.0 * t * ts[-1] - ts[-2])
+    return ts[:dp1]
+
+
+def _fwd_kernel(dp1, x_ref, w_ref, out_ref):
+    t = jnp.tanh(x_ref[:])
+    basis = jnp.concatenate(_cheb_blocks(t, dp1), axis=1)  # [TB, dp1*in]
+    # w2 stays f32 in HBM (it is tiny); cast to the basis dtype at the dot
+    # so a bf16 x rides the native-bf16 MXU path with f32 accumulation
+    out_ref[:] = jnp.dot(
+        basis, w_ref[:].astype(basis.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _bwd_kernel(dp1, x_ref, w_ref, g_ref, dx_ref, dw_ref):
+    t = jnp.tanh(x_ref[:])
+    g = g_ref[:]
+    n = t.shape[1]
+    basis = jnp.concatenate(_cheb_blocks(t, dp1), axis=1)
+
+    # dW accumulates across the sequential TPU grid: zero on first visit
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    # dW dot is tiny ([F, TB] @ [TB, T]); run it f32 so the accumulated
+    # weight cotangent never round-trips through bf16
+    dw_ref[:] += jnp.dot(
+        basis.astype(jnp.float32).T, g,
+        preferred_element_type=jnp.float32,
+    ).astype(dw_ref.dtype)
+
+    # dx: d(out)/d(t) via T'_d = d * U_{d-1}, then the tanh chain rule.
+    # U recurrence: U_0 = 1, U_1 = 2t, U_d = 2t U_{d-1} - U_{d-2}.
+    us = [jnp.ones_like(t), 2.0 * t]
+    for _ in range(3, dp1):
+        us.append(2.0 * t * us[-1] - us[-2])
+    dt = jnp.zeros(t.shape, dtype=jnp.float32)
+    for d in range(1, dp1):
+        gm_d = jnp.dot(
+            g, w_ref[d * n : (d + 1) * n, :].T,
+            preferred_element_type=jnp.float32,
+        )
+        dt += (float(d) * us[d - 1]) * gm_d
+    dx_ref[:] = ((1.0 - t * t) * dt).astype(dx_ref.dtype)
+
+
+def _batch_tile(b: int) -> int:
+    if b >= TILE_B:
+        return TILE_B
+    return max(8, -(-b // 8) * 8)
+
+
+def _pad_batch(x, tile):
+    b = x.shape[0]
+    pad = (-b) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+    return x, b
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def kan_layer_fused(
+    x: jax.Array, w2: jax.Array, dp1: int, interpret: bool = False
+):
+    """Fused layer: [B, in] x degree-major [dp1*in, T] -> [B, T] float32.
+
+    ``x`` may be f32 or bf16 (the tanh + recurrence run in x's dtype,
+    matching the bf16io recipe); accumulation is always f32.
+    Differentiable in ``x`` and ``w2``.
+    """
+    return _fused_fwd(x, w2, dp1, interpret)[0]
+
+
+def _fused_fwd(x, w2, dp1, interpret):
+    tb = _batch_tile(x.shape[0])
+    xp, b = _pad_batch(x, tb)
+    bp = xp.shape[0]
+    n = x.shape[1]
+    t_dim = w2.shape[1]
+    out = pl.pallas_call(
+        partial(_fwd_kernel, dp1),
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, t_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, t_dim), jnp.float32),
+        interpret=interpret,
+    )(xp, w2)
+    return out[:b], (x, w2)
+
+
+def _fused_bwd(dp1, interpret, res, g):
+    x, w2 = res
+    tb = _batch_tile(x.shape[0])
+    xp, b = _pad_batch(x, tb)
+    gp, _ = _pad_batch(g.astype(jnp.float32), tb)
+    bp = xp.shape[0]
+    n = x.shape[1]
+    t_dim = w2.shape[1]
+    dx, dw = pl.pallas_call(
+        partial(_bwd_kernel, dp1),
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tb, t_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, n), x.dtype),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(xp, w2, gp)
+    return dx[:b], dw.astype(w2.dtype)
+
+
+kan_layer_fused.defvjp(_fused_fwd, _fused_bwd)

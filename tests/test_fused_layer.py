@@ -1,0 +1,122 @@
+"""Pallas-fused FixedKAN layer (ops/fused_layer.py) vs the XLA path.
+
+Runs in interpret mode on the CPU suite (kan_layer_apply selects it off
+the platform); on TPU the same code compiles to a real kernel -- the
+flagship train-step benchmark A/Bs it there.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qkan_implementation_tpu.models.fixed_kan import (
+    kan_apply,
+    kan_layer_apply,
+)
+from qkan_implementation_tpu.ops.fused_layer import kan_layer_fused
+
+
+def random_layer(rng, in_dim, out, T, D, ragged=True):
+    degs = (
+        rng.integers(0, D + 1, out) if ragged else np.full(out, D)
+    ).astype(np.int32)
+    return {
+        "degrees": jnp.asarray(degs),
+        "coefficients": jnp.asarray(
+            rng.normal(0, 0.3, (out, in_dim, D + 1, T)).astype(np.float64)
+        ),
+        "horizontal_weights": jnp.asarray(
+            rng.normal(0, 1, out).astype(np.float64)
+        ),
+    }
+
+
+def test_fused_forward_matches_xla_backend():
+    rng = np.random.default_rng(0)
+    D = 5
+    lp = random_layer(rng, 23, 7, 4, D)
+    x = jnp.asarray(rng.uniform(-2, 2, (37, 23)))  # non-tile-multiple batch
+    want = np.asarray(kan_layer_apply(lp, x, D, backend="xla"))
+    got = np.asarray(kan_layer_apply(lp, x, D, backend="fused"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gradients_match_xla_backend():
+    rng = np.random.default_rng(1)
+    D = 4
+    lp = random_layer(rng, 11, 5, 3, D)
+    x = jnp.asarray(rng.uniform(-1.5, 1.5, (19, 11)))
+    y = jnp.asarray(rng.normal(0, 1, (19, 3)))
+
+    degs = lp["degrees"]
+
+    def loss(tp, x, backend):
+        out = kan_layer_apply(dict(tp, degrees=degs), x, D, backend=backend)
+        return jnp.mean((out - y) ** 2)
+
+    tp = {k: v for k, v in lp.items() if k != "degrees"}
+    (gp_x, gx_x) = jax.grad(loss, argnums=(0, 1))(tp, x, "xla")
+    (gp_f, gx_f) = jax.grad(loss, argnums=(0, 1))(tp, x, "fused")
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_x), rtol=1e-4, atol=1e-6
+    )
+    for k in ("coefficients", "horizontal_weights"):
+        np.testing.assert_allclose(
+            np.asarray(gp_f[k]),
+            np.asarray(gp_x[k]),
+            rtol=1e-4,
+            atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_fused_multi_layer_and_jit():
+    rng = np.random.default_rng(2)
+    D = 3
+    params = [
+        random_layer(rng, 6, 4, 5, D),
+        random_layer(rng, 5, 3, 2, D),
+    ]
+    x = jnp.asarray(rng.uniform(-1, 1, (16, 6)))
+    want = np.asarray(kan_apply(params, x, D))
+    got = np.asarray(
+        jax.jit(lambda p, x: kan_apply(p, x, D, backend="fused"))(params, x)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_bf16_compute_dtype():
+    rng = np.random.default_rng(3)
+    D = 5
+    lp = random_layer(rng, 32, 4, 3, D, ragged=False)
+    x = jnp.asarray(rng.uniform(-1, 1, (24, 32)).astype(np.float32))
+    exact = np.asarray(kan_layer_apply(lp, x, D))
+    got = kan_layer_apply(lp, x, D, jnp.bfloat16, backend="fused")
+    assert got.dtype == jnp.float32
+    scale = np.std(exact) + 1e-9
+    assert np.max(np.abs(np.asarray(got) - exact)) < 0.1 * max(scale, 1.0)
+
+
+def test_fused_rejects_int8():
+    rng = np.random.default_rng(4)
+    lp = random_layer(rng, 4, 2, 2, 2)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 4)))
+    with pytest.raises(ValueError, match="int8"):
+        kan_layer_apply(lp, x, 2, jnp.int8, backend="fused")
+
+
+def test_fused_raw_op_degree_major_contract():
+    """kan_layer_fused consumes DEGREE-MAJOR w2[d*in + i, t]."""
+    rng = np.random.default_rng(5)
+    in_dim, T, dp1 = 9, 2, 4
+    w_dm = jnp.asarray(rng.normal(0, 1, (dp1 * in_dim, T)))
+    x = jnp.asarray(rng.uniform(-2, 2, (13, in_dim)))
+    got = np.asarray(kan_layer_fused(x, w_dm, dp1, True))
+    t = np.tanh(np.asarray(x))
+    ts = [np.ones_like(t), t]
+    for _ in range(2, dp1):
+        ts.append(2.0 * t * ts[-1] - ts[-2])
+    basis = np.concatenate(ts[:dp1], axis=1)
+    want = basis @ np.asarray(w_dm)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
