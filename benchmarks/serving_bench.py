@@ -146,6 +146,36 @@ def main():
         f"({per_step * 1e3:.3f} ms per {max_batch}-batch, slope-timed)"
     )
 
+    # same measurement through the Pallas fused layer (exact f32 math;
+    # the [B, in*(D+1)] basis stays in VMEM -- ops/fused_layer.py)
+    from functools import partial
+
+    from qkan_implementation_tpu.models.fixed_kan import kan_apply
+
+    fused_apply = jax.jit(
+        partial(
+            kan_apply, max_degree=kan.config.max_degree, backend="fused"
+        )
+    )
+
+    def step_fused(xc):
+        out = fused_apply(params, xc)
+        return xc + 1e-30 * jnp.mean(out).astype(xc.dtype)
+
+    per_step_f = timeit_chained(
+        step_fused, xd, iters=5 if args.quick else 200
+    )
+    results["device_resident_fused_rows_per_sec"] = round(
+        max_batch / per_step_f, 1
+    )
+    results["device_resident_fused_ms_per_batch"] = round(
+        per_step_f * 1e3, 3
+    )
+    print(
+        f"device-resident (fused layer): {max_batch / per_step_f:,.0f} "
+        f"rows/s ({per_step_f * 1e3:.3f} ms per {max_batch}-batch)"
+    )
+
     out_dir = pathlib.Path(__file__).resolve().parent / "records"
     out_dir.mkdir(parents=True, exist_ok=True)
     name = f"serving_latency_{dev.platform}.json"
