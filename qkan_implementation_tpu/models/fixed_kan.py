@@ -565,6 +565,8 @@ class FixedKAN:
         lr_scale: str = "none",
         seed: int = 0,
         verbose: bool = False,
+        backend: str = "xla",
+        compute_dtype=None,
     ) -> list:
         """Gradient training with Adam.
 
@@ -576,6 +578,15 @@ class FixedKAN:
         clipping; deep stacks benefit, and the reference's own MLP trainer
         clips at 1.0 (train_utils.py:42).  The default (None) keeps the
         reference's unclipped Adam semantics.
+
+        ``backend``/``compute_dtype`` select the TRAINING kernel path --
+        unlike the config-level ``compute_dtype`` (inference-only), these
+        run the optimization itself through ``kan_apply``'s variants:
+        ``backend='fused'`` uses the Pallas VMEM-basis layer (11x the
+        honest flagship train step with ``compute_dtype='bfloat16'``;
+        gradient cosine vs f32 >= 0.9957 at that shape -- see
+        docs/benchmarks.md).  Defaults keep exact-f32 XLA semantics.
+        Note ``compute_dtype='int8'`` is invalid here (zero gradients).
 
         ``lr_scale='fanin'`` divides each layer's coefficient lr by its
         summation fan-in (in_dim * (D+1) * out_neurons, normalized to the
@@ -592,6 +603,10 @@ class FixedKAN:
         x = jnp.asarray(x_data)
         y = jnp.asarray(y_data)
         max_degree = self.config.max_degree
+        if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+            raise ValueError("int8 rounding has zero gradient; use bf16")
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)  # store-once, the bf16io recipe
 
         if loss == "cross_entropy":
             if y.ndim == 1:
@@ -600,7 +615,9 @@ class FixedKAN:
                 y1h = y
 
             def loss_fn(params, xb, yb):
-                logits = kan_apply(params, xb, max_degree)
+                logits = kan_apply(
+                    params, xb, max_degree, compute_dtype, backend
+                )
                 return jnp.mean(
                     optax.softmax_cross_entropy(logits, yb)
                 )
@@ -610,7 +627,9 @@ class FixedKAN:
             y_train = y if y.ndim > 1 else y[:, None]
 
             def loss_fn(params, xb, yb):
-                pred = kan_apply(params, xb, max_degree)
+                pred = kan_apply(
+                    params, xb, max_degree, compute_dtype, backend
+                )
                 return jnp.mean((pred - yb) ** 2)
         else:
             raise ValueError(f"Unknown loss {loss!r}")

@@ -530,3 +530,33 @@ def test_collapsed_layer_matches_naive_oidt_einsum():
     )
     want = np.asarray(jnp.einsum("bid,oidt->bt", basis, weighted))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_train_fused_backend_bf16_converges():
+    """train(backend='fused', compute_dtype='bfloat16'): the Pallas
+    training recipe must converge like the exact path (the 11x train-step
+    kernel, ops/fused_layer.py) and reject int8."""
+    x, y = quadratic_data(n=200)
+    x = jnp.asarray(np.asarray(x, dtype=np.float32))
+    y = jnp.asarray(np.asarray(y, dtype=np.float32))
+    kan = FixedKAN(FixedKANConfig(network_shape=[1, 4, 1], max_degree=3))
+    kan.optimize(x, y, solver="exact")
+    before = float(jnp.mean((kan(x) - y) ** 2))
+    # deliberately perturb so training has work to do
+    kan.params = jax.tree.map(
+        lambda a: a + 0.3 if a.dtype.kind == "f" else a, kan.params
+    )
+    worse = float(jnp.mean((kan(x) - y) ** 2))
+    assert worse > before
+    losses = kan.train(
+        x, y, epochs=30, learning_rate=5e-3, batch_size=50, loss="mse",
+        backend="fused", compute_dtype=jnp.bfloat16,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+    after = float(jnp.mean((kan(x) - y) ** 2))
+    assert after < worse / 2, (before, worse, after)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="int8"):
+        kan.train(x, y, epochs=1, loss="mse", compute_dtype=jnp.int8)
