@@ -49,6 +49,10 @@ def _walltime(thunk) -> float:
 def main():
     import os
 
+    from qkan_implementation_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # QKAN_PLATFORM=cpu -> runnable when the TPU is down
+
     import jax
     import jax.numpy as jnp
 

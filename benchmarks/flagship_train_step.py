@@ -235,10 +235,10 @@ def main():
 
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
-    (out / "flagship_train_step.json").write_text(
-        json.dumps(results, indent=1)
-    )
-    print(f"records -> {out / 'flagship_train_step.json'}")
+    suffix = "" if batch == 8192 else f"_B{batch}"
+    name = f"flagship_train_step{suffix}.json"
+    (out / name).write_text(json.dumps(results, indent=1))
+    print(f"records -> {out / name}")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny CPU smoke")
     ap.add_argument("--train-size", type=int, default=10000)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="run a single flagship config by name (skips the digits-64 "
+        "and shallow rows) -- e.g. improved_trained_fused_bf16",
+    )
     args = ap.parse_args()
 
     train_size = 500 if args.quick else args.train_size
@@ -67,10 +73,26 @@ def main():
             weight_trainable="all", weight_lr_scale="fanin",
             weight_grad_clip=1.0, learning_rate=0.002,
         ),
+        # accuracy-parity evidence for the Pallas fused + bf16-stored-x
+        # training recipe (the 11x train-step kernel): same run as
+        # improved_trained, gradients through ops/fused_layer.py in bf16
+        "improved_trained_fused_bf16": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_backend="fused", weight_compute_dtype="bfloat16",
+        ),
     }
 
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
+    if args.only is not None:
+        if args.only not in configs:
+            raise SystemExit(
+                f"unknown config {args.only!r}; choose from {sorted(configs)}"
+            )
+        configs = {args.only: configs[args.only]}
     for name, overrides in configs.items():
         print(f"=== {name} ===")
         res = run_mnist_experiment(
@@ -92,6 +114,10 @@ def main():
             "directly comparable"
         )
         (out / f"mnist_shape_{name}.json").write_text(json.dumps(res, indent=1))
+
+    if args.only is not None:
+        print(f"records -> {out}")
+        return
 
     # 64-dim digits quality rows (no upsampling) for the quality table
     for name, overrides in configs.items():

@@ -49,6 +49,8 @@ def run_mnist_experiment(
     weight_trainable: str = "horizontal",
     weight_lr_scale: str = "none",
     weight_grad_clip: float | None = None,
+    weight_backend: str = "xla",
+    weight_compute_dtype=None,
     verbose: bool = True,
 ) -> Dict:
     """One full structure-optimization + evaluation run.
@@ -112,6 +114,8 @@ def run_mnist_experiment(
     structure_time = time.time() - structure_start
 
     weight_time = 0.0
+    train_losses: list = []
+    train_diverged = False
     if weight_epochs > 0:
         if verbose:
             print("Phase 2: Training horizontal weights...")
@@ -125,8 +129,12 @@ def run_mnist_experiment(
             lr_scale=weight_lr_scale,
             grad_clip=weight_grad_clip,
             seed=seed,
+            backend=weight_backend,
+            compute_dtype=weight_compute_dtype,
         )
         weight_time = time.time() - weight_start
+        train_losses = [float(l) for l in kan.last_train_losses]
+        train_diverged = kan.last_train_diverged
 
     def accuracy(x, labels):
         pred = np.asarray(kan(jnp.asarray(x)))
@@ -144,6 +152,10 @@ def run_mnist_experiment(
         "max_degree": max_degree,
         "complexity_weight": complexity_weight,
         "weight_epochs": weight_epochs,
+        "weight_backend": weight_backend,
+        "weight_compute_dtype": str(weight_compute_dtype)
+        if weight_compute_dtype is not None
+        else None,
         "learning_rate": learning_rate,
         "test_size": len(x_test),
         "metrics": {
@@ -152,6 +164,8 @@ def run_mnist_experiment(
             "structure_time_seconds": structure_time,
             "weight_time_seconds": weight_time,
             "total_time_seconds": total_time,
+            "train_diverged": train_diverged,
+            "train_epoch_losses": train_losses,
         },
     }
 

@@ -277,6 +277,8 @@ class FixedKAN:
     def __init__(self, config: FixedKANConfig):
         self.config = config
         self.params: Optional[list] = None
+        self.last_train_diverged = False
+        self.last_train_losses: list = []
         cd = (
             jnp.dtype(config.compute_dtype)
             if config.compute_dtype
@@ -729,6 +731,10 @@ class FixedKAN:
             if verbose:
                 print(f"Epoch {epoch+1}/{epochs}, avg Loss: {losses[-1]:.4f}")
         self.params = rebuild(params)
+        # diagnosability: callers (e.g. experiments/mnist.py records) need
+        # to distinguish "trained to chance" from "diverged and restored"
+        self.last_train_diverged = diverged
+        self.last_train_losses = list(losses)
         return losses
 
     def train_horizontal_weights(

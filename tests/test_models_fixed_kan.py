@@ -453,13 +453,24 @@ def test_train_divergence_detection_restores_finite_params():
     y = jnp.asarray(rng.normal(size=(128, 1)))
     kan = FixedKAN(FixedKANConfig(network_shape=[4, 6, 1], max_degree=3))
     kan.optimize(x, y, solver="exact")
+    # Adam's normalized updates keep params ~lr, so the loss is ~lr^2:
+    # lr=1e200 overflows even f64 (1e400 -> inf) at the second step.  (A
+    # merely huge lr like 1e12 keeps the f64 loss FINITE and never trips
+    # the detector -- tanh bounds every hidden activation.)
     kan.train(
-        x, y, epochs=30, batch_size=32, learning_rate=1e12, loss="mse"
+        x, y, epochs=30, batch_size=32, learning_rate=1e200, loss="mse"
     )
     for lp in kan.params:
         assert np.all(np.isfinite(np.asarray(lp["coefficients"])))
         assert np.all(np.isfinite(np.asarray(lp["horizontal_weights"])))
     assert np.all(np.isfinite(np.asarray(kan(x))))
+    # the restore must be observable by callers (experiments record it):
+    # a chance-accuracy result with diverged=True means "restored initial
+    # params", not "the recipe trains to chance"
+    assert kan.last_train_diverged is True
+    kan.train(x, y, epochs=2, batch_size=32, learning_rate=1e-4, loss="mse")
+    assert kan.last_train_diverged is False
+    assert len(kan.last_train_losses) == 2
 
 
 def test_compute_dtype_int8_serving_parity():
