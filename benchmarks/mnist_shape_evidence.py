@@ -87,6 +87,8 @@ def main():
 
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
+    # quick smoke runs must never clobber the committed TPU records
+    pre = "QUICK_" if args.quick else ""
     if args.only is not None:
         if args.only not in configs:
             raise SystemExit(
@@ -113,7 +115,9 @@ def main():
             "NOT MNIST; reference MNIST baselines 0.5127/0.2671 are not "
             "directly comparable"
         )
-        (out / f"mnist_shape_{name}.json").write_text(json.dumps(res, indent=1))
+        (out / f"{pre}mnist_shape_{name}.json").write_text(
+            json.dumps(res, indent=1)
+        )
 
     if args.only is not None:
         print(f"records -> {out}")
@@ -135,7 +139,7 @@ def main():
         res.pop("_model", None)
         res["config_name"] = name
         res["device"] = str(jax.devices()[0])
-        (out / f"digits64_{name}.json").write_text(json.dumps(res, indent=1))
+        (out / f"{pre}digits64_{name}.json").write_text(json.dumps(res, indent=1))
 
     # shallow-shape quality rows: the deep reference architecture (every
     # layer greedily fit to the same y) caps accuracy; a [in, 16, 10]
@@ -159,7 +163,7 @@ def main():
         res.pop("_model", None)
         res["config_name"] = "improved_trained_shallow"
         res["device"] = str(jax.devices()[0])
-        (out / f"{tag}_improved_trained.json").write_text(
+        (out / f"{pre}{tag}_improved_trained.json").write_text(
             json.dumps(res, indent=1)
         )
     print(f"records -> {out}")

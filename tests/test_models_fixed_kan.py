@@ -571,3 +571,37 @@ def test_train_fused_backend_bf16_converges():
 
     with _pytest.raises(ValueError, match="int8"):
         kan.train(x, y, epochs=1, loss="mse", compute_dtype=jnp.int8)
+
+
+def test_train_fused_f32_tracks_xla_trajectory():
+    """backend='fused' at f32 is the same math as 'xla' (reassociation
+    only), so a full multi-epoch Adam trajectory from identical inits must
+    produce near-identical per-epoch losses AND near-identical final
+    params on a wide layer (in=64 exercises the real tiled kernel path in
+    interpret mode).  A VJP bug that still 'converges' (e.g. a scaled or
+    transposed cotangent) diverges the trajectories immediately."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-2, 2, (256, 64)).astype(np.float32))
+    w_true = rng.normal(0, 0.5, (64, 3)).astype(np.float32)
+    y = jnp.asarray(np.tanh(np.asarray(x) @ w_true))
+    cfg = FixedKANConfig(
+        network_shape=[64, 8, 3], max_degree=4,
+        degree_objective="penalized_mse", complexity_weight=1e-3,
+    )
+    runs = {}
+    for backend in ("xla", "fused"):
+        kan = FixedKAN(cfg)
+        kan.optimize(x, y, solver="exact")
+        losses = kan.train(
+            x, y, epochs=4, learning_rate=1e-3, batch_size=64,
+            loss="mse", trainable="all", seed=3, backend=backend,
+        )
+        runs[backend] = (np.asarray(losses), kan.params)
+    np.testing.assert_allclose(
+        runs["fused"][0], runs["xla"][0], rtol=1e-4
+    )
+    for lp_f, lp_x in zip(runs["fused"][1], runs["xla"][1]):
+        a = np.asarray(lp_x["coefficients"])
+        b = np.asarray(lp_f["coefficients"])
+        scale = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
