@@ -590,6 +590,13 @@ class FixedKAN:
         docs/benchmarks.md).  Defaults keep exact-f32 XLA semantics.
         Note ``compute_dtype='int8'`` is invalid here (zero gradients).
 
+        Each epoch runs as ONE device-side ``lax.scan`` over the permuted
+        batch indices (gathered on-device), not a host loop per step: on
+        the remote-tunnel backend a per-step loss fetch costs ~25 ms, so
+        the host loop paid steps x 25 ms/epoch of pure latency.  Updates
+        are identical step-for-step; losses are fetched per epoch, which
+        is the divergence-restore granularity anyway.
+
         ``lr_scale='fanin'`` divides each layer's coefficient lr by its
         summation fan-in (in_dim * (D+1) * out_neurons, normalized to the
         last layer's): Adam's scale-free per-param steps otherwise drift a
@@ -689,45 +696,61 @@ class FixedKAN:
         ]
         opt_state = tx.init(params)
 
-        @jax.jit
-        def step(params, opt_state, xb, yb):
+        def train_step(carry, idx_row):
+            params, opt_state = carry
+            xb = jnp.take(x, idx_row, axis=0)
+            yb = jnp.take(y_train, idx_row, axis=0)
             l, grads = jax.value_and_grad(loss_on_trainable)(params, xb, yb)
             updates, opt_state = tx.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, l
+            return (params, opt_state), l
+
+        # One scan program per EPOCH, not one dispatch per step: on the
+        # remote-tunnel TPU backend every host fetch costs ~25 ms, so a
+        # per-step loop pays steps*25 ms/epoch of pure latency (130 s of
+        # the flagship run's weight_time was this).  The scan performs the
+        # SAME per-batch Adam updates in the same order (batches gathered
+        # on-device from a permutation index array); only the loss fetch
+        # moves to epoch granularity -- which is already the divergence-
+        # restore granularity below.
+        @jax.jit
+        def epoch_fn(params, opt_state, idx_mat):
+            (params, opt_state), ls = jax.lax.scan(
+                train_step, (params, opt_state), idx_mat
+            )
+            return params, opt_state, ls
+
         n = x.shape[0]
+        batch_size = min(batch_size, n)  # a batch can't exceed the dataset
         steps = max(1, n // batch_size)
         rng = np.random.default_rng(seed)
         losses = []
-        # divergence detection: the per-step loss is already fetched to the
-        # host, so a non-finite value costs nothing extra to catch -- stop
-        # immediately and restore the last finite epoch's parameters
+        # divergence detection: per-step losses arrive at each epoch end --
+        # any non-finite value restores the last finite epoch's parameters
         # instead of silently returning a NaN-poisoned model
         last_good = params
         diverged = False
         for epoch in range(epochs):
-            perm = rng.permutation(n)
-            total = 0.0
-            for s in range(steps):
-                idx = perm[s * batch_size : (s + 1) * batch_size]
-                params, opt_state, l = step(params, opt_state, x[idx], y_train[idx])
-                lf = float(l)
-                if not np.isfinite(lf):
-                    import logging
+            perm = rng.permutation(n)[: steps * batch_size]
+            idx_mat = jnp.asarray(
+                perm.reshape(steps, batch_size), dtype=jnp.int32
+            )
+            params, opt_state, ls = epoch_fn(params, opt_state, idx_mat)
+            ls = np.asarray(ls, dtype=np.float64)
+            if not np.isfinite(ls).all():
+                import logging
 
-                    logging.getLogger(__name__).warning(
-                        "Non-finite loss at epoch %d step %d; stopping and "
-                        "restoring the last finite epoch's parameters",
-                        epoch, s,
-                    )
-                    params = last_good
-                    diverged = True
-                    break
-                total += lf
-            if diverged:
+                bad = int(np.argmax(~np.isfinite(ls)))
+                logging.getLogger(__name__).warning(
+                    "Non-finite loss at epoch %d step %d; stopping and "
+                    "restoring the last finite epoch's parameters",
+                    epoch, bad,
+                )
+                params = last_good
+                diverged = True
                 break
             last_good = params
-            losses.append(total / steps)
+            losses.append(float(ls.mean()))
             if verbose:
                 print(f"Epoch {epoch+1}/{epochs}, avg Loss: {losses[-1]:.4f}")
         self.params = rebuild(params)
