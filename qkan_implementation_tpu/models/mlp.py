@@ -131,20 +131,34 @@ def train_mlp(
             loss = jnp.mean((pred - yb) ** 2)
         return loss, new_state
 
+    # One scan program per epoch (not a host dispatch + ~25 ms tunnel loss
+    # fetch per step): identical per-batch updates, losses fetched once per
+    # epoch.  Same structure as FixedKAN.train.
     @partial(jax.jit, static_argnames=("weighted",))
-    def step(params, bn_state, opt_state, xb, yb, wb, lr_scale, weighted):
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, bn_state, xb, yb, wb if weighted else None
+    def epoch_fn(params, bn_state, opt_state, idx_mat, lr_scale, weighted):
+        def train_step(carry, idx_row):
+            params, bn_state, opt_state = carry
+            xb = jnp.take(x, idx_row, axis=0)
+            yb = jnp.take(y, idx_row, axis=0)
+            wb = jnp.take(wb_dummy, idx_row, axis=0)
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, bn_state, xb, yb, wb if weighted else None)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), loss
+
+        (params, bn_state, opt_state), ls = jax.lax.scan(
+            train_step, (params, bn_state, opt_state), idx_mat
         )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(params, updates)
-        return params, new_state, opt_state, loss
+        return params, bn_state, opt_state, ls
 
     eval_fn = jax.jit(lambda p, s, xv: mlp_apply(p, s, xv, train=False)[0])
 
     n = x.shape[0]
-    steps = max(1, n // config.batch_size)
+    batch_size = min(config.batch_size, n)
+    steps = max(1, n // batch_size)
     rng = np.random.default_rng(seed)
     scores, compr2_scores = [], []
     best_val = np.inf
@@ -157,15 +171,12 @@ def train_mlp(
     wb_dummy = w if weighted else jnp.zeros_like(y)
 
     for epoch in range(config.n_epochs):
-        perm = rng.permutation(n)
-        total = 0.0
-        for s in range(steps):
-            idx = perm[s * config.batch_size : (s + 1) * config.batch_size]
-            wb = wb_dummy[idx]
-            params, bn_state, opt_state, loss = step(
-                params, bn_state, opt_state, x[idx], y[idx], wb, lr_scale, weighted
-            )
-            total += float(loss)
+        perm = rng.permutation(n)[: steps * batch_size]
+        idx_mat = jnp.asarray(perm.reshape(steps, batch_size), dtype=jnp.int32)
+        params, bn_state, opt_state, ls = epoch_fn(
+            params, bn_state, opt_state, idx_mat, lr_scale, weighted
+        )
+        total = float(np.sum(np.asarray(ls, dtype=np.float64)))
 
         sched_metric = None  # reference only steps the scheduler on val MSE
         if x_val is not None and y_val is not None:
