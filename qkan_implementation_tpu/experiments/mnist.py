@@ -48,7 +48,9 @@ def run_mnist_experiment(
     lstsq_method: str = "svd",
     weight_trainable: str = "horizontal",
     weight_lr_scale: str = "none",
+    weight_lr_schedule: str = "none",
     weight_grad_clip: float | None = None,
+    weight_batch_size: int = 64,
     weight_backend: str = "xla",
     weight_compute_dtype=None,
     verbose: bool = True,
@@ -127,7 +129,9 @@ def run_mnist_experiment(
             learning_rate=learning_rate,
             trainable=weight_trainable,
             lr_scale=weight_lr_scale,
+            lr_schedule=weight_lr_schedule,
             grad_clip=weight_grad_clip,
+            batch_size=weight_batch_size,
             seed=seed,
             backend=weight_backend,
             compute_dtype=weight_compute_dtype,
@@ -156,6 +160,8 @@ def run_mnist_experiment(
         "weight_compute_dtype": str(weight_compute_dtype)
         if weight_compute_dtype is not None
         else None,
+        "weight_lr_schedule": weight_lr_schedule,
+        "weight_batch_size": weight_batch_size,
         "learning_rate": learning_rate,
         "test_size": len(x_test),
         "metrics": {

@@ -565,6 +565,7 @@ class FixedKAN:
         trainable: str = "all",
         grad_clip: float | None = None,
         lr_scale: str = "none",
+        lr_schedule: str = "none",
         seed: int = 0,
         verbose: bool = False,
         backend: str = "xla",
@@ -596,6 +597,10 @@ class FixedKAN:
         the host loop paid steps x 25 ms/epoch of pure latency.  Updates
         are identical step-for-step; losses are fetched per epoch, which
         is the divergence-restore granularity anyway.
+
+        ``lr_schedule='cosine'`` (opt-in) decays every Adam lr to zero
+        over the full run with optax's cosine schedule; the default keeps
+        the reference's constant-lr semantics.
 
         ``lr_scale='fanin'`` divides each layer's coefficient lr by its
         summation fan-in (in_dim * (D+1) * out_neurons, normalized to the
@@ -670,7 +675,18 @@ class FixedKAN:
         else:
             raise ValueError(f"Unknown trainable {trainable!r}")
 
+        n = x.shape[0]
+        batch_size = min(batch_size, n)  # a batch can't exceed the dataset
+        steps = max(1, n // batch_size)
+
         def make_adam(lr):
+            # opt-in cosine decay to zero over the whole run (an optax
+            # schedule, counted per optimizer step inside the epoch scans);
+            # 'none' keeps the reference's constant-lr Adam semantics
+            if lr_schedule == "cosine":
+                lr = optax.cosine_decay_schedule(lr, epochs * steps)
+            elif lr_schedule != "none":
+                raise ValueError(f"Unknown lr_schedule {lr_schedule!r}")
             if grad_clip:
                 return optax.chain(
                     optax.clip_by_global_norm(grad_clip), optax.adam(lr)
@@ -720,9 +736,6 @@ class FixedKAN:
             )
             return params, opt_state, ls
 
-        n = x.shape[0]
-        batch_size = min(batch_size, n)  # a batch can't exceed the dataset
-        steps = max(1, n // batch_size)
         rng = np.random.default_rng(seed)
         losses = []
         # divergence detection: per-step losses arrive at each epoch end --

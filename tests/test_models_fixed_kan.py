@@ -573,6 +573,34 @@ def test_train_fused_backend_bf16_converges():
         kan.train(x, y, epochs=1, loss="mse", compute_dtype=jnp.int8)
 
 
+def test_train_lr_schedule_cosine():
+    """lr_schedule='cosine' (opt-in) must train stably, differ from the
+    constant-lr trajectory, and reject unknown names."""
+    x, y = quadratic_data(n=200)
+    runs = {}
+    for sched in ("none", "cosine"):
+        kan = FixedKAN(FixedKANConfig(network_shape=[1, 4, 1], max_degree=3))
+        kan.optimize(x, y, solver="exact")
+        kan.params = jax.tree.map(
+            lambda a: a + 0.2 if a.dtype.kind == "f" else a, kan.params
+        )
+        losses = kan.train(
+            x, y, epochs=10, learning_rate=5e-3, batch_size=50,
+            loss="mse", lr_schedule=sched,
+        )
+        runs[sched] = np.asarray(losses)
+        assert np.isfinite(runs[sched]).all()
+    # identical first step (schedule starts at lr), diverging trajectories
+    assert not np.allclose(runs["none"], runs["cosine"])
+
+    import pytest as _pytest
+
+    kan = FixedKAN(FixedKANConfig(network_shape=[1, 4, 1], max_degree=3))
+    kan.optimize(x, y, solver="exact")
+    with _pytest.raises(ValueError, match="lr_schedule"):
+        kan.train(x, y, epochs=1, loss="mse", lr_schedule="bogus")
+
+
 def test_train_fused_f32_tracks_xla_trajectory():
     """backend='fused' at f32 is the same math as 'xla' (reassociation
     only), so a full multi-epoch Adam trajectory from identical inits must
