@@ -112,6 +112,32 @@ def main():
         np.max(np.abs(q - c))
     )
 
+    # 6. Gram-solve coefficient accuracy vs host f64 at a layer-like shape
+    # (rows=4096, in=64, D=5 -> F=384).  The structure-search solves pin
+    # matmul precision to 'highest' (models/fixed_kan._layer_gram_kernels):
+    # without the pin, TPU f32 dots run ONE bf16 pass and the ~1/ridge
+    # conditioning amplifies the Gram noise into O(10%) coefficient error.
+    from qkan_implementation_tpu.models.fixed_kan import _layer_gram_kernels
+    from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
+
+    rows, in_dim, dp1 = 4096, 64, 6
+    xg = jnp.asarray(
+        np.tanh(rng.normal(0, 1.2, (rows, in_dim))), dtype=jnp.float32
+    )
+    yg = jnp.asarray(rng.normal(0, 1, (rows, 10)), dtype=jnp.float32)
+    gram_fn, solve_fn = _layer_gram_kernels(dp1, in_dim, 1e-4)
+    G, bvec, yy = gram_fn(chebyshev_basis(xg, dp1 - 1, clip=False), yg)
+    c_dev, _ = solve_fn(G, bvec, yy, dp1 * in_dim)
+    basis64 = np.asarray(
+        chebyshev_basis(jnp.asarray(np.asarray(xg, np.float64)), dp1 - 1,
+                        clip=False)
+    )
+    X64 = np.swapaxes(basis64, 1, 2).reshape(rows, dp1 * in_dim)
+    c_ref = np.linalg.lstsq(X64, np.asarray(yg, np.float64), rcond=None)[0]
+    results["gram_solve_coeff_relerr_F384"] = float(
+        np.linalg.norm(np.asarray(c_dev) - c_ref) / np.linalg.norm(c_ref)
+    )
+
     reference_bars = {
         "cheb_dilated_N4_deg8": 1e-15,  # ChebyshevStep.py:133 (x64 bar)
         "mul_deg0": 1e-6,

@@ -114,14 +114,22 @@ def _lstsq(X: jax.Array, y: jax.Array, method: str, ridge: float) -> jax.Array:
     solves the ridge-regularized normal equations with Cholesky -- pure MXU
     matmuls, the fast path on TPU.
     """
+    # Solve-path matmuls pin full-f32 multiplies: TPU MXU f32 dots default
+    # to ONE bf16xbf16 pass (~3e-3/term multiply noise) and the Gram system
+    # is conditioned near 1/ridge, so default-precision Gram noise is
+    # amplified into O(10%) coefficient error.  Forward/training layer
+    # matmuls keep the device default (torch-tf32-like); the SOLVES are
+    # where precision buys fit quality.
     if method == "svd":
-        return jnp.linalg.lstsq(X, y)[0]
+        with jax.default_matmul_precision("highest"):
+            return jnp.linalg.lstsq(X, y)[0]
     if method == "normal":
-        f = X.shape[1]
-        gram = X.T @ X
-        scale = jnp.trace(gram) / f + 1e-30
-        gram = gram + (ridge * scale) * jnp.eye(f, dtype=X.dtype)
-        return jax.scipy.linalg.solve(gram, X.T @ y, assume_a="pos")
+        with jax.default_matmul_precision("highest"):
+            f = X.shape[1]
+            gram = X.T @ X
+            scale = jnp.trace(gram) / f + 1e-30
+            gram = gram + (ridge * scale) * jnp.eye(f, dtype=X.dtype)
+            return jax.scipy.linalg.solve(gram, X.T @ y, assume_a="pos")
     raise ValueError(f"Unknown lstsq method {method!r}")
 
 
@@ -135,34 +143,39 @@ def _layer_gram_kernels(dp1: int, in_dim: int, ridge: float):
     Cholesky solve with a traced block size (one executable serves every
     cumulative degree)."""
 
+    # full-f32 multiplies throughout the solve path (see _lstsq: the TPU
+    # default is one bf16 pass, and Gram conditioning ~1/ridge amplifies
+    # that multiply noise into large coefficient error)
     @jax.jit
     def gram_fn(basis, y):
-        b = basis.shape[0]
-        X = jnp.swapaxes(basis, 1, 2).reshape(b, dp1 * in_dim)
-        return X.T @ X, X.T @ y, jnp.sum(y**2)
+        with jax.default_matmul_precision("highest"):
+            b = basis.shape[0]
+            X = jnp.swapaxes(basis, 1, 2).reshape(b, dp1 * in_dim)
+            return X.T @ X, X.T @ y, jnp.sum(y**2)
 
     @jax.jit
     def solve_fn(G, bvec, yy, k):
-        n = G.shape[0]
-        r = jnp.arange(n)
-        m = r < k
-        mm = m[:, None] & m[None, :]
-        scale = jnp.trace(G) / n + 1e-30
-        Gm = jnp.where(mm, G, 0.0) + jnp.diag(
-            jnp.where(m, ridge * scale, 1.0)
-        )
-        Gu = jnp.where(mm, G, 0.0)  # unridged masked block
-        bm = jnp.where(m[:, None], bvec, 0.0)
-        cho = jax.scipy.linalg.cho_factor(Gm)
-        c = jax.scipy.linalg.cho_solve(cho, bm)
-        # one iterative-refinement step against the UNRIDGED system:
-        # cancels most of the ridge bias while keeping the stable
-        # factorization (matters at the f32 ridge floor)
-        c = c + jax.scipy.linalg.cho_solve(cho, bm - Gu @ c)
-        # residual on the unridged system: yy - 2 c'b + c'Gc over the block
-        Gc = Gu @ c
-        res = yy - 2.0 * jnp.sum(c * bm) + jnp.sum(c * Gc)
-        return c, res
+        with jax.default_matmul_precision("highest"):
+            n = G.shape[0]
+            r = jnp.arange(n)
+            m = r < k
+            mm = m[:, None] & m[None, :]
+            scale = jnp.trace(G) / n + 1e-30
+            Gm = jnp.where(mm, G, 0.0) + jnp.diag(
+                jnp.where(m, ridge * scale, 1.0)
+            )
+            Gu = jnp.where(mm, G, 0.0)  # unridged masked block
+            bm = jnp.where(m[:, None], bvec, 0.0)
+            cho = jax.scipy.linalg.cho_factor(Gm)
+            c = jax.scipy.linalg.cho_solve(cho, bm)
+            # one iterative-refinement step against the UNRIDGED system:
+            # cancels most of the ridge bias while keeping the stable
+            # factorization (matters at the f32 ridge floor)
+            c = c + jax.scipy.linalg.cho_solve(cho, bm - Gu @ c)
+            # residual: yy - 2 c'b + c'Gc over the block
+            Gc = Gu @ c
+            res = yy - 2.0 * jnp.sum(c * bm) + jnp.sum(c * Gc)
+            return c, res
 
     return gram_fn, solve_fn
 

@@ -53,19 +53,23 @@ def _gram_chunk_kernel(max_degree: int, f: int, k: int):
 
     @jax.jit
     def chunk_stats(x, yj, w, m):
-        basis = chebyshev_basis(x, max_degree, clip=True)  # [c,F,D+1]
-        # degree-major column order (matches the reference's hstack)
-        X = jnp.swapaxes(basis, 1, 2).reshape(x.shape[0], k)
-        X = X * m  # zero out tail-padding rows (T_0 of a pad row is 1)
-        Xw = X * w
-        return (
-            X.T @ X,
-            X.T @ yj,
-            Xw.T @ X,
-            Xw.T @ yj,
-            jnp.sum(w * yj**2, axis=0),  # per-target energy [T]
-            jnp.sum(w),
-        )
+        # full-f32 multiplies: TPU f32 dots default to one bf16 pass, and
+        # Gram noise is amplified by the solve's conditioning (~1/ridge)
+        # into large coefficient/score error (see models/fixed_kan._lstsq)
+        with jax.default_matmul_precision("highest"):
+            basis = chebyshev_basis(x, max_degree, clip=True)  # [c,F,D+1]
+            # degree-major column order (matches the reference's hstack)
+            X = jnp.swapaxes(basis, 1, 2).reshape(x.shape[0], k)
+            X = X * m  # zero out tail-padding rows (T_0 of a pad row is 1)
+            Xw = X * w
+            return (
+                X.T @ X,
+                X.T @ yj,
+                Xw.T @ X,
+                Xw.T @ yj,
+                jnp.sum(w * yj**2, axis=0),  # per-target energy [T]
+                jnp.sum(w),
+            )
 
     return chunk_stats
 
