@@ -601,7 +601,9 @@ class FixedKAN:
         ``backend='fused'`` uses the Pallas VMEM-basis layer (11x the
         honest flagship train step with ``compute_dtype='bfloat16'``;
         gradient cosine vs f32 >= 0.9957 at that shape -- see
-        docs/benchmarks.md).  Defaults keep exact-f32 XLA semantics.
+        docs/benchmarks.md).  Defaults keep f32 storage/accumulation at
+        the device's default multiply precision (bf16 passes on TPU
+        MXUs -- the torch-tf32-like tradeoff; see ops/qkan_layer.py).
         Note ``compute_dtype='int8'`` is invalid here (zero gradients).
 
         Each epoch runs as ONE device-side ``lax.scan`` over the permuted

@@ -122,7 +122,13 @@ def qkan_layer_forward_batched(
     K=128 on a v5e (docs/benchmarks.md, the ``bf16io`` variant in
     ``benchmarks/records/layer_variants_N16K128.json``); only the small
     [N*(D+1), K] weight tensor casts per step.  Output is always f32 when
-    set.  Default ``None`` keeps the exact f32 semantics.
+    set.  Default ``None`` keeps f32 storage and accumulation with the
+    device's default multiply precision (on TPU MXUs that is one
+    bf16xbf16 pass, like torch's tf32 default on Ampere; the on-chip
+    error of this path vs the exact forward is measured as
+    ``layer_quantum_vs_classical_N16`` in benchmarks/tpu_contracts.py).
+    Quality-critical SOLVES pin full-f32 multiplies instead -- see
+    models/fixed_kan._lstsq.
     """
     max_degree = weights.shape[0] - 1
     if compute_dtype is not None:
