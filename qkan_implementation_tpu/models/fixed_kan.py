@@ -583,6 +583,8 @@ class FixedKAN:
         verbose: bool = False,
         backend: str = "xla",
         compute_dtype=None,
+        mesh=None,
+        mesh_axis: str | None = None,
     ) -> list:
         """Gradient training with Adam.
 
@@ -616,6 +618,15 @@ class FixedKAN:
         ``lr_schedule='cosine'`` (opt-in) decays every Adam lr to zero
         over the full run with optax's cosine schedule; the default keeps
         the reference's constant-lr semantics.
+
+        ``mesh`` (a ``jax.sharding.Mesh``) turns on data-parallel
+        training: dataset rows and every minibatch shard over
+        ``mesh_axis`` (default: the mesh's first axis) with parameters
+        and optimizer state replicated -- XLA's sharding propagation
+        inserts the gradient all-reduces, the idiomatic pjit dp pattern
+        (SURVEY section 2, data parallelism).  Updates are bit-for-bit
+        the single-device trajectory (same global batches in the same
+        order; pinned by tests/test_models_fixed_kan.py).
 
         ``lr_scale='fanin'`` divides each layer's coefficient lr by its
         summation fan-in (in_dim * (D+1) * out_neurons, normalized to the
@@ -727,6 +738,29 @@ class FixedKAN:
         ]
         opt_state = tx.init(params)
 
+        idx_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh_axis or mesh.axis_names[0]
+            n_dev = mesh.shape[axis]
+            if batch_size % n_dev or x.shape[0] % n_dev:
+                raise ValueError(
+                    f"dp training needs batch_size ({batch_size}) and the "
+                    f"row count ({x.shape[0]}) divisible by mesh axis "
+                    f"{axis!r} ({n_dev} devices)"
+                )
+            rows = lambda a: NamedSharding(
+                mesh, PartitionSpec(axis, *([None] * (a.ndim - 1)))
+            )
+            replicated = NamedSharding(mesh, PartitionSpec())
+            x = jax.device_put(x, rows(x))
+            y_train = jax.device_put(y_train, rows(y_train))
+            params = jax.device_put(params, replicated)
+            opt_state = jax.device_put(opt_state, replicated)
+            # [steps, batch]: shard each step's minibatch over the axis
+            idx_sharding = NamedSharding(mesh, PartitionSpec(None, axis))
+
         def train_step(carry, idx_row):
             params, opt_state = carry
             xb = jnp.take(x, idx_row, axis=0)
@@ -760,9 +794,11 @@ class FixedKAN:
         diverged = False
         for epoch in range(epochs):
             perm = rng.permutation(n)[: steps * batch_size]
-            idx_mat = jnp.asarray(
-                perm.reshape(steps, batch_size), dtype=jnp.int32
-            )
+            idx_np = perm.reshape(steps, batch_size).astype(np.int32)
+            if idx_sharding is not None:
+                idx_mat = jax.device_put(idx_np, idx_sharding)
+            else:
+                idx_mat = jnp.asarray(idx_np)
             params, opt_state, ls = epoch_fn(params, opt_state, idx_mat)
             ls = np.asarray(ls, dtype=np.float64)
             if not np.isfinite(ls).all():

@@ -601,6 +601,51 @@ def test_train_lr_schedule_cosine():
         kan.train(x, y, epochs=1, loss="mse", lr_schedule="bogus")
 
 
+def test_train_data_parallel_matches_single_device():
+    """FixedKAN.train(mesh=...): dp training shards dataset rows and each
+    minibatch over the mesh with replicated params (SURVEY section 2 data
+    parallelism as a user-facing API).  Same global batches in the same
+    order -> the trajectory must match single-device to float tolerance,
+    and bad divisibility must raise."""
+    import pytest as _pytest
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-2, 2, (256, 6)).astype(np.float32))
+    y = jnp.asarray(
+        np.tanh(np.asarray(x) @ rng.normal(0, 0.5, (6, 2)).astype(np.float32))
+    )
+    cfg = FixedKANConfig(
+        network_shape=[6, 5, 2], max_degree=3,
+        degree_objective="penalized_mse", complexity_weight=1e-3,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    runs = {}
+    for name, kw in (
+        ("single", {}),
+        ("dp", {"mesh": mesh}),
+    ):
+        kan = FixedKAN(cfg)
+        kan.optimize(x, y, solver="exact")
+        losses = kan.train(
+            x, y, epochs=3, batch_size=64, learning_rate=2e-3,
+            loss="mse", trainable="all", seed=7, **kw,
+        )
+        runs[name] = (np.asarray(losses), kan.params)
+    np.testing.assert_allclose(runs["dp"][0], runs["single"][0], rtol=1e-5)
+    for lp_d, lp_s in zip(runs["dp"][1], runs["single"][1]):
+        np.testing.assert_allclose(
+            np.asarray(lp_d["coefficients"]),
+            np.asarray(lp_s["coefficients"]),
+            atol=1e-6,
+        )
+
+    kan = FixedKAN(cfg)
+    kan.optimize(x, y, solver="exact")
+    with _pytest.raises(ValueError, match="divisible"):
+        kan.train(x, y, epochs=1, batch_size=63, loss="mse", mesh=mesh)
+
+
 def test_train_fused_f32_tracks_xla_trajectory():
     """backend='fused' at f32 is the same math as 'xla' (reassociation
     only), so a full multi-epoch Adam trajectory from identical inits must
