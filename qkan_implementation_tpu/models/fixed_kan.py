@@ -740,6 +740,12 @@ class FixedKAN:
 
         idx_sharding = None
         if mesh is not None:
+            if backend == "fused":
+                raise ValueError(
+                    "mesh= dp training composes with backend='xla' only: "
+                    "a pallas_call under sharding propagation silently "
+                    "de-shards its operands (wrap in shard_map to extend)"
+                )
             from jax.sharding import NamedSharding, PartitionSpec
 
             axis = mesh_axis or mesh.axis_names[0]

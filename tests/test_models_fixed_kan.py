@@ -644,6 +644,11 @@ def test_train_data_parallel_matches_single_device():
     kan.optimize(x, y, solver="exact")
     with _pytest.raises(ValueError, match="divisible"):
         kan.train(x, y, epochs=1, batch_size=63, loss="mse", mesh=mesh)
+    with _pytest.raises(ValueError, match="shard_map"):
+        kan.train(
+            x, y, epochs=1, batch_size=64, loss="mse", mesh=mesh,
+            backend="fused",
+        )
 
 
 def test_train_fused_f32_tracks_xla_trajectory():
