@@ -168,6 +168,9 @@ def main():
         "dense_8x8": 1.6e-07,
         "packed_extract_256": 3.9e-05,
         "layer_quantum_vs_classical_N16": 2.3e-05,
+        # Ridge-bias dominated (lambda=1e-4 vs exact lstsq), not pure f32
+        # noise: CPU f32 with the same 'highest' pin measures 1.7e-3.
+        "gram_solve_coeff_relerr_F384": 4.0e-03,
     }
     regressions = check_chip_floor(
         results, chip_floor, gate=jax.devices()[0].platform == "tpu"
@@ -177,8 +180,14 @@ def main():
 
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
-    (out / "tpu_contracts.json").write_text(json.dumps(results, indent=1))
-    print(f"records -> {out / 'tpu_contracts.json'}")
+    # CPU smoke runs must not clobber the committed on-chip record.
+    name = (
+        "tpu_contracts.json"
+        if dev.platform == "tpu"
+        else f"tpu_contracts_{dev.platform}.json"
+    )
+    (out / name).write_text(json.dumps(results, indent=1))
+    print(f"records -> {out / name}")
     if regressions:
         print(f"PRECISION REGRESSION vs declared chip floor: {regressions}")
         raise SystemExit(1)

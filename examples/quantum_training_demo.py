@@ -76,6 +76,9 @@ def main(nk: int = 16, batch: int = 8, steps: int = 60):
             return w, opt_state, losses
         return run
 
+    if steps < 2:
+        raise SystemExit("--steps must be >= 2 (slope timing needs two "
+                         "distinct chain lengths)")
     short_n = max(steps // 3, 1)
     run_short, run_long = train_chain(short_n), train_chain(steps)
     t_compile0 = time.time()

@@ -324,6 +324,10 @@ def simulated_annealing(
     ``_anneal_kernel_delayed``); the chain is block-size-invariant, so this
     is a pure scheduling knob.  None = auto (min(32, next pow2 >= n)).
     """
+    if backend not in ("jax", "native"):
+        raise ValueError(
+            f"unknown backend {backend!r}: expected 'jax' or 'native'"
+        )
     if backend == "native":
         from qkan_implementation_tpu.native_bindings import anneal_native
 
@@ -548,6 +552,10 @@ def parallel_tempering(
     betas = jnp.asarray(
         np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
     )
+    if kernel not in ("delayed", "reference"):
+        raise ValueError(
+            f"unknown kernel {kernel!r}: expected 'delayed' or 'reference'"
+        )
     if kernel == "reference":
         samples, energies = _tempering_kernel(
             jnp.asarray(model.h, dtype=dtype),

@@ -212,6 +212,10 @@ def kan_layer_apply(
     'xla' (reassociation only); composes with float compute_dtypes but not
     'int8'.
     """
+    if backend not in ("xla", "fused"):
+        raise ValueError(
+            f"unknown backend {backend!r}: expected 'xla' or 'fused'"
+        )
     degs = layer_params["degrees"]  # [out]
     mask = (
         jnp.arange(max_degree + 1)[None, :] <= degs[:, None]
@@ -248,16 +252,11 @@ def kan_layer_apply(
     if compute_dtype is None:
         return basis.reshape(b, -1) @ W
     if jnp.dtype(compute_dtype) == jnp.int8:
-        s_w = jnp.max(jnp.abs(W), axis=0, keepdims=True) / 127.0  # [1, T]
-        qa = jnp.round(basis.reshape(b, -1) * 127.0).astype(jnp.int8)
-        qw = jnp.round(W / jnp.maximum(s_w, 1e-30)).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            qa, qw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
+        from qkan_implementation_tpu.ops.qkan_layer import (
+            int8_quantized_matmul,
         )
-        # cast the scale too: under x64 an f64 scale would silently promote
-        # the output back to float64
-        return acc.astype(jnp.float32) * (s_w / 127.0).astype(jnp.float32)
+
+        return int8_quantized_matmul(basis.reshape(b, -1), W)
     # bf16io: cast the FINAL dot operands only (after reshape -- the
     # cast-placement rule of ops/qkan_layer.py), accumulate f32
     return jax.lax.dot_general(

@@ -182,14 +182,29 @@ def qkan_layer_forward_batched_int8(
     basis = chebyshev_basis(x, max_degree)  # [B, N, D+1] in [-1, 1]
     b = x.shape[0]
     M2 = qkan_weight_tensor(weights, N, K).reshape(K, -1).T  # [F, K]
-    s_w = jnp.max(jnp.abs(M2), axis=0, keepdims=True) / 127.0  # [1, K]
-    qa = jnp.round(basis.reshape(b, -1) * 127.0).astype(jnp.int8)
-    qw = jnp.round(M2 / jnp.maximum(s_w, 1e-30)).astype(jnp.int8)
+    return int8_quantized_matmul(basis.reshape(b, -1), M2)
+
+
+def int8_quantized_matmul(basis2d: jax.Array, W: jax.Array) -> jax.Array:
+    """``[B, F] @ [F, K] -> [B, K] float32`` on the int8 MXU path.
+
+    The single implementation of the quantization scheme documented in
+    ``qkan_layer_forward_batched_int8`` -- static 127 activation scale
+    (``basis2d`` must be analytically bounded in [-1, 1]), per-output
+    -channel symmetric weight scale, int32 MXU accumulation, one f32
+    dequant.  Shared with ``models.fixed_kan.kan_layer_apply`` so the two
+    serving paths cannot drift."""
+    s_w = jnp.max(jnp.abs(W), axis=0, keepdims=True) / 127.0  # [1, K]
+    qa = jnp.round(basis2d * 127.0).astype(jnp.int8)
+    qw = jnp.round(W / jnp.maximum(s_w, 1e-30)).astype(jnp.int8)
     acc = jax.lax.dot_general(
         qa, qw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return acc.astype(jnp.float32) * (s_w / 127.0)
+    # cast the scale too: under x64 an f64 weight tensor yields an f64
+    # scale that would silently promote the float32 output contract to
+    # float64 (doubling serving bandwidth)
+    return acc.astype(jnp.float32) * (s_w / 127.0).astype(jnp.float32)
 
 
 def qkan_intermediates(

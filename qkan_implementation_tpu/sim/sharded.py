@@ -21,6 +21,7 @@ Tested against the dense engine on the virtual 8-device CPU mesh.
 from __future__ import annotations
 
 import hashlib
+import weakref
 from functools import partial
 
 import jax
@@ -566,15 +567,47 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
     return layout.exchange_count
 
 
+_GATE_DIGEST_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _gate_param_digest(g) -> bytes:
+    """Digest of a gate's static params, memoized per (gate, params object).
+
+    A FABLE circuit's ucry/diag params scale as 2^(q-1) floats (q=25:
+    ~130 MB); hashing them on EVERY ``sharded_simulate`` call would turn
+    the executor-cache fast path into O(param bytes).  The digest is
+    recomputed when ``g.params`` is REPLACED (a different object);
+    in-place writes to an already-hashed params array are NOT detected --
+    replacing the array or the gate is the supported mutation pattern.
+    """
+    p = g.params
+    hit = _GATE_DIGEST_CACHE.get(g)
+    if hit is not None and hit[0] is p:
+        return hit[1]
+    h = hashlib.sha256()
+    if isinstance(p, tuple) and not p:
+        h.update(b"<none>")
+    else:
+        arr = np.asarray(p)
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    d = h.digest()
+    _GATE_DIGEST_CACHE[g] = (p, d)
+    return d
+
+
 def _circuit_fingerprint(circuit, override_idx) -> tuple:
     """Content hash of a circuit's gate list for the executor cache.
 
     The compiled executor bakes every non-override gate's parameters in as
-    closure constants, so the cache key must cover gate CONTENT: replacing a
-    same-length gate list or mutating a params ndarray in place must miss the
-    cache (previously it silently returned stale compiled results).  Gates
-    whose parameters arrive via ``runtime_params`` are operands, not
-    constants, so their params are excluded (name/qubits still matter).
+    closure constants, so the cache key must cover gate CONTENT: replacing
+    a same-length gate list, a gate, or a gate's params array must miss
+    the cache (previously it silently returned stale compiled results).
+    Per-gate param digests are memoized (``_gate_param_digest``) so
+    repeated calls stay O(gates), not O(param bytes); mutating a params
+    ndarray IN PLACE after a simulate call is unsupported.  Gates whose
+    parameters arrive via ``runtime_params`` are operands, not constants,
+    so their params are excluded (name/qubits still matter).
     """
     override = set(override_idx)
     h = hashlib.sha256()
@@ -584,12 +617,8 @@ def _circuit_fingerprint(circuit, override_idx) -> tuple:
         h.update(np.asarray(g.qubits, dtype=np.int64).tobytes())
         if i in override:
             h.update(b"<override>")
-        elif isinstance(g.params, tuple) and not g.params:
-            h.update(b"<none>")
         else:
-            p = np.asarray(g.params)
-            h.update(str(p.dtype).encode())
-            h.update(p.tobytes())
+            h.update(_gate_param_digest(g))
     return (id(type(circuit)), len(circuit.gates), h.digest())
 
 

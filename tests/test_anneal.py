@@ -427,7 +427,7 @@ def test_delayed_kernel_block_size_invariance():
         model, num_reads=16, num_sweeps=120, seed=3,
         dtype=jnp.float64, sweep_block=1,
     )
-    for blk in (2, 8, 24):  # incl. a non-divisor -> exercises padding
+    for blk in (2, 8, 16, 24):  # 16 pads n=24 -> 32: exercises padding
         s, e = simulated_annealing(
             model, num_reads=16, num_sweeps=120, seed=3,
             dtype=jnp.float64, sweep_block=blk,
@@ -499,3 +499,23 @@ def test_delayed_tempering_matches_reference_kernel_quality():
     if native_available():
         truth = brute_force_native(model)[1]
         assert mins["delayed"] <= truth + 1e-5
+
+def test_unknown_kernel_and_backend_raise():
+    """Typos must not silently select a different sampler (review r3):
+    parallel_tempering(kernel=...) and simulated_annealing(backend=...)
+    validate their enum-ish strings like every other new param."""
+    import pytest
+    from qkan_implementation_tpu.anneal.sa import parallel_tempering
+
+    rng = np.random.default_rng(0)
+    n = 6
+    J = rng.normal(0, 1, (n, n))
+    J = J + J.T
+    np.fill_diagonal(J, 0.0)
+    model = QuboModel(h=rng.normal(0, 1, n), J=J, offset=0.0)
+    with pytest.raises(ValueError, match="unknown kernel"):
+        parallel_tempering(model, num_chains=2, num_replicas=2,
+                           num_sweeps=2, kernel="refernce")
+    with pytest.raises(ValueError, match="unknown backend"):
+        simulated_annealing(model, num_reads=2, num_sweeps=2,
+                            backend="natve")

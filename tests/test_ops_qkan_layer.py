@@ -219,3 +219,23 @@ def test_batched_forward_int8_jits_and_handles_edges():
     got = np.asarray(qkan_layer_forward_batched_int8(x, w, N, K))
     ref = np.asarray(qkan_layer_forward_batched(x, w, N, K))
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+def test_batched_forward_int8_f32_output_under_x64():
+    """Regression (review r3): with x64 enabled, f64 inputs/weights made the
+    dequant scale f64, silently promoting the documented float32 output to
+    float64.  The shared ``int8_quantized_matmul`` casts the scale."""
+    from qkan_implementation_tpu.ops.qkan_layer import int8_quantized_matmul
+
+    N = K = 8
+    d = 3
+    rng = np.random.default_rng(5)
+    # plain numpy f64 -> jnp keeps f64 under the suite's x64 mode
+    xb = jnp.asarray(rng.uniform(-1, 1, (16, N)))
+    w = jnp.asarray(rng.uniform(-1, 1, (d + 1, N * K)))
+    assert w.dtype == jnp.float64  # precondition: the suite runs x64
+    out = qkan_layer_forward_batched_int8(xb, w, N, K)
+    assert out.dtype == jnp.float32
+    # the shared helper holds the same contract directly
+    basis2d = jnp.asarray(rng.uniform(-1, 1, (16, 32)))
+    W = jnp.asarray(rng.uniform(-1, 1, (32, K)))
+    assert int8_quantized_matmul(basis2d, W).dtype == jnp.float32

