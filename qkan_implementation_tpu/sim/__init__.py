@@ -22,6 +22,7 @@ from qkan_implementation_tpu.sim.measure import (
     expectation_diagonal,
     marginal_probabilities,
 )
+from qkan_implementation_tpu.sim.sharded import sharded_simulate
 
 __all__ = [
     "Circuit",
@@ -34,4 +35,5 @@ __all__ = [
     "sample_counts",
     "expectation_diagonal",
     "marginal_probabilities",
+    "sharded_simulate",
 ]
