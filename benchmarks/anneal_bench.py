@@ -61,19 +61,23 @@ def run(n: int, seed: int, sweeps: int, reads: int) -> list[dict]:
 
     records = []
 
-    def record(name, fn):
+    def record(name, fn, warmup=True):
         # warm the compile with an identical call: num_reads/num_sweeps are
         # STATIC jit args, so a smaller warmup shape compiles a different
         # program and the timed call would still pay the (minutes-scale,
-        # remote-tunnel) compile.  neal's wall-clock has no compile either.
-        t0 = time.time()
-        fn()
-        compile_plus_run = time.time() - t0
+        # remote-tunnel) compile.  Host samplers (neal, native C++) have no
+        # compile to warm -- warmup=False skips the double run for them
+        # (at n=2048 a native run is minutes of single-core sweeps).
+        compile_plus_run = None
+        if warmup:
+            t0 = time.time()
+            fn()
+            compile_plus_run = time.time() - t0
         t0 = time.time()
         samples, energies = fn()
         best = float(np.min(energies))
         elapsed = time.time() - t0
-        if compile_plus_run > 3.0 * elapsed + 1.0:
+        if compile_plus_run is not None and compile_plus_run > 3.0 * elapsed + 1.0:
             print(f"    [{name}: first call {compile_plus_run:.1f}s incl. compile]")
         rec = {
             "workload": f"dense Gaussian QUBO n={n} (seed {seed})",
@@ -129,6 +133,7 @@ def run(n: int, seed: int, sweeps: int, reads: int) -> list[dict]:
                 model, num_reads=reads, num_sweeps=sweeps, seed=seed,
                 backend="native",
             ),
+            warmup=False,
         )
     return records
 

@@ -208,9 +208,11 @@ def kan_layer_apply(
     ``backend='fused'`` routes tanh -> basis -> matmul through the Pallas
     kernel (``ops.fused_layer``): the [B, in*(D+1)] basis never touches
     HBM, which is the honest train-step bottleneck at wide layers (XLA
-    materializes it; see flagship_train_step.json).  Identical math to
-    'xla' (reassociation only); composes with float compute_dtypes but not
-    'int8'.
+    materializes it; see flagship_train_step.json).  Same math as 'xla'
+    up to reassociation, AT f32: the kernel is an f32 MXU kernel, so
+    under x64 the weights/inputs are downcast and the output is float32
+    (unlike 'xla', which follows the param dtype).  Composes with float
+    compute_dtypes but not 'int8'.
     """
     if backend not in ("xla", "fused"):
         raise ValueError(
@@ -623,9 +625,11 @@ class FixedKAN:
         ``mesh_axis`` (default: the mesh's first axis) with parameters
         and optimizer state replicated -- XLA's sharding propagation
         inserts the gradient all-reduces, the idiomatic pjit dp pattern
-        (SURVEY section 2, data parallelism).  Updates are bit-for-bit
-        the single-device trajectory (same global batches in the same
-        order; pinned by tests/test_models_fixed_kan.py).
+        (SURVEY section 2, data parallelism).  Updates follow the
+        single-device trajectory (same global batches in the same order)
+        up to float reduction-order noise from the cross-device gradient
+        all-reduce -- equivalence is pinned to rtol 1e-5 by
+        tests/test_models_fixed_kan.py, not bitwise.
 
         ``lr_scale='fanin'`` divides each layer's coefficient lr by its
         summation fan-in (in_dim * (D+1) * out_neurons, normalized to the

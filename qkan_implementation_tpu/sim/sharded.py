@@ -569,6 +569,12 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
 
 _GATE_DIGEST_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+# Max compiled executors kept per circuit: enough for backend/chunk/impl
+# variants of one circuit, small enough that a content-mutating parameter
+# sweep cannot accumulate unbounded programs (each bakes the full gate
+# params in as constants).
+_EXEC_CACHE_MAX = 8
+
 
 def _gate_param_digest(g) -> bytes:
     """Digest of a gate's static params, memoized per (gate, params object).
@@ -751,7 +757,13 @@ def sharded_simulate(
     # re-trace and re-compile every repeated simulate -- minutes-scale on
     # the remote TPU; CLAUDE.md: minimize distinct compiles).  Keyed on
     # gate CONTENT (_circuit_fingerprint) so appends, gate replacement,
-    # and in-place params mutation all miss instead of going stale.
+    # and params-object replacement all miss instead of going stale.
+    # Writing into a params ndarray IN PLACE is unsupported (the per-gate
+    # digest is memoized per params object -- _gate_param_digest).  Bounded:
+    # each distinct content keeps a compiled executor with the gate params
+    # baked in as constants (2^(q-1) floats per FABLE ucry), so a parameter
+    # sweep would otherwise leak one program per setting; for swept angles
+    # use ``runtime_params`` (one compile, params as operands).
     if cached is None:
         cached = {}
         try:
@@ -759,5 +771,7 @@ def sharded_simulate(
         except AttributeError:
             cached = None  # exotic circuit type without a __dict__
     if cached is not None:
+        while len(cached) >= _EXEC_CACHE_MAX:
+            cached.pop(next(iter(cached)))  # FIFO eviction (dicts ordered)
         cached[cache_key] = fn
     return fn(psi0, *override_vals)
