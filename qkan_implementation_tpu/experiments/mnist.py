@@ -241,9 +241,26 @@ def run_mnist_n_times(
     accs = np.array([r["metrics"]["test_accuracy"] for r in all_results])
     return {
         "runs": all_results,
-        "distributions": distributions,
+        # ndarray fields -> lists/floats so the whole harness result is
+        # json.dump-able as-is (the n-runs evidence records are committed
+        # JSON; an ndarray deep inside distributions made every caller
+        # write its own sanitizer or crash at serialization)
+        "distributions": _jsonable(distributions),
         "test_accuracy_mean": float(accs.mean()),
         "test_accuracy_std": float(accs.std(ddof=1)) if n > 1 else 0.0,
         "test_accuracy_min": float(accs.min()),
         "test_accuracy_max": float(accs.max()),
     }
+
+
+def _jsonable(obj):
+    """Recursively convert numpy scalars/arrays to plain Python types."""
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, np.generic):
+        return obj.item()
+    return obj
