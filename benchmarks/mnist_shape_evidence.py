@@ -83,6 +83,24 @@ def main():
             weight_grad_clip=1.0, learning_rate=0.002,
             weight_backend="fused", weight_compute_dtype="bfloat16",
         ),
+        # the other two cells of the {backend} x {dtype} square, for
+        # attributing any fused_bf16 quality gap to the Mosaic lowering
+        # (fused+f32 fails too) vs bf16 training dynamics (xla+bf16
+        # fails too) -- chip-gated diagnosis, docs/benchmarks.md
+        "improved_trained_fused": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_backend="fused",
+        ),
+        "improved_trained_bf16": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_compute_dtype="bfloat16",
+        ),
     }
 
     out = pathlib.Path(__file__).resolve().parent / "records"
