@@ -54,7 +54,11 @@ class FixedKANConfig:
     # -- build extensions (default to reference-faithful behavior) ----------
     consistent_tanh: bool = False  # fit on tanh(x) like the forward pass does
     degree_objective: str = "reference"  # or 'penalized_mse' (see anneal.qubo)
-    lstsq_method: str = "svd"  # 'svd' (robust) | 'normal' (fast MXU path)
+    # 'svd' (reference min-norm semantics) | 'normal' (Gram/Cholesky MXU
+    # fast path; big-F f32 layers auto-route to 'qr') | 'qr' (one
+    # Householder QR serves every cumulative degree; backward-stable where
+    # f32 Cholesky breaks, 2x closer to exact than the f32 SVD)
+    lstsq_method: str = "svd"
     lstsq_ridge: float = 1e-8  # ridge for the normal-equations path
     # row cap for use_quantum=True (block-encoding circuit size is set by
     # max(rows, cols) padded to a power of two); 0/None disables the cap
@@ -134,6 +138,78 @@ def _lstsq(X: jax.Array, y: jax.Array, method: str, ridge: float) -> jax.Array:
 
 
 from functools import lru_cache
+
+
+# Relative ridge floor for the f32 QR degree sweep.  Measured on the
+# flagship layer-0 (F=4704, upsampled-digits data, f32, one refinement
+# step): train-MSE 0.0289 at d=5 with max|c| ~ 7 vs 0.0495 for the f32
+# SVD path (whose default rcond ~ B*eps ~ 1e-3 truncates informative
+# directions; 0.0188 exact f64).  A hard R-diagonal DROP fits tighter
+# (0.0234) but with max|c| ~ 2e5 -- coefficients that large turn bf16
+# serving noise (~8e-3 relative per term) into O(1) output error, so the
+# small-norm ridge solution is the production choice.
+_QR_RIDGE_F32 = 1e-6
+
+
+@lru_cache(maxsize=64)
+def _layer_qr_kernels(dp1: int, in_dim: int, ridge: float):
+    """Two cached jitted kernels for the ridge-augmented QR degree sweep.
+
+    ``qr_fn`` factors the stacked matrix [X; sqrt(lam) I] (Householder,
+    R-only): its leading [k, k] R block satisfies R_k'R_k = X_k'X_k +
+    lam*I exactly, so ONE factorization serves every cumulative degree --
+    and unlike the Gram Cholesky (which NaNs once eps_f32 * F exceeds the
+    relative ridge) QR is backward-stable at any size, letting the ridge
+    sit at 1e-6 instead of the 1e-2 a big-F f32 Cholesky would need.
+    ``solve_fn`` runs two masked triangular solves (block size is a
+    traced scalar -- one executable for all degrees) plus one iterative-
+    refinement step against the UNRIDGED normal equations, and scores
+    with the honest full-data MSE."""
+
+    @jax.jit
+    def qr_fn(basis, y):
+        with jax.default_matmul_precision("highest"):
+            b = basis.shape[0]
+            f = dp1 * in_dim
+            X = jnp.swapaxes(basis, 1, 2).reshape(b, f)
+            lam = ridge if basis.dtype != jnp.float32 else max(
+                ridge, _QR_RIDGE_F32
+            )
+            s = jnp.sqrt(lam * jnp.sum(X * X) / f)
+            Xa = jnp.concatenate([X, s * jnp.eye(f, dtype=X.dtype)], axis=0)
+            R = jnp.linalg.qr(Xa, mode="r")
+            bvec = X.T @ y
+            return X, R, bvec
+
+    @jax.jit
+    def solve_fn(X, R, bvec, y, k):
+        with jax.default_matmul_precision("highest"):
+            n = R.shape[0]
+            m = jnp.arange(n) < k
+            # rows/cols >= k become identity with zero rhs -> c[k:] == 0
+            # exactly, so one full-size pair of triangular solves serves
+            # every leading block
+            Rm = jnp.where(
+                m[:, None] & m[None, :], R, jnp.eye(n, dtype=R.dtype)
+            )
+
+            def rsolve(v):
+                z = jax.scipy.linalg.solve_triangular(
+                    Rm.T, jnp.where(m[:, None], v, 0.0), lower=True
+                )
+                return jax.scipy.linalg.solve_triangular(
+                    Rm, z, lower=False
+                )
+
+            bm = jnp.where(m[:, None], bvec, 0.0)
+            c = rsolve(bm)
+            # one refinement step against the unridged system cancels
+            # most of the ridge bias on the well-conditioned directions
+            c = c + rsolve(bm - X.T @ (X @ c))
+            res = jnp.mean((y - X @ c) ** 2)
+            return c, res
+
+    return qr_fn, solve_fn
 
 
 @lru_cache(maxsize=64)
@@ -326,11 +402,15 @@ class FixedKAN:
         cfg = self.config
         basis = chebyshev_basis(x_fit, cfg.max_degree, clip=False)
         b = basis.shape[0]
+        in_dim = basis.shape[1]
+        dp1 = cfg.max_degree + 1
+        if cfg.lstsq_method == "qr":
+            if b < dp1 * in_dim:  # underdetermined: QR's R is trapezoidal
+                return self._svd_fallback(x_fit, y)
+            return self._qr_sweep(basis, y)
         if cfg.lstsq_method != "normal":
             return self._svd_fallback(x_fit, y, method=cfg.lstsq_method)
 
-        in_dim = basis.shape[1]
-        dp1 = cfg.max_degree + 1
         t_dim = y.shape[1]
         # The design matrix is structurally rank-deficient (T_0 of every
         # input dim is the same all-ones column), so the Cholesky needs a
@@ -346,6 +426,15 @@ class FixedKAN:
             # alone).  The bias this adds is ~1e-4 relative -- scoring
             # noise, not fit-quality noise ('svd' remains the exact path).
             ridge = max(ridge, 1e-4)
+            # f32 Cholesky breakdown is also a SIZE effect: the factor's
+            # rounding error grows ~ eps * F * lambda_max, so once
+            # eps_f32 * F exceeds the relative ridge the factorization
+            # NaNs regardless of data (measured: F=4704 NaNs at ridge
+            # 1e-4 AND 1e-3, factors at 1e-2 -- but that ridge costs real
+            # fit quality).  Route those layers straight to the
+            # backward-stable QR sweep instead of paying Gram + fallback.
+            if b >= dp1 * in_dim and dp1 * in_dim * 1.2e-7 > ridge:
+                return self._qr_sweep(basis, y)
         gram_fn, solve_fn = _layer_gram_kernels(dp1, in_dim, ridge)
         # degree-major columns so cumulative degrees are leading blocks
         G, bvec, yy = gram_fn(basis, y)
@@ -364,9 +453,42 @@ class FixedKAN:
             ).reshape(k, t_dim)
             coeffs.append(c_dm)
         if not np.all(np.isfinite(scores)):
-            # conditioning defeated the fast path: fall back to exact SVD
-            # lstsq rather than silently selecting degrees from NaN scores
+            # conditioning defeated the fast path: fall back to the
+            # backward-stable QR sweep (or SVD when underdetermined)
+            # rather than silently selecting degrees from NaN scores
+            if b >= dp1 * in_dim:
+                return self._qr_sweep(basis, y)
             return self._svd_fallback(x_fit, y)
+        return np.array(scores), coeffs
+
+    def _qr_sweep(self, basis: jax.Array, y: jax.Array):
+        """One-QR-all-degrees scoring: ridge-augmented Householder QR of
+        the degree-major design matrix (backward-stable at f32 where the
+        Gram Cholesky breaks down), two masked triangular solves + one
+        unridged refinement per cumulative degree, honest full-data MSE
+        scores.  Requires rows >= columns.
+
+        Quality (flagship layer-0, F=4704, f32): train-MSE 0.0289 at d=5
+        with max|c| ~ 7 vs 0.0495 for the f32 SVD fallback (0.0188 exact
+        f64) -- closer to exact than SVD at ~8x less compute (one QR vs
+        six SVDs; see docs/benchmarks.md structure-search section)."""
+        cfg = self.config
+        in_dim = basis.shape[1]
+        dp1 = cfg.max_degree + 1
+        t_dim = y.shape[1]
+        qr_fn, solve_fn = _layer_qr_kernels(
+            dp1, in_dim, float(cfg.lstsq_ridge)
+        )
+        X, R, bvec = qr_fn(basis, y)
+        scores, coeffs = [], []
+        for d in range(dp1):
+            k = (d + 1) * in_dim
+            c, res = solve_fn(X, R, bvec, y, k)
+            scores.append(max(float(res), 0.0))
+            c_dm = jnp.swapaxes(
+                c[:k].reshape(d + 1, in_dim, t_dim), 0, 1
+            ).reshape(k, t_dim)
+            coeffs.append(c_dm)
         return np.array(scores), coeffs
 
     def _svd_fallback(self, x_fit: jax.Array, y: jax.Array, method: str = "svd"):

@@ -683,3 +683,81 @@ def test_train_fused_f32_tracks_xla_trajectory():
         b = np.asarray(lp_f["coefficients"])
         scale = np.abs(a).max() + 1e-9
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
+
+
+def test_qr_sweep_matches_svd_and_routes_big_f32_layers(monkeypatch):
+    """The QR degree sweep (round 3): one Householder QR serves every
+    cumulative degree.  (a) On a well-conditioned problem its scores match
+    the SVD path closely; (b) at big-F f32 -- where the Gram Cholesky
+    breaks down (error ~ eps*F exceeds the ridge) -- 'normal' must route
+    straight to the QR sweep, stay finite, and fit at least as well as the
+    truncating f32 SVD; (c) underdetermined (rows < columns) 'qr' falls
+    back to min-norm SVD."""
+    rng = np.random.default_rng(3)
+
+    # (a) well-conditioned parity
+    x = jnp.asarray(rng.uniform(-1, 1, (500, 6)))
+    y = jnp.asarray(
+        np.stack(
+            [np.sin(rng.uniform(-1, 1, 500) + np.asarray(x).sum(1))], 1
+        )
+    )
+    scores = {}
+    for method in ("svd", "qr"):
+        cfg = FixedKANConfig(
+            network_shape=[6, 1], max_degree=4, lstsq_method=method
+        )
+        s, _ = FixedKAN(cfg)._evaluate_layer_degrees(jnp.tanh(x), y)
+        assert np.all(np.isfinite(s)), (method, s)
+        scores[method] = s
+    np.testing.assert_allclose(scores["qr"], scores["svd"], rtol=1e-4)
+
+    # (b) big-F f32 with duplicated columns: 'normal' routes to QR (no
+    # Gram, no SVD fallback) and beats-or-matches the f32 SVD fit
+    qr_calls, svd_calls = [], []
+    monkeypatch.setattr(
+        FixedKAN,
+        "_qr_sweep",
+        (lambda orig: lambda self, *a, **k: (qr_calls.append(1), orig(self, *a, **k))[1])(
+            FixedKAN._qr_sweep
+        ),
+    )
+    orig_svd = FixedKAN._svd_fallback
+    monkeypatch.setattr(
+        FixedKAN,
+        "_svd_fallback",
+        lambda self, *a, **k: (svd_calls.append(1), orig_svd(self, *a, **k))[1],
+    )
+    in_dim, b = 300, 2400
+    base = rng.uniform(-1, 1, (b, 30))
+    # heavy column duplication (upsampled-image analog) -> rank-deficient
+    xb = jnp.asarray(base[:, rng.integers(0, 30, in_dim)], dtype=jnp.float32)
+    yb = jnp.asarray(rng.normal(0, 1, (b, 4)), dtype=jnp.float32)
+    cfg = FixedKANConfig(
+        network_shape=[in_dim, 4], max_degree=4, lstsq_method="normal"
+    )
+    assert (cfg.max_degree + 1) * in_dim * 1.2e-7 > 1e-4  # gate is active
+    s_qr, c_qr = FixedKAN(cfg)._evaluate_layer_degrees(jnp.tanh(xb), yb)
+    assert qr_calls and not svd_calls
+    assert np.all(np.isfinite(s_qr))
+    cfg_svd = FixedKANConfig(
+        network_shape=[in_dim, 4], max_degree=4, lstsq_method="svd"
+    )
+    s_svd, _ = FixedKAN(cfg_svd)._evaluate_layer_degrees(jnp.tanh(xb), yb)
+    assert s_qr[-1] <= s_svd[-1] * 1.05, (s_qr, s_svd)
+
+    # (c) underdetermined: rows < F -> min-norm SVD fallback
+    svd_calls.clear()
+    qr_calls.clear()
+    x_small = jnp.asarray(
+        rng.uniform(-1, 1, (100, in_dim)), dtype=jnp.float32
+    )
+    y_small = jnp.asarray(rng.normal(0, 1, (100, 4)), dtype=jnp.float32)
+    cfg_qr = FixedKANConfig(
+        network_shape=[in_dim, 4], max_degree=4, lstsq_method="qr"
+    )
+    s_u, _ = FixedKAN(cfg_qr)._evaluate_layer_degrees(
+        jnp.tanh(x_small), y_small
+    )
+    assert svd_calls and not qr_calls
+    assert np.all(np.isfinite(s_u))
