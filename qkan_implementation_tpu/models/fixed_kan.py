@@ -406,10 +406,10 @@ class FixedKAN:
         dp1 = cfg.max_degree + 1
         if cfg.lstsq_method == "qr":
             if b < dp1 * in_dim:  # underdetermined: QR's R is trapezoidal
-                return self._svd_fallback(x_fit, y)
+                return self._svd_fallback(basis, y)
             return self._qr_sweep(basis, y)
         if cfg.lstsq_method != "normal":
-            return self._svd_fallback(x_fit, y, method=cfg.lstsq_method)
+            return self._svd_fallback(basis, y, method=cfg.lstsq_method)
 
         t_dim = y.shape[1]
         # The design matrix is structurally rank-deficient (T_0 of every
@@ -458,7 +458,7 @@ class FixedKAN:
             # rather than silently selecting degrees from NaN scores
             if b >= dp1 * in_dim:
                 return self._qr_sweep(basis, y)
-            return self._svd_fallback(x_fit, y)
+            return self._svd_fallback(basis, y)
         return np.array(scores), coeffs
 
     def _qr_sweep(self, basis: jax.Array, y: jax.Array):
@@ -479,7 +479,16 @@ class FixedKAN:
         qr_fn, solve_fn = _layer_qr_kernels(
             dp1, in_dim, float(cfg.lstsq_ridge)
         )
-        X, R, bvec = qr_fn(basis, y)
+        try:
+            X, R, bvec = qr_fn(basis, y)
+        except Exception as e:  # pragma: no cover - backend-dependent
+            # remote-TPU compiles fail transiently (CLAUDE.md: tunnel
+            # outages); degrade to the exact SVD sweep instead of killing
+            # the whole structure search
+            import warnings
+
+            warnings.warn(f"QR sweep unavailable ({e!r}); using SVD")
+            return self._svd_fallback(basis, y)
         scores, coeffs = [], []
         for d in range(dp1):
             k = (d + 1) * in_dim
@@ -491,11 +500,11 @@ class FixedKAN:
             coeffs.append(c_dm)
         return np.array(scores), coeffs
 
-    def _svd_fallback(self, x_fit: jax.Array, y: jax.Array, method: str = "svd"):
-        """Per-degree lstsq sweep: the 'svd' scoring path, and the fallback
-        when the normal-equations Gram solve returns non-finite scores."""
+    def _svd_fallback(self, basis: jax.Array, y: jax.Array, method: str = "svd"):
+        """Per-degree lstsq sweep over a precomputed [B, in, D+1] basis:
+        the 'svd' scoring path, and the last-resort fallback of the
+        'normal'/'qr' fast paths."""
         cfg = self.config
-        basis = chebyshev_basis(x_fit, cfg.max_degree, clip=False)
         b = basis.shape[0]
         scores, coeffs = [], []
         for d in range(cfg.max_degree + 1):

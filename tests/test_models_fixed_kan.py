@@ -761,3 +761,28 @@ def test_qr_sweep_matches_svd_and_routes_big_f32_layers(monkeypatch):
     )
     assert svd_calls and not qr_calls
     assert np.all(np.isfinite(s_u))
+
+
+def test_qr_sweep_degrades_to_svd_on_backend_failure(monkeypatch):
+    """Remote-TPU compiles fail transiently; a QR lowering failure must
+    degrade to the exact SVD sweep with a warning, not kill optimize()."""
+    import warnings
+    from qkan_implementation_tpu.models import fixed_kan as fk
+
+    def broken_kernels(dp1, in_dim, ridge):
+        def qr_fn(basis, y):
+            raise RuntimeError("UNAVAILABLE: backend init failed")
+
+        return qr_fn, None
+
+    monkeypatch.setattr(fk, "_layer_qr_kernels", broken_kernels)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (200, 3)))
+    y = jnp.asarray(np.sin(np.asarray(x).sum(1, keepdims=True)))
+    cfg = FixedKANConfig(network_shape=[3, 1], max_degree=3,
+                         lstsq_method="qr")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s, c = FixedKAN(cfg)._evaluate_layer_degrees(jnp.tanh(x), y)
+    assert any("QR sweep unavailable" in str(x.message) for x in w)
+    assert np.all(np.isfinite(s)) and len(c) == 4
