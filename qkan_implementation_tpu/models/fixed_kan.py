@@ -151,6 +151,16 @@ from functools import lru_cache
 _QR_RIDGE_F32 = 1e-6
 
 
+def _dim_major(c, k: int, d: int, in_dim: int, t_dim: int):
+    """Reorder a degree-major solution's leading-block rows into the
+    dim-major layout the forward pass stores: [d+1, in, T] -> [in, d+1, T]
+    flattened to [k, T].  Shared by the gram and QR sweeps so the two
+    solver paths cannot diverge in layout."""
+    return jnp.swapaxes(
+        c[:k].reshape(d + 1, in_dim, t_dim), 0, 1
+    ).reshape(k, t_dim)
+
+
 @lru_cache(maxsize=64)
 def _layer_qr_kernels(dp1: int, in_dim: int, ridge: float):
     """Two cached jitted kernels for the ridge-augmented QR degree sweep.
@@ -405,7 +415,11 @@ class FixedKAN:
         in_dim = basis.shape[1]
         dp1 = cfg.max_degree + 1
         if cfg.lstsq_method == "qr":
-            if b < dp1 * in_dim:  # underdetermined: QR's R is trapezoidal
+            if b < dp1 * in_dim:
+                # underdetermined: keep the reference's min-norm SVD
+                # semantics (a deliberate choice -- the ridge-augmented
+                # stack is square for any b, so QR WOULD run, but its
+                # ridge solution differs from min-norm in this regime)
                 return self._svd_fallback(basis, y)
             return self._qr_sweep(basis, y)
         if cfg.lstsq_method != "normal":
@@ -432,9 +446,12 @@ class FixedKAN:
             # NaNs regardless of data (measured: F=4704 NaNs at ridge
             # 1e-4 AND 1e-3, factors at 1e-2 -- but that ridge costs real
             # fit quality).  Route those layers straight to the
-            # backward-stable QR sweep instead of paying Gram + fallback.
-            if b >= dp1 * in_dim and dp1 * in_dim * 1.2e-7 > ridge:
-                return self._qr_sweep(basis, y)
+            # backward-stable QR sweep (or min-norm SVD when
+            # underdetermined) instead of paying Gram + fallback.
+            if dp1 * in_dim * 1.2e-7 > ridge:
+                if b >= dp1 * in_dim:
+                    return self._qr_sweep(basis, y)
+                return self._svd_fallback(basis, y)
         gram_fn, solve_fn = _layer_gram_kernels(dp1, in_dim, ridge)
         # degree-major columns so cumulative degrees are leading blocks
         G, bvec, yy = gram_fn(basis, y)
@@ -446,12 +463,7 @@ class FixedKAN:
             # columns: normalize by both so the score is the same
             # mean((y - pred)**2) the svd and quantum paths report
             scores.append(max(float(res), 0.0) / (b * t_dim))
-            # reorder degree-major solution rows into the dim-major layout
-            # the forward pass stores: [d+1, in, T] -> [in, d+1, T]
-            c_dm = jnp.swapaxes(
-                c[:k].reshape(d + 1, in_dim, t_dim), 0, 1
-            ).reshape(k, t_dim)
-            coeffs.append(c_dm)
+            coeffs.append(_dim_major(c, k, d, in_dim, t_dim))
         if not np.all(np.isfinite(scores)):
             # conditioning defeated the fast path: fall back to the
             # backward-stable QR sweep (or SVD when underdetermined)
@@ -481,23 +493,24 @@ class FixedKAN:
         )
         try:
             X, R, bvec = qr_fn(basis, y)
+            scores, coeffs = [], []
+            for d in range(dp1):
+                k = (d + 1) * in_dim
+                c, res = solve_fn(X, R, bvec, y, k)
+                scores.append(float(res))
+                coeffs.append(_dim_major(c, k, d, in_dim, t_dim))
         except Exception as e:  # pragma: no cover - backend-dependent
             # remote-TPU compiles fail transiently (CLAUDE.md: tunnel
-            # outages); degrade to the exact SVD sweep instead of killing
-            # the whole structure search
+            # outages), and qr_fn/solve_fn are separate executables --
+            # either first call can fail; degrade to the exact SVD sweep
+            # instead of killing the whole structure search
             import warnings
 
             warnings.warn(f"QR sweep unavailable ({e!r}); using SVD")
             return self._svd_fallback(basis, y)
-        scores, coeffs = [], []
-        for d in range(dp1):
-            k = (d + 1) * in_dim
-            c, res = solve_fn(X, R, bvec, y, k)
-            scores.append(max(float(res), 0.0))
-            c_dm = jnp.swapaxes(
-                c[:k].reshape(d + 1, in_dim, t_dim), 0, 1
-            ).reshape(k, t_dim)
-            coeffs.append(c_dm)
+        if not np.all(np.isfinite(scores)):
+            # never hand NaN scores to QUBO degree selection
+            return self._svd_fallback(basis, y)
         return np.array(scores), coeffs
 
     def _svd_fallback(self, basis: jax.Array, y: jax.Array, method: str = "svd"):
