@@ -604,14 +604,29 @@ class FixedKAN:
         comments out, KAN_w_cumulative_polynomials.py:194-235), recording
         per-solve quantum resources in ``self.last_quantum_resources``.
 
-        ``mesh``: when given with solver='anneal', annealing chains shard
-        across the mesh (chain parallelism) before the one-hot polish.
+        ``mesh``: data-parallel structure search.  The dataset rows shard
+        over the mesh's first axis: the Gram pass contracts the sharded
+        row dimension, so XLA inserts one psum per layer and every device
+        scores its shard locally (SURVEY section 2: data parallelism for
+        lstsq degree evaluation); with solver='anneal' the annealing
+        chains additionally shard across the mesh (chain parallelism)
+        before the one-hot polish.  The big-F QR sweep gathers rows (a
+        distributed TSQR is not implemented); row counts not divisible by
+        the mesh axis stay unsharded.
         """
         cfg = self.config
         x = jnp.asarray(x_data)
         y = jnp.asarray(y_data)
         if y.ndim == 1:
             y = y[:, None]
+        if mesh is not None and x.shape[0] % mesh.shape[mesh.axis_names[0]] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rows = lambda a: NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0], *([None] * (a.ndim - 1)))
+            )
+            x = jax.device_put(x, rows(x))
+            y = jax.device_put(y, rows(y))
 
         params = []
         current = x
