@@ -101,3 +101,43 @@ def test_sharded_engine_matches_dense(data, mesh8):
         jax.device_get(sharded_simulate(circ, mesh8, psi0=psi0))
     )
     np.testing.assert_allclose(got, want, atol=1e-11)
+
+
+@settings(max_examples=12, deadline=None)
+@given(data=st.data())
+def test_qr_sweep_matches_svd_scoring(data):
+    """Differential: the ridge-augmented QR degree sweep vs exact min-norm
+    SVD scoring on random overdetermined problems (f64 suite precision,
+    incl. duplicated input columns -- the structural degeneracy of the
+    T_0 blocks plus upsampled-pixel-style near-duplicates).  Scores must
+    be finite, near-equal on well-conditioned directions, and induce the
+    same degree ordering."""
+    from qkan_implementation_tpu.models.fixed_kan import (
+        FixedKAN,
+        FixedKANConfig,
+    )
+
+    rng_seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    in_dim = data.draw(st.integers(2, 10), label="in_dim")
+    max_degree = data.draw(st.integers(1, 5), label="max_degree")
+    dup = data.draw(st.booleans(), label="duplicate_columns")
+    rng = np.random.default_rng(rng_seed)
+    b = max(4 * (max_degree + 1) * in_dim, 64)
+    base = rng.uniform(-2, 2, (b, in_dim))
+    if dup and in_dim >= 4:
+        base[:, in_dim // 2 :] = base[:, : in_dim - in_dim // 2]
+    x = jnp.tanh(jnp.asarray(base))
+    t = data.draw(st.integers(1, 3), label="targets")
+    y = jnp.asarray(rng.normal(0, 1, (b, t)))
+    scores = {}
+    for method in ("svd", "qr"):
+        cfg = FixedKANConfig(
+            network_shape=[in_dim, 1], max_degree=max_degree,
+            lstsq_method=method,
+        )
+        s, _ = FixedKAN(cfg)._evaluate_layer_degrees(x, y)
+        assert np.all(np.isfinite(s)), (method, s)
+        scores[method] = s
+    np.testing.assert_allclose(
+        scores["qr"], scores["svd"], rtol=2e-3, atol=1e-9
+    )
