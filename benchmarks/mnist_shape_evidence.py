@@ -101,6 +101,16 @@ def main():
             weight_grad_clip=1.0, learning_rate=0.002,
             weight_compute_dtype="bfloat16",
         ),
+        # the measured capability ceiling: doubling epochs WITH the cosine
+        # schedule (constant-lr 30ep overfits: 0.881) -- 0.900 single-seed
+        # CPU on the QR structure path
+        "improved_trained_cosine30": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=2 * epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_lr_schedule="cosine",
+        ),
     }
 
     out = pathlib.Path(__file__).resolve().parent / "records"
