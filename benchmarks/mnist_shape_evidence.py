@@ -45,6 +45,13 @@ def main():
         help="run a single flagship config by name (skips the digits-64 "
         "and shallow rows) -- e.g. improved_trained_fused_bf16",
     )
+    ap.add_argument(
+        "--nruns",
+        type=int,
+        default=1,
+        help="with --only: run N sampling seeds through the statistical "
+        "harness and write a *_nruns.json record (mean/std/min/max)",
+    )
     args = ap.parse_args()
 
     train_size = 500 if args.quick else args.train_size
@@ -111,6 +118,16 @@ def main():
             weight_grad_clip=1.0, learning_rate=0.002,
             weight_lr_schedule="cosine",
         ),
+        # practical-ceiling recipe: the cosine30 schedule at max_degree 7
+        # (richer per-edge basis; single-seed probe measured 0.9028 vs
+        # 0.900 at the reference's degree 5)
+        "improved_trained_cosine30_deg7": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=2 * epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_lr_schedule="cosine", max_degree=7,
+        ),
     }
 
     out = pathlib.Path(__file__).resolve().parent / "records"
@@ -123,26 +140,49 @@ def main():
                 f"unknown config {args.only!r}; choose from {sorted(configs)}"
             )
         configs = {args.only: configs[args.only]}
+    note = (
+        "dataset is digits-784 (upsampled+augmented sklearn digits), "
+        "NOT MNIST; reference MNIST baselines 0.5127/0.2671 are not "
+        "directly comparable"
+    )
     for name, overrides in configs.items():
         print(f"=== {name} ===")
-        res = run_mnist_experiment(
+        common = dict(
             network_shape=shape,
             max_degree=5,
             train_size=train_size,
             dataset="digits-784",
             lstsq_method="normal",
             num_reads=num_reads,
-            verbose=True,
-            **overrides,
         )
+        common.update(overrides)  # configs may override max_degree etc.
+        if args.nruns > 1:
+            from qkan_implementation_tpu.experiments.mnist import (
+                run_mnist_n_times,
+            )
+
+            res = run_mnist_n_times(n=args.nruns, verbose=True, **common)
+            res.pop("distributions", None)
+            for r in res["runs"]:
+                r["device"] = str(jax.devices()[0])
+                r["config_name"] = name
+            res["note"] = note
+            plat = "cpu" if jax.devices()[0].platform == "cpu" else "tpu"
+            (
+                out / f"{pre}mnist_shape_{name}_{plat}_nruns.json"
+            ).write_text(json.dumps(res, indent=1))
+            print(
+                f"{name}: {res['test_accuracy_mean']:.4f} "
+                f"+- {res['test_accuracy_std']:.4f} "
+                f"(min {res['test_accuracy_min']:.4f}, "
+                f"max {res['test_accuracy_max']:.4f})"
+            )
+            continue
+        res = run_mnist_experiment(verbose=True, **common)
         res.pop("_model", None)
         res["config_name"] = name
         res["device"] = str(jax.devices()[0])
-        res["note"] = (
-            "dataset is digits-784 (upsampled+augmented sklearn digits), "
-            "NOT MNIST; reference MNIST baselines 0.5127/0.2671 are not "
-            "directly comparable"
-        )
+        res["note"] = note
         (out / f"{pre}mnist_shape_{name}.json").write_text(
             json.dumps(res, indent=1)
         )
