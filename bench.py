@@ -46,12 +46,51 @@ def _walltime(thunk) -> float:
     return time.time() - start
 
 
+def _tpu_is_healthy(timeout_s: float = 180.0) -> bool:
+    """Probe TPU backend init in a subprocess with a hard timeout.
+
+    The remote-tunnel backend, when down, blocks jax device init for ~25
+    minutes of internal retries before erroring; probing in-process would
+    take the whole bench with it.  A throwaway subprocess bounds the wait.
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; d=jax.devices()[0]; "
+                "print('TPU-OK' if d.platform=='tpu' else d.platform)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        return "TPU-OK" in out.stdout
+    except Exception:
+        return False
+
+
 def main():
     import os
 
     from qkan_implementation_tpu.utils.platform import apply_platform_env
 
-    apply_platform_env()  # QKAN_PLATFORM=cpu -> runnable when the TPU is down
+    platform = apply_platform_env()  # QKAN_PLATFORM=cpu -> runnable TPU-down
+    fallback = False
+    if platform is None and not _tpu_is_healthy():
+        # no explicit choice and the TPU backend won't come up (tunnel
+        # outage): degrade to CPU with the smoke shapes rather than hang
+        print(
+            "TPU backend unhealthy; falling back to CPU smoke shapes",
+            file=sys.stderr,
+        )
+        os.environ["BENCH_QUICK"] = "1"
+        fallback = True
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -185,16 +224,15 @@ def main():
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "QKANLayer(N=16,K=16,deg=7) fwd+bwd layers/sec",
-                "value": round(ours_layers_per_sec, 1),
-                "unit": "layers/sec",
-                "vs_baseline": round(ours_layers_per_sec / base_layers_per_sec, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "QKANLayer(N=16,K=16,deg=7) fwd+bwd layers/sec",
+        "value": round(ours_layers_per_sec, 1),
+        "unit": "layers/sec",
+        "vs_baseline": round(ours_layers_per_sec / base_layers_per_sec, 2),
+    }
+    if fallback:
+        record["platform"] = "cpu-fallback (TPU backend unhealthy)"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
