@@ -20,8 +20,26 @@ from qkan_implementation_tpu.parallel.collectives import (
     all_to_all,
     pairwise_exchange,
 )
+from qkan_implementation_tpu.parallel.tp import (
+    kan_apply_tp,
+    make_tp_train_step,
+    shard_params,
+)
+from qkan_implementation_tpu.parallel.pp import (
+    kan_apply_pp,
+    make_pp_train_step,
+    place_pipeline_params,
+    stack_pipeline_params,
+)
 
 __all__ = [
+    "kan_apply_tp",
+    "make_tp_train_step",
+    "shard_params",
+    "kan_apply_pp",
+    "make_pp_train_step",
+    "place_pipeline_params",
+    "stack_pipeline_params",
     "make_mesh",
     "device_count",
     "shard_batch",

@@ -1,0 +1,243 @@
+"""Tensor-parallel KAN layers: Megatron-style row parallelism over ICI.
+
+The fused layer forward is one MXU contraction
+``[B, in*(D+1)] @ [in*(D+1), T]`` (models/fixed_kan.kan_layer_apply).  The
+reference has no model-parallel axis at all (single-process torch,
+KAN_w_cumulative_polynomials.py); on a TPU slice the natural split of that
+contraction is the *row* (input-feature) dimension:
+
+- input features and the coefficient tensor's ``in`` axis shard over a
+  ``tp`` mesh axis; tanh + the Chebyshev basis are elementwise in the
+  feature axis, so they stay local to the shard;
+- every device computes a partial ``[B, T]`` product from its feature
+  slice; a single ``psum`` over ``tp`` completes the contraction.  When the
+  NEXT layer is also feature-sharded the reduction is a ``psum_scatter``
+  instead — each device receives exactly its slice of the next layer's
+  input, which rides ICI at half the bytes of an all-reduce and skips the
+  re-slice;
+- layers whose ``in_dim`` does not divide the ``tp`` axis fall back to
+  replicated compute for that layer (the partials would be ragged); the
+  decision is static per layer.
+
+Composes with data parallelism on a 2-D ``(dp, tp)`` mesh: the batch axis
+shards over ``dp``.  Gradient reductions are NOT hand-inserted: under
+``check_vma=True`` shard_map tracks which values vary over which mesh axes,
+so differentiating through the forward gives each coefficient shard its
+local gradient while tp-invariant leaves (horizontal weights of a sharded
+layer) and dp-invariant params automatically receive the required psums in
+the transpose.  (With ``check_vma=False`` psum is its own transpose — the
+old pmap convention — which double-counts by the axis size; measured 8x on
+the 2x4 mesh before this was pinned.)  Parity with the single-device path
+is exact under x64: tests/test_parallel_tp.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qkan_implementation_tpu.models.fixed_kan import kan_layer_apply
+
+
+def _tp_layer_flags(params: list, n_tp: int, x_dim: int) -> list[bool]:
+    """Static per-layer decision: shard the ``in`` axis over tp?"""
+    flags = []
+    in_dim = x_dim
+    for lp in params:
+        c_in = lp["coefficients"].shape[1]
+        if c_in != in_dim:
+            raise ValueError(
+                f"layer expects in_dim={c_in}, previous layer produces "
+                f"{in_dim}"
+            )
+        flags.append(n_tp > 1 and in_dim % n_tp == 0 and in_dim >= n_tp)
+        in_dim = lp["coefficients"].shape[3]  # every layer outputs target_dim
+    return flags
+
+
+def _param_specs(params: list, flags: list[bool], tp_axis: str) -> list:
+    """PartitionSpec pytree matching ``params`` (degrees/hw replicated)."""
+    specs = []
+    for lp, sharded in zip(params, flags):
+        spec = {k: P() for k in lp}
+        if sharded:
+            spec["coefficients"] = P(None, tp_axis, None, None)
+        specs.append(spec)
+    return specs
+
+
+def _forward_local(params, x, max_degree, flags, tp_axis, n_tp, compute_dtype):
+    """Per-device forward: partial contractions + tp reductions.
+
+    ``x`` arrives feature-sharded iff ``flags[0]``.  Between two
+    consecutive sharded layers the reduction is a tiled ``psum_scatter``
+    over the feature axis, so the intermediate never materializes
+    replicated.
+    """
+    cur = x
+    n_layers = len(params)
+    for i, (lp, sharded) in enumerate(zip(params, flags)):
+        y = kan_layer_apply(lp, cur, max_degree, compute_dtype)
+        if sharded:
+            next_sharded = i + 1 < n_layers and flags[i + 1]
+            if next_sharded:
+                y = jax.lax.psum_scatter(
+                    y, tp_axis, scatter_dimension=1, tiled=True
+                )
+            else:
+                y = jax.lax.psum(y, tp_axis)
+        elif i + 1 < n_layers and flags[i + 1]:
+            # replicated output feeding a sharded layer: take our slice
+            chunk = y.shape[1] // n_tp
+            y = jax.lax.dynamic_slice_in_dim(
+                y, jax.lax.axis_index(tp_axis) * chunk, chunk, axis=1
+            )
+        cur = y
+    return cur
+
+
+def _resolve_axes(mesh: Mesh, tp_axis: str, dp_axis: str | None):
+    if tp_axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh has axes {mesh.axis_names}, no tp axis {tp_axis!r}"
+        )
+    if dp_axis is not None and dp_axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh has axes {mesh.axis_names}, no dp axis {dp_axis!r}"
+        )
+    extra = set(mesh.axis_names) - {tp_axis, dp_axis}
+    if extra:
+        raise ValueError(
+            f"unused mesh axes {sorted(extra)}: tp paths shard over "
+            f"(dp, tp) only"
+        )
+    return mesh.shape[tp_axis]
+
+
+def kan_apply_tp(
+    params: list,
+    x: jax.Array,
+    max_degree: int,
+    mesh: Mesh,
+    tp_axis: str = "tp",
+    dp_axis: str | None = None,
+    compute_dtype=None,
+) -> jax.Array:
+    """Tensor-parallel forward: [B, in] -> [B, target_dim], replicated out.
+
+    ``mesh`` must carry ``tp_axis`` (and ``dp_axis`` if given; the batch
+    then shards over it).  Equals ``kan_apply`` up to reduction order.
+    """
+    n_tp = _resolve_axes(mesh, tp_axis, dp_axis)
+    flags = _tp_layer_flags(params, n_tp, x.shape[1])
+    specs = _param_specs(params, flags, tp_axis)
+    x_spec = P(dp_axis, tp_axis if flags[0] else None)
+    if dp_axis is not None and x.shape[0] % mesh.shape[dp_axis] != 0:
+        raise ValueError(
+            f"batch {x.shape[0]} not divisible by dp axis "
+            f"{mesh.shape[dp_axis]}"
+        )
+
+    fwd = jax.shard_map(
+        partial(
+            _forward_local,
+            max_degree=max_degree,
+            flags=flags,
+            tp_axis=tp_axis,
+            n_tp=n_tp,
+            compute_dtype=compute_dtype,
+        ),
+        mesh=mesh,
+        in_specs=(specs, x_spec),
+        out_specs=P(dp_axis, None),
+        check_vma=True,
+    )
+    return fwd(params, x)
+
+
+def make_tp_train_step(
+    mesh: Mesh,
+    max_degree: int,
+    learning_rate: float = 1e-3,
+    tp_axis: str = "tp",
+    dp_axis: str | None = "dp",
+    compute_dtype=None,
+):
+    """A jitted SGD train step over the (dp, tp) mesh.
+
+    Returns ``step(train_params, degrees, x, y) -> (new_params, loss)``
+    where ``train_params`` is the params list WITHOUT the integer
+    ``degrees`` leaves (non-differentiable; passed alongside), sharded per
+    ``shard_params``.  Loss is global MSE; gradient reductions over ``dp``
+    and ``tp`` come from the vma-aware transpose (module docstring).
+    """
+
+    def build(train_params, degrees, x, y):
+        full = [dict(tp_, degrees=d) for tp_, d in zip(train_params, degrees)]
+        n_tp = _resolve_axes(mesh, tp_axis, dp_axis)
+        flags = _tp_layer_flags(full, n_tp, x.shape[1])
+        full_specs = _param_specs(full, flags, tp_axis)
+        train_specs = [
+            {k: v for k, v in s.items() if k != "degrees"} for s in full_specs
+        ]
+        deg_specs = [P() for _ in degrees]
+        x_spec = P(dp_axis, tp_axis if flags[0] else None)
+        batch = x.shape[0]
+
+        def local_step(train_params, degrees, xb, yb):
+            def loss_fn(tps):
+                full = [
+                    dict(tp_, degrees=d) for tp_, d in zip(tps, degrees)
+                ]
+                pred = _forward_local(
+                    full, xb, max_degree, flags, tp_axis, n_tp,
+                    compute_dtype,
+                )
+                sse = jnp.sum((pred - yb) ** 2)
+                if dp_axis is not None:
+                    sse = jax.lax.psum(sse, dp_axis)
+                return sse / (batch * yb.shape[1])
+
+            # no hand-inserted grad psums: the vma-aware transpose reduces
+            # over dp (params are dp-invariant) and over tp for the
+            # tp-invariant leaves of sharded layers (module docstring)
+            loss, grads = jax.value_and_grad(loss_fn)(train_params)
+            new = jax.tree.map(
+                lambda p, g: p - learning_rate * g, train_params, grads
+            )
+            return new, loss
+
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(train_specs, deg_specs, x_spec, P(dp_axis, None)),
+            out_specs=(train_specs, P()),
+            check_vma=True,
+        )(train_params, degrees, x, y)
+
+    return jax.jit(build)
+
+
+def shard_params(
+    params: list,
+    x_dim: int,
+    mesh: Mesh,
+    tp_axis: str = "tp",
+    dp_axis: str | None = None,
+) -> list:
+    """device_put the params pytree under its tp sharding (coefficients of
+    divisible layers split over ``tp``'s axis-1; everything else
+    replicated)."""
+    n_tp = _resolve_axes(mesh, tp_axis, dp_axis)
+    flags = _tp_layer_flags(params, n_tp, x_dim)
+    specs = _param_specs(params, flags, tp_axis)
+    return [
+        {
+            k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+            for k, v in lp.items()
+        }
+        for lp, spec in zip(params, specs)
+    ]
