@@ -788,7 +788,13 @@ class FixedKAN:
         single-device trajectory (same global batches in the same order)
         up to float reduction-order noise from the cross-device gradient
         all-reduce -- equivalence is pinned to rtol 1e-5 by
-        tests/test_models_fixed_kan.py, not bitwise.
+        tests/test_models_fixed_kan.py, not bitwise.  If the mesh ALSO
+        carries an axis named ``'tp'``, tensor parallelism composes on
+        top: coefficient tensors row-shard their ``in`` axis over it (for
+        layers whose in_dim divides the axis) along with ``x``'s feature
+        axis, and sharding propagation inserts the contraction psums --
+        the 2-D (dp, tp) recipe for models past one chip's HBM
+        (explicit shard_map semantics in ``parallel/tp.py``).
 
         ``lr_scale='fanin'`` divides each layer's coefficient lr by its
         summation fan-in (in_dim * (D+1) * out_neurons, normalized to the
@@ -910,7 +916,20 @@ class FixedKAN:
                 )
             from jax.sharding import NamedSharding, PartitionSpec
 
-            axis = mesh_axis or mesh.axis_names[0]
+            # a mesh axis named 'tp' adds tensor parallelism on top of dp:
+            # coefficients' in-axis and x's feature axis shard over it and
+            # GSPMD inserts the contraction psums (the propagation route;
+            # parallel/tp.py holds the explicit shard_map semantics with
+            # exact parity tests).  Layers whose in_dim does not divide
+            # the tp axis stay replicated (same static rule).
+            axes = list(mesh.axis_names)
+            tp_ax = "tp" if ("tp" in axes and len(axes) > 1) else None
+            axis = mesh_axis or next(a for a in axes if a != tp_ax)
+            if axis == tp_ax:
+                raise ValueError(
+                    "mesh_axis 'tp' is the tensor-parallel axis; pass the "
+                    "batch axis (or rename it)"
+                )
             n_dev = mesh.shape[axis]
             if batch_size % n_dev or x.shape[0] % n_dev:
                 raise ValueError(
@@ -922,9 +941,40 @@ class FixedKAN:
                 mesh, PartitionSpec(axis, *([None] * (a.ndim - 1)))
             )
             replicated = NamedSharding(mesh, PartitionSpec())
-            x = jax.device_put(x, rows(x))
+            if tp_ax is not None:
+                from qkan_implementation_tpu.parallel.tp import (
+                    _tp_layer_flags,
+                )
+
+                flags = _tp_layer_flags(
+                    self.params, mesh.shape[tp_ax], x.shape[1]
+                )
+                x = jax.device_put(
+                    x,
+                    NamedSharding(
+                        mesh,
+                        PartitionSpec(axis, tp_ax if flags[0] else None),
+                    ),
+                )
+                params = [
+                    {
+                        k: jax.device_put(
+                            v,
+                            NamedSharding(
+                                mesh,
+                                PartitionSpec(None, tp_ax, None, None)
+                                if (k == "coefficients" and fl)
+                                else PartitionSpec(),
+                            ),
+                        )
+                        for k, v in lp.items()
+                    }
+                    for lp, fl in zip(params, flags)
+                ]
+            else:
+                x = jax.device_put(x, rows(x))
+                params = jax.device_put(params, replicated)
             y_train = jax.device_put(y_train, rows(y_train))
-            params = jax.device_put(params, replicated)
             opt_state = jax.device_put(opt_state, replicated)
             # [steps, batch]: shard each step's minibatch over the axis
             idx_sharding = NamedSharding(mesh, PartitionSpec(None, axis))

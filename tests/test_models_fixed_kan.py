@@ -651,6 +651,52 @@ def test_train_data_parallel_matches_single_device():
         )
 
 
+def test_train_tensor_parallel_matches_single_device():
+    """FixedKAN.train(mesh=) with a 2-D (dp, tp) mesh: coefficients'
+    in-axis and x's feature axis shard over 'tp', rows over 'dp'; GSPMD
+    inserts the contraction psums.  The trajectory must match
+    single-device to float tolerance for both losses (the propagation
+    analog of parallel/tp.py's exact shard_map tests)."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(6)
+    # in=8 divides tp=4; hidden in=target_dim=2 does not -> mixed
+    # sharded/replicated layers exercise the static flag rule
+    x = jnp.asarray(rng.uniform(-2, 2, (128, 8)).astype(np.float32))
+    y = jnp.asarray(
+        np.tanh(np.asarray(x) @ rng.normal(0, 0.5, (8, 2)).astype(np.float32))
+    )
+    cfg = FixedKANConfig(
+        network_shape=[8, 5, 2], max_degree=3,
+        degree_objective="penalized_mse", complexity_weight=1e-3,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    runs = {}
+    for name, kw in (
+        ("single", {}),
+        ("tp", {"mesh": mesh}),
+    ):
+        for loss in ("mse", "cross_entropy"):
+            kan = FixedKAN(cfg)
+            kan.optimize(x, y, solver="exact")
+            losses = kan.train(
+                x, y if loss == "mse" else jnp.zeros(x.shape[0]),
+                epochs=2, batch_size=32, learning_rate=2e-3,
+                loss=loss, trainable="all", seed=7, **kw,
+            )
+            runs[(name, loss)] = (np.asarray(losses), kan.params)
+    for loss in ("mse", "cross_entropy"):
+        np.testing.assert_allclose(
+            runs[("tp", loss)][0], runs[("single", loss)][0], rtol=1e-5
+        )
+        for lp_t, lp_s in zip(runs[("tp", loss)][1], runs[("single", loss)][1]):
+            np.testing.assert_allclose(
+                np.asarray(lp_t["coefficients"]),
+                np.asarray(lp_s["coefficients"]),
+                atol=1e-5,
+            )
+
+
 def test_train_fused_f32_tracks_xla_trajectory():
     """backend='fused' at f32 is the same math as 'xla' (reassociation
     only), so a full multi-epoch Adam trajectory from identical inits must
