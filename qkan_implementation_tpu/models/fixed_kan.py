@@ -904,7 +904,6 @@ class FixedKAN:
         params = [
             {k: v for k, v in lp.items() if k != "degrees"} for lp in self.params
         ]
-        opt_state = tx.init(params)
 
         idx_sharding = None
         if mesh is not None:
@@ -923,7 +922,15 @@ class FixedKAN:
             # exact parity tests).  Layers whose in_dim does not divide
             # the tp axis stay replicated (same static rule).
             axes = list(mesh.axis_names)
-            tp_ax = "tp" if ("tp" in axes and len(axes) > 1) else None
+            if axes == ["tp"]:
+                raise ValueError(
+                    "a 1-D mesh whose only axis is 'tp' is ambiguous here: "
+                    "train(mesh=) shards the batch over the remaining axis, "
+                    "so add a batch axis (Mesh(devs.reshape(1, -1), "
+                    "('dp', 'tp'))) or use parallel.tp.make_tp_train_step "
+                    "for a pure tensor-parallel step"
+                )
+            tp_ax = "tp" if "tp" in axes else None
             axis = mesh_axis or next(a for a in axes if a != tp_ax)
             if axis == tp_ax:
                 raise ValueError(
@@ -975,9 +982,15 @@ class FixedKAN:
                 x = jax.device_put(x, rows(x))
                 params = jax.device_put(params, replicated)
             y_train = jax.device_put(y_train, rows(y_train))
-            opt_state = jax.device_put(opt_state, replicated)
             # [steps, batch]: shard each step's minibatch over the axis
             idx_sharding = NamedSharding(mesh, PartitionSpec(None, axis))
+
+        # init AFTER any device_put: eager zeros_like inherits each param's
+        # sharding, so tp-sharded coefficients get tp-sharded mu/nu -- a
+        # replicated init would hold 2x the full model on every device,
+        # defeating the tp path's HBM point (jit(tx.init) drops shardings;
+        # eager preserves them -- measured)
+        opt_state = tx.init(params)
 
         def train_step(carry, idx_row):
             params, opt_state = carry

@@ -37,14 +37,12 @@ Exact parity with ``kan_apply`` under x64: tests/test_parallel_pp.py.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qkan_implementation_tpu.models.fixed_kan import kan_layer_apply
+from qkan_implementation_tpu.parallel.tp import _resolve_axes
 
 
 def stack_pipeline_params(params: list, n_stages: int):
@@ -98,12 +96,20 @@ def stack_pipeline_params(params: list, n_stages: int):
 
 
 def _apply_stage(stage, x, max_degree, compute_dtype):
-    """Apply one stage's k layers (k static and tiny: unrolled)."""
-    k = stage["coefficients"].shape[0]
-    for j in range(k):
-        lp = {key: stage[key][j] for key in stage}
-        x = kan_layer_apply(lp, x, max_degree, compute_dtype)
-    return x
+    """Apply one stage's k layers as an inner ``lax.scan``.
+
+    A Python unroll here would sit inside the microbatch scan's body —
+    the unroll-inside-scan pattern that blows up remote TPU compile time
+    (CLAUDE.md: a 32-wide unroll took >10 min where the equivalent inner
+    scan compiled in ~90 s).  The stacked ``[k, ...]`` stage layout scans
+    directly.
+    """
+
+    def body(cur, lp):
+        return kan_layer_apply(lp, cur, max_degree, compute_dtype), None
+
+    out, _ = jax.lax.scan(body, x, stage)
+    return out
 
 
 def _pipeline_local(
@@ -159,16 +165,9 @@ def _pipeline_local(
     return outs.reshape(b, x.shape[1])
 
 
-def _resolve(mesh: Mesh, pp_axis: str, dp_axis: str | None):
-    if pp_axis not in mesh.axis_names:
-        raise ValueError(
-            f"mesh has axes {mesh.axis_names}, no pp axis {pp_axis!r}"
-        )
-    if dp_axis is not None and dp_axis not in mesh.axis_names:
-        raise ValueError(
-            f"mesh has axes {mesh.axis_names}, no dp axis {dp_axis!r}"
-        )
-    return mesh.shape[pp_axis]
+# shared axis validation with tp.py: 'auto' dp resolution, explicit
+# missing-axis errors, and unused-mesh-axes rejection
+_resolve = _resolve_axes
 
 
 def _stacked_specs(stacked, pp_axis):
@@ -179,23 +178,37 @@ def _stacked_specs(stacked, pp_axis):
 
 
 def kan_apply_pp(
-    params: list,
+    params,
     x: jax.Array,
     max_degree: int,
     mesh: Mesh,
     microbatches: int = 4,
     pp_axis: str = "pp",
-    dp_axis: str | None = None,
+    dp_axis: str | None = "auto",
     compute_dtype=None,
 ) -> jax.Array:
     """Pipeline-parallel forward: [B, in] -> [B, target_dim].
 
     Layers place over ``mesh``'s ``pp_axis`` (contiguous stages); the
-    batch additionally shards over ``dp_axis`` if given, each dp row
-    running its own microbatch stream.  Equals ``kan_apply`` exactly.
+    batch additionally shards over ``dp_axis`` if present (``'auto'``
+    picks a ``'dp'`` mesh axis when there is one), each dp row running
+    its own microbatch stream.  Equals ``kan_apply`` exactly.
+
+    ``params`` is either the plain layer list (stacked per call) or a
+    pre-placed ``(lead, stacked)`` pair from ``place_pipeline_params`` /
+    ``stack_pipeline_params`` — the form that keeps each stage's layers
+    resident on its own device between calls.
     """
-    n_pp = _resolve(mesh, pp_axis, dp_axis)
-    lead, stacked = stack_pipeline_params(params, n_pp)
+    n_pp, dp_axis = _resolve(mesh, pp_axis, dp_axis)
+    if isinstance(params, tuple):
+        lead, stacked = params
+        if stacked["coefficients"].shape[0] != n_pp:
+            raise ValueError(
+                f"stacked params carry {stacked['coefficients'].shape[0]} "
+                f"stages, mesh axis {pp_axis!r} has {n_pp}"
+            )
+    else:
+        lead, stacked = stack_pipeline_params(params, n_pp)
 
     def fwd(stacked, x):
         if lead is not None:
@@ -220,7 +233,7 @@ def make_pp_train_step(
     learning_rate: float = 1e-3,
     microbatches: int = 4,
     pp_axis: str = "pp",
-    dp_axis: str | None = "dp",
+    dp_axis: str | None = "auto",
     compute_dtype=None,
 ):
     """A jitted SGD train step with pipeline (+ optional data) parallelism.
@@ -232,7 +245,7 @@ def make_pp_train_step(
     pipeline pass comes from transposing the forward scan's ppermutes
     (module docstring); gradient dp-reductions from the vma transpose.
     """
-    n_pp = _resolve(mesh, pp_axis, dp_axis)
+    n_pp, dp_axis = _resolve(mesh, pp_axis, dp_axis)
 
     def build(lead_train, lead_degrees, stacked_train, stacked_degrees, x, y):
         batch = x.shape[0]
@@ -293,14 +306,15 @@ def place_pipeline_params(
     params: list,
     mesh: Mesh,
     pp_axis: str = "pp",
-    dp_axis: str | None = None,
+    dp_axis: str | None = "auto",
 ):
     """``stack_pipeline_params`` + device_put under the pp sharding.
 
     Returns ``(lead, stacked)`` with ``stacked`` stage-sharded (each
-    device holds only its stage's layers) and ``lead`` replicated.
+    device holds only its stage's layers) and ``lead`` replicated;
+    feed the pair straight to ``kan_apply_pp``.
     """
-    n_pp = _resolve(mesh, pp_axis, dp_axis)
+    n_pp, _ = _resolve(mesh, pp_axis, dp_axis)
     lead, stacked = stack_pipeline_params(params, n_pp)
     specs = _stacked_specs(stacked, pp_axis)
     stacked = {

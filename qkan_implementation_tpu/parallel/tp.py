@@ -53,7 +53,7 @@ def _tp_layer_flags(params: list, n_tp: int, x_dim: int) -> list[bool]:
                 f"layer expects in_dim={c_in}, previous layer produces "
                 f"{in_dim}"
             )
-        flags.append(n_tp > 1 and in_dim % n_tp == 0 and in_dim >= n_tp)
+        flags.append(n_tp > 1 and in_dim % n_tp == 0)
         in_dim = lp["coefficients"].shape[3]  # every layer outputs target_dim
     return flags
 
@@ -100,9 +100,18 @@ def _forward_local(params, x, max_degree, flags, tp_axis, n_tp, compute_dtype):
 
 
 def _resolve_axes(mesh: Mesh, tp_axis: str, dp_axis: str | None):
+    """Validate the mesh against the requested axes.
+
+    ``dp_axis='auto'`` resolves to ``'dp'`` when the mesh carries one
+    (and to ``None`` on a pure-tp/pp mesh), so the default works on both
+    1-D and 2-D meshes; an EXPLICIT missing axis still raises.
+    Returns ``(model_axis_size, dp_axis)``.
+    """
+    if dp_axis == "auto":
+        dp_axis = "dp" if "dp" in mesh.axis_names else None
     if tp_axis not in mesh.axis_names:
         raise ValueError(
-            f"mesh has axes {mesh.axis_names}, no tp axis {tp_axis!r}"
+            f"mesh has axes {mesh.axis_names}, no model axis {tp_axis!r}"
         )
     if dp_axis is not None and dp_axis not in mesh.axis_names:
         raise ValueError(
@@ -111,10 +120,10 @@ def _resolve_axes(mesh: Mesh, tp_axis: str, dp_axis: str | None):
     extra = set(mesh.axis_names) - {tp_axis, dp_axis}
     if extra:
         raise ValueError(
-            f"unused mesh axes {sorted(extra)}: tp paths shard over "
-            f"(dp, tp) only"
+            f"unused mesh axes {sorted(extra)}: these paths shard over "
+            f"(dp, {tp_axis!r}) only"
         )
-    return mesh.shape[tp_axis]
+    return mesh.shape[tp_axis], dp_axis
 
 
 def kan_apply_tp(
@@ -123,7 +132,7 @@ def kan_apply_tp(
     max_degree: int,
     mesh: Mesh,
     tp_axis: str = "tp",
-    dp_axis: str | None = None,
+    dp_axis: str | None = "auto",
     compute_dtype=None,
 ) -> jax.Array:
     """Tensor-parallel forward: [B, in] -> [B, target_dim], replicated out.
@@ -131,7 +140,7 @@ def kan_apply_tp(
     ``mesh`` must carry ``tp_axis`` (and ``dp_axis`` if given; the batch
     then shards over it).  Equals ``kan_apply`` up to reduction order.
     """
-    n_tp = _resolve_axes(mesh, tp_axis, dp_axis)
+    n_tp, dp_axis = _resolve_axes(mesh, tp_axis, dp_axis)
     flags = _tp_layer_flags(params, n_tp, x.shape[1])
     specs = _param_specs(params, flags, tp_axis)
     x_spec = P(dp_axis, tp_axis if flags[0] else None)
@@ -163,7 +172,7 @@ def make_tp_train_step(
     max_degree: int,
     learning_rate: float = 1e-3,
     tp_axis: str = "tp",
-    dp_axis: str | None = "dp",
+    dp_axis: str | None = "auto",
     compute_dtype=None,
 ):
     """A jitted SGD train step over the (dp, tp) mesh.
@@ -177,14 +186,14 @@ def make_tp_train_step(
 
     def build(train_params, degrees, x, y):
         full = [dict(tp_, degrees=d) for tp_, d in zip(train_params, degrees)]
-        n_tp = _resolve_axes(mesh, tp_axis, dp_axis)
+        n_tp, dp_ax = _resolve_axes(mesh, tp_axis, dp_axis)
         flags = _tp_layer_flags(full, n_tp, x.shape[1])
         full_specs = _param_specs(full, flags, tp_axis)
         train_specs = [
             {k: v for k, v in s.items() if k != "degrees"} for s in full_specs
         ]
         deg_specs = [P() for _ in degrees]
-        x_spec = P(dp_axis, tp_axis if flags[0] else None)
+        x_spec = P(dp_ax, tp_axis if flags[0] else None)
         batch = x.shape[0]
 
         def local_step(train_params, degrees, xb, yb):
@@ -197,8 +206,8 @@ def make_tp_train_step(
                     compute_dtype,
                 )
                 sse = jnp.sum((pred - yb) ** 2)
-                if dp_axis is not None:
-                    sse = jax.lax.psum(sse, dp_axis)
+                if dp_ax is not None:
+                    sse = jax.lax.psum(sse, dp_ax)
                 return sse / (batch * yb.shape[1])
 
             # no hand-inserted grad psums: the vma-aware transpose reduces
@@ -213,7 +222,7 @@ def make_tp_train_step(
         return jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(train_specs, deg_specs, x_spec, P(dp_axis, None)),
+            in_specs=(train_specs, deg_specs, x_spec, P(dp_ax, None)),
             out_specs=(train_specs, P()),
             check_vma=True,
         )(train_params, degrees, x, y)
@@ -226,12 +235,12 @@ def shard_params(
     x_dim: int,
     mesh: Mesh,
     tp_axis: str = "tp",
-    dp_axis: str | None = None,
+    dp_axis: str | None = "auto",
 ) -> list:
     """device_put the params pytree under its tp sharding (coefficients of
     divisible layers split over ``tp``'s axis-1; everything else
     replicated)."""
-    n_tp = _resolve_axes(mesh, tp_axis, dp_axis)
+    n_tp, _ = _resolve_axes(mesh, tp_axis, dp_axis)
     flags = _tp_layer_flags(params, n_tp, x_dim)
     specs = _param_specs(params, flags, tp_axis)
     return [

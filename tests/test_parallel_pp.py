@@ -99,21 +99,15 @@ def test_place_pipeline_params_layout(mesh_pp4):
     # each stage holds ONE layer padded to max_out=6
     shapes = {s.data.shape for s in stacked["coefficients"].addressable_shards}
     assert shapes == {(1, 1, 6, 4, MAX_DEGREE + 1, 4)}
-    out = kan_apply_pp(
-        [lead]
-        + [
-            {
-                k: stacked[k][s, 0]
-                for k in ("degrees", "coefficients", "horizontal_weights")
-            }
-            for s in range(4)
-        ],
-        jnp.asarray(np.random.default_rng(7).uniform(-1, 1, (4, 7))),
-        MAX_DEGREE,
-        mesh_pp4,
-        microbatches=2,
-    )
-    assert np.isfinite(np.asarray(out)).all()
+    # the pre-placed (lead, stacked) pair feeds kan_apply_pp directly (no
+    # per-call restack) and must match the plain-list path exactly
+    x = jnp.asarray(np.random.default_rng(7).uniform(-1, 1, (4, 7)))
+    out = kan_apply_pp((lead, stacked), x, MAX_DEGREE, mesh_pp4, microbatches=2)
+    ref = kan_apply(params, x, MAX_DEGREE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+    with pytest.raises(ValueError, match="stages"):
+        bad = {k: v[:2] for k, v in stacked.items()}
+        kan_apply_pp((lead, bad), x, MAX_DEGREE, mesh_pp4)
 
 
 def test_train_step_parity(mesh_dp_pp):
@@ -174,9 +168,9 @@ def test_train_step_descends(mesh_pp4):
     y = jnp.asarray(rng.normal(size=(8, 4)))
     _, stacked = stack_pipeline_params(params, 4)
     stacked_train = {k: v for k, v in stacked.items() if k != "degrees"}
+    # defaults must work on a 1-D pp mesh: dp_axis='auto' resolves to None
     step = make_pp_train_step(
         mesh_pp4, MAX_DEGREE, learning_rate=0.05, microbatches=2,
-        dp_axis=None,
     )
     losses = []
     for _ in range(5):

@@ -162,7 +162,41 @@ def test_errors(mesh2d):
     x = jnp.ones((5, 8))  # 5 % dp=2 != 0
     with pytest.raises(ValueError, match="not divisible"):
         kan_apply_tp(params, x, MAX_DEGREE, mesh2d, dp_axis="dp")
-    with pytest.raises(ValueError, match="no tp axis"):
+    with pytest.raises(ValueError, match="no model axis"):
         kan_apply_tp(
             params, jnp.ones((4, 8)), MAX_DEGREE, mesh2d, tp_axis="model"
         )
+
+
+def test_train_step_parity_replicated_then_sharded(mesh2d):
+    """Gradients through the replicated-output -> sharded-layer transition
+    (the device-varying dynamic_slice of a tp-invariant value): its
+    transpose must scatter-add the shard cotangents back, which only the
+    vma machinery inserts.  L0 in=6 (replicated on tp=4) -> L1 in=4
+    (sharded) must match dense gradients exactly."""
+    params = _params(14, 6, (5, 4), 4, MAX_DEGREE)
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.uniform(-2, 2, (8, 6)))
+    y = jnp.asarray(rng.normal(size=(8, 4)))
+    lr = 0.05
+    degrees = [lp["degrees"] for lp in params]
+    train = [
+        {k: v for k, v in lp.items() if k != "degrees"} for lp in params
+    ]
+
+    def ref_loss(tps):
+        full = [dict(t, degrees=d) for t, d in zip(tps, degrees)]
+        return jnp.mean((kan_apply(full, x, MAX_DEGREE) - y) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(train)
+    ref_new = jax.tree.map(lambda p, g: p - lr * g, train, ref_g)
+
+    step = make_tp_train_step(mesh2d, MAX_DEGREE, learning_rate=lr)
+    new, loss = step(train, degrees, x, y)
+    np.testing.assert_allclose(float(loss), float(ref_l), atol=1e-12)
+    for got, want in zip(new, ref_new):
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), atol=1e-10,
+                err_msg=k,
+            )
