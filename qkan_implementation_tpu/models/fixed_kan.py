@@ -745,6 +745,7 @@ class FixedKAN:
         compute_dtype=None,
         mesh=None,
         mesh_axis: str | None = None,
+        tensor_axis: str | None = "auto",
     ) -> list:
         """Gradient training with Adam.
 
@@ -788,13 +789,16 @@ class FixedKAN:
         single-device trajectory (same global batches in the same order)
         up to float reduction-order noise from the cross-device gradient
         all-reduce -- equivalence is pinned to rtol 1e-5 by
-        tests/test_models_fixed_kan.py, not bitwise.  If the mesh ALSO
-        carries an axis named ``'tp'``, tensor parallelism composes on
-        top: coefficient tensors row-shard their ``in`` axis over it (for
-        layers whose in_dim divides the axis) along with ``x``'s feature
-        axis, and sharding propagation inserts the contraction psums --
-        the 2-D (dp, tp) recipe for models past one chip's HBM
-        (explicit shard_map semantics in ``parallel/tp.py``).
+        tests/test_models_fixed_kan.py, not bitwise.  ``tensor_axis``
+        selects the tensor-parallel mesh axis: the default ``'auto'``
+        uses an axis named ``'tp'`` when the mesh carries one, ``None``
+        opts out (any ``'tp'`` axis is then left unused -- replicated
+        compute), and an explicit name requires that axis.  With tensor
+        parallelism on, coefficient tensors row-shard their ``in`` axis
+        over it (for layers whose in_dim divides the axis) along with
+        ``x``'s feature axis, and sharding propagation inserts the
+        contraction psums -- the 2-D (dp, tp) recipe for models past one
+        chip's HBM (explicit shard_map semantics in ``parallel/tp.py``).
 
         ``lr_scale='fanin'`` divides each layer's coefficient lr by its
         summation fan-in (in_dim * (D+1) * out_neurons, normalized to the
@@ -915,27 +919,36 @@ class FixedKAN:
                 )
             from jax.sharding import NamedSharding, PartitionSpec
 
-            # a mesh axis named 'tp' adds tensor parallelism on top of dp:
+            # the tensor_axis adds tensor parallelism on top of dp:
             # coefficients' in-axis and x's feature axis shard over it and
             # GSPMD inserts the contraction psums (the propagation route;
             # parallel/tp.py holds the explicit shard_map semantics with
             # exact parity tests).  Layers whose in_dim does not divide
             # the tp axis stay replicated (same static rule).
             axes = list(mesh.axis_names)
-            if axes == ["tp"]:
+            if tensor_axis == "auto":
+                tp_ax = "tp" if "tp" in axes else None
+            else:
+                tp_ax = tensor_axis
+                if tp_ax is not None and tp_ax not in axes:
+                    raise ValueError(
+                        f"mesh has axes {axes}, no tensor axis {tp_ax!r}"
+                    )
+            if tp_ax is not None and axes == [tp_ax]:
                 raise ValueError(
-                    "a 1-D mesh whose only axis is 'tp' is ambiguous here: "
-                    "train(mesh=) shards the batch over the remaining axis, "
-                    "so add a batch axis (Mesh(devs.reshape(1, -1), "
-                    "('dp', 'tp'))) or use parallel.tp.make_tp_train_step "
-                    "for a pure tensor-parallel step"
+                    f"a 1-D mesh whose only axis is the tensor axis "
+                    f"{tp_ax!r} is ambiguous here: train(mesh=) shards the "
+                    "batch over the remaining axis, so add a batch axis "
+                    "(Mesh(devs.reshape(1, -1), ('dp', 'tp'))), pass "
+                    "tensor_axis=None for pure dp, or use "
+                    "parallel.tp.make_tp_train_step for a pure "
+                    "tensor-parallel step"
                 )
-            tp_ax = "tp" if "tp" in axes else None
             axis = mesh_axis or next(a for a in axes if a != tp_ax)
             if axis == tp_ax:
                 raise ValueError(
-                    "mesh_axis 'tp' is the tensor-parallel axis; pass the "
-                    "batch axis (or rename it)"
+                    f"mesh_axis {axis!r} is the tensor-parallel axis; "
+                    "pass the batch axis (or tensor_axis=None)"
                 )
             n_dev = mesh.shape[axis]
             if batch_size % n_dev or x.shape[0] % n_dev:
@@ -949,7 +962,11 @@ class FixedKAN:
             )
             replicated = NamedSharding(mesh, PartitionSpec())
             if tp_ax is not None:
+                # reuse the shard_map path's layout rule verbatim so the
+                # two routes cannot desynchronize (specs map 1:1 onto
+                # NamedShardings)
                 from qkan_implementation_tpu.parallel.tp import (
+                    _param_specs,
                     _tp_layer_flags,
                 )
 
@@ -965,18 +982,10 @@ class FixedKAN:
                 )
                 params = [
                     {
-                        k: jax.device_put(
-                            v,
-                            NamedSharding(
-                                mesh,
-                                PartitionSpec(None, tp_ax, None, None)
-                                if (k == "coefficients" and fl)
-                                else PartitionSpec(),
-                            ),
-                        )
+                        k: jax.device_put(v, NamedSharding(mesh, sp[k]))
                         for k, v in lp.items()
                     }
-                    for lp, fl in zip(params, flags)
+                    for lp, sp in zip(params, _param_specs(params, flags, tp_ax))
                 ]
             else:
                 x = jax.device_put(x, rows(x))

@@ -245,6 +245,10 @@ def make_pp_train_step(
     pipeline pass comes from transposing the forward scan's ppermutes
     (module docstring); gradient dp-reductions from the vma transpose.
     """
+    if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+        # same guard as FixedKAN.train: the rounded int8 operands have
+        # zero tangent, so "training" through them applies garbage updates
+        raise ValueError("int8 rounding has zero gradient; use bf16")
     n_pp, dp_axis = _resolve(mesh, pp_axis, dp_axis)
 
     def build(lead_train, lead_degrees, stacked_train, stacked_degrees, x, y):

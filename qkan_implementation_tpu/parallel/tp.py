@@ -138,7 +138,13 @@ def kan_apply_tp(
     """Tensor-parallel forward: [B, in] -> [B, target_dim], replicated out.
 
     ``mesh`` must carry ``tp_axis`` (and ``dp_axis`` if given; the batch
-    then shards over it).  Equals ``kan_apply`` up to reduction order.
+    then shards over it).  Equals ``kan_apply`` up to reduction order in
+    float dtypes.  ``compute_dtype=int8`` is the one exception: the
+    quantized matmul derives per-channel scales from each device's row
+    slice of W and rounds partial products independently before the psum,
+    so outputs drift ~1% from single-device int8 (measured 0.07 abs on a
+    ~6.8-scale output) -- validate int8 tp serving against the tp path
+    itself, not the single-chip int8 reference.
     """
     n_tp, dp_axis = _resolve_axes(mesh, tp_axis, dp_axis)
     flags = _tp_layer_flags(params, n_tp, x.shape[1])
@@ -183,6 +189,10 @@ def make_tp_train_step(
     ``shard_params``.  Loss is global MSE; gradient reductions over ``dp``
     and ``tp`` come from the vma-aware transpose (module docstring).
     """
+    if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+        # same guard as FixedKAN.train: the rounded int8 operands have
+        # zero tangent, so "training" through them applies garbage updates
+        raise ValueError("int8 rounding has zero gradient; use bf16")
 
     def build(train_params, degrees, x, y):
         full = [dict(tp_, degrees=d) for tp_, d in zip(train_params, degrees)]

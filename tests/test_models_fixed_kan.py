@@ -889,3 +889,46 @@ def test_optimize_data_parallel_matches_single_device():
         np.asarray(kans["dp"].forward(x)),
         atol=5e-3,
     )
+
+
+def test_train_tensor_axis_explicit_control():
+    """tensor_axis= makes the tp dispatch explicit: None opts out of
+    tensor parallelism even on a mesh carrying a 'tp' axis (pure-dp
+    trajectory, same numbers), 'auto' keeps the named-axis default, and
+    an explicit missing axis raises instead of silently changing
+    layouts."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-2, 2, (64, 8)).astype(np.float32))
+    y = jnp.asarray(
+        np.tanh(np.asarray(x) @ rng.normal(0, 0.5, (8, 2)).astype(np.float32))
+    )
+    cfg = FixedKANConfig(
+        network_shape=[8, 4, 2], max_degree=3,
+        degree_objective="penalized_mse", complexity_weight=1e-3,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    runs = {}
+    for name, kw in (
+        ("single", {}),
+        ("tp_off", {"mesh": mesh, "tensor_axis": None}),
+        ("tp_named", {"mesh": mesh, "tensor_axis": "tp"}),
+    ):
+        kan = FixedKAN(cfg)
+        kan.optimize(x, y, solver="exact")
+        losses = kan.train(
+            x, y, epochs=2, batch_size=32, learning_rate=2e-3,
+            loss="mse", trainable="all", seed=3, **kw,
+        )
+        runs[name] = np.asarray(losses)
+    np.testing.assert_allclose(runs["tp_off"], runs["single"], rtol=1e-5)
+    np.testing.assert_allclose(runs["tp_named"], runs["single"], rtol=1e-5)
+
+    kan = FixedKAN(cfg)
+    kan.optimize(x, y, solver="exact")
+    with pytest.raises(ValueError, match="no tensor axis"):
+        kan.train(
+            x, y, epochs=1, batch_size=32, loss="mse", mesh=mesh,
+            tensor_axis="model",
+        )

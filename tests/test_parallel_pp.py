@@ -190,3 +190,10 @@ def test_stack_errors():
     bad[1]["coefficients"] = jnp.zeros((3, 5, MAX_DEGREE + 1, 4))
     with pytest.raises(ValueError, match="target_dim"):
         stack_pipeline_params(bad, 2)
+
+
+def test_train_step_rejects_int8(mesh_pp4):
+    # same guard as FixedKAN.train: rounded int8 operands have zero
+    # tangent, so a train step through them silently mis-trains
+    with pytest.raises(ValueError, match="int8"):
+        make_pp_train_step(mesh_pp4, MAX_DEGREE, compute_dtype=jnp.int8)

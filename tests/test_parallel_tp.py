@@ -200,3 +200,10 @@ def test_train_step_parity_replicated_then_sharded(mesh2d):
                 np.asarray(got[k]), np.asarray(want[k]), atol=1e-10,
                 err_msg=k,
             )
+
+
+def test_train_step_rejects_int8(mesh2d):
+    # same guard as FixedKAN.train: rounded int8 operands have zero
+    # tangent, so a train step through them silently mis-trains
+    with pytest.raises(ValueError, match="int8"):
+        make_tp_train_step(mesh2d, MAX_DEGREE, compute_dtype=jnp.int8)
