@@ -52,6 +52,12 @@ def main():
         help="with --only: run N sampling seeds through the statistical "
         "harness and write a *_nruns.json record (mean/std/min/max)",
     )
+    ap.add_argument(
+        "--ensemble",
+        action="store_true",
+        help="with --nruns: also evaluate the N seed-varied models as one "
+        "soft-voting ensemble (adds ensemble_test_accuracy to the record)",
+    )
     args = ap.parse_args()
 
     train_size = 500 if args.quick else args.train_size
@@ -161,7 +167,10 @@ def main():
                 run_mnist_n_times,
             )
 
-            res = run_mnist_n_times(n=args.nruns, verbose=True, **common)
+            res = run_mnist_n_times(
+                n=args.nruns, verbose=True, ensemble=args.ensemble,
+                **common,
+            )
             res.pop("distributions", None)
             for r in res["runs"]:
                 r["device"] = str(jax.devices()[0])
@@ -177,6 +186,11 @@ def main():
                 f"(min {res['test_accuracy_min']:.4f}, "
                 f"max {res['test_accuracy_max']:.4f})"
             )
+            if args.ensemble:
+                print(
+                    f"{name}: soft-voting ensemble of {args.nruns} = "
+                    f"{res['ensemble_test_accuracy']:.4f}"
+                )
             continue
         res = run_mnist_experiment(verbose=True, **common)
         res.pop("_model", None)

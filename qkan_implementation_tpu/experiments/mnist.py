@@ -17,6 +17,7 @@ from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from qkan_implementation_tpu.analysis.mnist_diagnostics import (
@@ -198,12 +199,21 @@ def run_mnist_experiment(
 
 
 def run_mnist_n_times(
-    n: int = 5, verbose: bool = False, **experiment_kwargs
+    n: int = 5, verbose: bool = False, ensemble: bool = False,
+    **experiment_kwargs
 ) -> Dict:
     """Statistical harness: n runs with different sampling seeds plus
-    distribution diagnostics (reference test_mnist_n_times, :411-475)."""
+    distribution diagnostics (reference test_mnist_n_times, :411-475).
+
+    ``ensemble=True`` additionally evaluates the n seed-varied models as
+    one soft-voting ensemble (mean softmax over members) on the shared
+    fixed test split -- the members are already trained for the
+    statistics, so the ensemble row is free capability on top of the
+    reference's n-run protocol.  Adds ``ensemble_test_accuracy``.
+    """
     all_results = []
     distributions = []
+    models = []
     base_seed = int(experiment_kwargs.pop("seed", 0))
     # diagnostics must describe the SAME corpus the runs train on -- with
     # dataset='digits-784' sampling load_mnist here would measure class
@@ -224,7 +234,9 @@ def run_mnist_n_times(
         res = run_mnist_experiment(
             seed=base_seed + run, verbose=verbose, **experiment_kwargs
         )
-        res.pop("_model", None)
+        model = res.pop("_model", None)
+        if ensemble:
+            models.append(model)
         all_results.append(res)
         train_size = min(
             experiment_kwargs.get("train_size", 10000), len(x_full)
@@ -239,7 +251,39 @@ def run_mnist_n_times(
         )
 
     accs = np.array([r["metrics"]["test_accuracy"] for r in all_results])
+    ensemble_acc = None
+    if ensemble:
+        # the test split is FIXED across seeds (only train sampling
+        # varies), so member predictions are comparable row-for-row
+        if experiment_kwargs.get("dataset") == "digits-784":
+            from qkan_implementation_tpu.data.mnist import load_digits_784
+
+            x_test, y_test, _ = load_digits_784(train=False)
+        else:
+            x_test, y_test, _ = load_mnist(
+                root=experiment_kwargs.get("data_root"), train=False
+            )
+        probs = np.mean(
+            [
+                np.asarray(
+                    jax.nn.softmax(m(jnp.asarray(x_test)), axis=-1)
+                )
+                for m in models
+            ],
+            axis=0,
+        )
+        ensemble_acc = float((probs.argmax(axis=1) == y_test).mean())
+        if verbose:
+            print(
+                f"Ensemble ({n} members, soft voting) test accuracy: "
+                f"{ensemble_acc:.4f}"
+            )
     return {
+        **(
+            {"ensemble_test_accuracy": ensemble_acc}
+            if ensemble_acc is not None
+            else {}
+        ),
         "runs": all_results,
         # ndarray fields -> lists/floats so the whole harness result is
         # json.dump-able as-is (the n-runs evidence records are committed

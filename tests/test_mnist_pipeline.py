@@ -96,3 +96,39 @@ def test_interactive_degree_viz(fn, tmp_path):
 def test_unknown_function_raises():
     with pytest.raises(ValueError):
         run_interactive_test(function_name="nope")
+
+
+def test_mnist_n_times_ensemble():
+    """ensemble=True evaluates the seed-varied members as one soft-voting
+    ensemble on the shared fixed test split; the row should be at least
+    competitive with the weakest member (soft voting can only be dragged
+    below the min by systematic disagreement, not by seed noise)."""
+    stats = run_mnist_n_times(
+        n=2,
+        ensemble=True,
+        network_shape=[64, 4, 10],
+        max_degree=2,
+        train_size=300,
+        weight_epochs=2,
+        solver="exact",
+        degree_objective="penalized_mse",
+        complexity_weight=0.001,
+        consistent_tanh=True,
+    )
+    acc = stats["ensemble_test_accuracy"]
+    assert 0.0 < acc <= 1.0
+    # members trained on 300 samples score well above chance; the
+    # ensemble must not collapse relative to them
+    assert acc >= stats["test_accuracy_min"] - 0.05, stats
+    # no ensemble key unless asked
+    base = run_mnist_n_times(
+        n=1,
+        network_shape=[64, 4, 10],
+        max_degree=2,
+        train_size=200,
+        solver="exact",
+        degree_objective="penalized_mse",
+        complexity_weight=0.001,
+        consistent_tanh=True,
+    )
+    assert "ensemble_test_accuracy" not in base
