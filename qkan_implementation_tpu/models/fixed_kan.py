@@ -447,8 +447,12 @@ class FixedKAN:
             # 1e-4 AND 1e-3, factors at 1e-2 -- but that ridge costs real
             # fit quality).  Route those layers straight to the
             # backward-stable QR sweep (or min-norm SVD when
-            # underdetermined) instead of paying Gram + fallback.
-            if dp1 * in_dim * 1.2e-7 > ridge:
+            # underdetermined) instead of paying Gram + fallback.  The
+            # 2.4e-7 constant (2 eps_f32) brackets the measured band:
+            # F=4704 gives 1.13e-3 -- above the NaNing ridge 1e-3, below
+            # the factoring 1e-2 -- while F<=832 stays under the 1e-4
+            # floor, preserving the Gram route for every default shape.
+            if dp1 * in_dim * 2.4e-7 > ridge:
                 if b >= dp1 * in_dim:
                     return self._qr_sweep(basis, y)
                 return self._svd_fallback(basis, y)
@@ -499,11 +503,14 @@ class FixedKAN:
                 c, res = solve_fn(X, R, bvec, y, k)
                 scores.append(float(res))
                 coeffs.append(_dim_major(c, k, d, in_dim, t_dim))
-        except Exception as e:  # pragma: no cover - backend-dependent
+        except (RuntimeError, OSError) as e:  # pragma: no cover
             # remote-TPU compiles fail transiently (CLAUDE.md: tunnel
-            # outages), and qr_fn/solve_fn are separate executables --
-            # either first call can fail; degrade to the exact SVD sweep
-            # instead of killing the whole structure search
+            # outages; XlaRuntimeError subclasses RuntimeError), and
+            # qr_fn/solve_fn are separate executables -- either first
+            # call can fail; degrade to the exact SVD sweep instead of
+            # killing the whole structure search.  Deliberately NOT a
+            # bare Exception: a shape/dtype programming error must
+            # surface, not silently regress quality onto the f32 SVD path
             import warnings
 
             warnings.warn(f"QR sweep unavailable ({e!r}); using SVD")
@@ -619,14 +626,30 @@ class FixedKAN:
         y = jnp.asarray(y_data)
         if y.ndim == 1:
             y = y[:, None]
-        if mesh is not None and x.shape[0] % mesh.shape[mesh.axis_names[0]] == 0:
-            from jax.sharding import NamedSharding, PartitionSpec
+        if mesh is not None:
+            if x.shape[0] % mesh.shape[mesh.axis_names[0]] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec
 
-            rows = lambda a: NamedSharding(
-                mesh, PartitionSpec(mesh.axis_names[0], *([None] * (a.ndim - 1)))
-            )
-            x = jax.device_put(x, rows(x))
-            y = jax.device_put(y, rows(y))
+                rows = lambda a: NamedSharding(
+                    mesh,
+                    PartitionSpec(
+                        mesh.axis_names[0], *([None] * (a.ndim - 1))
+                    ),
+                )
+                x = jax.device_put(x, rows(x))
+                y = jax.device_put(y, rows(y))
+            else:
+                # documented degradation, but never a SILENT one (train()
+                # raises for the same condition -- keep the asymmetry
+                # visible)
+                import warnings
+
+                warnings.warn(
+                    f"row count {x.shape[0]} not divisible by mesh axis "
+                    f"{mesh.axis_names[0]!r} "
+                    f"({mesh.shape[mesh.axis_names[0]]} devices): "
+                    "structure search runs unsharded"
+                )
 
         params = []
         current = x
@@ -652,7 +675,9 @@ class FixedKAN:
                     simulated_annealing_sharded,
                 )
 
-                samples, energies = simulated_annealing_sharded(
+                # pre-polish energies are recomputed after the one-hot
+                # polish; the sampler's own energies don't enter selection
+                samples, _ = simulated_annealing_sharded(
                     model,
                     mesh,
                     axis_name=mesh.axis_names[0],
@@ -688,7 +713,10 @@ class FixedKAN:
             # fitted lstsq coefficients to zeros
             C = np.zeros(
                 (out_dim, in_dim, dp1, t_dim),
-                dtype=np.promote_types(np.asarray(y).dtype, np.float32),
+                # y.dtype, not np.asarray(y).dtype: the latter gathers a
+                # possibly mesh-sharded target to host just to read a
+                # dtype (~25 ms tunnel fetch per layer)
+                dtype=np.promote_types(y.dtype, np.float32),
             )
             for o in range(out_dim):
                 d = int(degrees[o])

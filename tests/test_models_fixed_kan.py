@@ -782,7 +782,7 @@ def test_qr_sweep_matches_svd_and_routes_big_f32_layers(monkeypatch):
     cfg = FixedKANConfig(
         network_shape=[in_dim, 4], max_degree=4, lstsq_method="normal"
     )
-    assert (cfg.max_degree + 1) * in_dim * 1.2e-7 > 1e-4  # gate is active
+    assert (cfg.max_degree + 1) * in_dim * 2.4e-7 > 1e-4  # gate is active
     s_qr, c_qr = FixedKAN(cfg)._evaluate_layer_degrees(jnp.tanh(xb), yb)
     assert qr_calls and not svd_calls
     assert np.all(np.isfinite(s_qr))
@@ -932,3 +932,50 @@ def test_train_tensor_axis_explicit_control():
             x, y, epochs=1, batch_size=32, loss="mse", mesh=mesh,
             tensor_axis="model",
         )
+
+
+def test_qr_gate_covers_measured_nan_band(monkeypatch):
+    """The routing gate must send mid-size f32 layers to QR across the
+    whole band where the Gram Cholesky is MEASURED to break down (F=4704
+    NaNs at ridge 1e-3; gate constant 2 eps_f32 brackets it) -- the old
+    1.2e-7 constant let those configs pay Gram + NaN + fallback."""
+    rng = np.random.default_rng(5)
+    calls = []
+    monkeypatch.setattr(
+        FixedKAN,
+        "_qr_sweep",
+        (lambda orig: lambda self, *a, **k: (calls.append(1), orig(self, *a, **k))[1])(
+            FixedKAN._qr_sweep
+        ),
+    )
+    # F = 5*120 = 600: new gate 1.44e-4 > 1e-4 floor -> QR; the old
+    # constant gave 7.2e-5 < 1e-4 -> Gram (the double-cost band)
+    in_dim, b = 120, 2400
+    x = jnp.asarray(rng.uniform(-1, 1, (b, in_dim)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(0, 1, (b, 2)), dtype=jnp.float32)
+    cfg = FixedKANConfig(
+        network_shape=[in_dim, 2], max_degree=4, lstsq_method="normal"
+    )
+    s, _ = FixedKAN(cfg)._evaluate_layer_degrees(jnp.tanh(x), y)
+    assert calls, "mid-band f32 layer should route straight to QR"
+    assert np.all(np.isfinite(s))
+
+
+def test_optimize_mesh_nondivisible_warns_not_silent():
+    """optimize(mesh=) degrades to unsharded when rows don't divide the
+    mesh axis (documented), but must WARN -- train() raises for the same
+    condition, and a silent serial structure search hides the asymmetry."""
+    import warnings
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (101, 4)))  # 101 % 8 != 0
+    y = jnp.asarray(np.sin(np.asarray(x).sum(1, keepdims=True)))
+    cfg = FixedKANConfig(network_shape=[4, 1], max_degree=3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        FixedKAN(cfg).optimize(x, y, solver="exact", mesh=mesh)
+    assert any("unsharded" in str(x.message) for x in w)
