@@ -157,16 +157,15 @@ def main():
     # record holds CPU and TPU rows side by side); replace rows this run
     # re-measured
     existing = json.loads(path.read_text()) if path.exists() else []
-    fresh_keys = {
-        (r["workload"], r["sampler"], r["sweeps"], r["platform"])
-        for r in all_records
-    }
-    merged = [
-        r
-        for r in existing
-        if (r["workload"], r["sampler"], r["sweeps"], r["platform"])
-        not in fresh_keys
-    ] + all_records
+    # the key includes the chain budget: a smoke run with --reads 64 must
+    # never silently overwrite the committed full-budget evidence rows
+    # (CLAUDE.md treats these records as regression evidence)
+    key = lambda r: (
+        r["workload"], r["sampler"], r["sweeps"], r["platform"],
+        r["total_chains"],
+    )
+    fresh_keys = {key(r) for r in all_records}
+    merged = [r for r in existing if key(r) not in fresh_keys] + all_records
     path.write_text(json.dumps(merged, indent=1))
     print(f"records -> {path} ({len(merged)} rows)")
 

@@ -131,14 +131,20 @@ def main():
     params = kan.params
     apply_ = pred._apply
 
-    def step(xc):
+    # params ride timeit_chained's consts (scan operands), not a closure:
+    # closed-over device arrays bake into the serialized program as
+    # constants (utils/profiling.py:80-83) -- harmless at this shape but
+    # the wrong pattern to scale
+    def step(xc, params):
         out = apply_(params, xc)
         return xc + 1e-30 * jnp.mean(out).astype(xc.dtype)
 
     # chains of 100/600 steps (~50/300 ms at the flagship shape) so the
     # slope dwarfs the ~25 ms tunnel round-trip jitter; 10/60 steps was
     # inside the noise and could even produce a negative slope.
-    per_step = timeit_chained(step, xd, iters=5 if args.quick else 100)
+    per_step = timeit_chained(
+        step, xd, iters=5 if args.quick else 100, consts=(params,)
+    )
     results["device_resident_rows_per_sec"] = round(max_batch / per_step, 1)
     results["device_resident_ms_per_batch"] = round(per_step * 1e3, 3)
     print(
@@ -158,12 +164,12 @@ def main():
         )
     )
 
-    def step_fused(xc):
+    def step_fused(xc, params):
         out = fused_apply(params, xc)
         return xc + 1e-30 * jnp.mean(out).astype(xc.dtype)
 
     per_step_f = timeit_chained(
-        step_fused, xd, iters=5 if args.quick else 200
+        step_fused, xd, iters=5 if args.quick else 200, consts=(params,)
     )
     results["device_resident_fused_rows_per_sec"] = round(
         max_batch / per_step_f, 1

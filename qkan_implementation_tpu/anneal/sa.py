@@ -294,6 +294,32 @@ def _pad_for_block(h, J, block: int):
     return h2, J2, n
 
 
+def _prepare_delayed(model: QuboModel, dtype, sweep_block: int | None):
+    """Shared preparation for the delayed-update kernels: validate/derive
+    the sweep block, zero-pad (h, J) to a block multiple at f64, and cast
+    to the kernel dtype.  Returns ``(h, J, n_orig, sweep_block)``.
+
+    One definition for all four entry points (single/sharded SA and
+    tempering) so the auto-block heuristic and the padding contract
+    cannot diverge between them."""
+    n = model.num_variables
+    if sweep_block is None:
+        sweep_block = min(32, 1 << (n - 1).bit_length())
+    elif not isinstance(sweep_block, int) or sweep_block < 1:
+        raise ValueError(
+            f"sweep_block must be a positive int, got {sweep_block!r}"
+        )
+    h_np, J_np, n_orig = _pad_for_block(
+        model.h.astype(np.float64), model.J.astype(np.float64), sweep_block
+    )
+    return (
+        jnp.asarray(h_np, dtype=dtype),
+        jnp.asarray(J_np, dtype=dtype),
+        n_orig,
+        sweep_block,
+    )
+
+
 def simulated_annealing(
     model: QuboModel,
     num_reads: int = 1000,
@@ -354,15 +380,12 @@ def simulated_annealing(
             num_sweeps,
         )
     else:
-        n = model.num_variables
-        if sweep_block is None:
-            sweep_block = min(32, 1 << (n - 1).bit_length())
-        h_np, J_np, n_orig = _pad_for_block(
-            model.h.astype(np.float64), model.J.astype(np.float64), sweep_block
+        h_d, J_d, n_orig, sweep_block = _prepare_delayed(
+            model, dtype, sweep_block
         )
         samples, energies = _anneal_kernel_delayed(
-            jnp.asarray(h_np, dtype=dtype),
-            jnp.asarray(J_np, dtype=dtype),
+            h_d,
+            J_d,
             betas,
             key,
             num_reads,
@@ -567,16 +590,12 @@ def parallel_tempering(
             num_sweeps,
         )
     else:
-        n = model.num_variables
-        if sweep_block is None:
-            sweep_block = min(32, 1 << (n - 1).bit_length())
-        h_np, J_np, n_orig = _pad_for_block(
-            model.h.astype(np.float64), model.J.astype(np.float64),
-            sweep_block,
+        h_d, J_d, n_orig, sweep_block = _prepare_delayed(
+            model, dtype, sweep_block
         )
         samples, energies = _tempering_kernel_delayed(
-            jnp.asarray(h_np, dtype=dtype),
-            jnp.asarray(J_np, dtype=dtype),
+            h_d,
+            J_d,
             betas,
             jax.random.key(seed),
             num_chains,
@@ -601,6 +620,7 @@ def parallel_tempering_sharded(
     beta_range: tuple[float, float] | None = None,
     seed: int = 0,
     dtype=jnp.float32,
+    sweep_block: int | None = None,
 ):
     """Mesh-sharded parallel tempering: chains split across devices, each
     device running full temperature ladders locally (replica exchange never
@@ -624,13 +644,7 @@ def parallel_tempering_sharded(
         np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
     )
     # same delayed-update TPU schedule as the single-device path
-    n = model.num_variables
-    sweep_block = min(32, 1 << (n - 1).bit_length())
-    h_np, J_np, n_orig = _pad_for_block(
-        model.h.astype(np.float64), model.J.astype(np.float64), sweep_block
-    )
-    h = jnp.asarray(h_np, dtype=dtype)
-    J = jnp.asarray(J_np, dtype=dtype)
+    h, J, n_orig, sweep_block = _prepare_delayed(model, dtype, sweep_block)
     keys = jax.random.split(jax.random.key(seed), n_dev)
 
     from jax.sharding import PartitionSpec as P
@@ -852,6 +866,7 @@ def simulated_annealing_sharded(
     beta_range: tuple[float, float] | None = None,
     seed: int = 0,
     dtype=jnp.float32,
+    sweep_block: int | None = None,
 ):
     """Chain-parallel SA: the ``num_reads`` chains sharded across a device
     mesh (SURVEY.md section 2, "chain parallelism for annealing").
@@ -875,13 +890,7 @@ def simulated_annealing_sharded(
         np.geomspace(beta_range[0], beta_range[1], num_sweeps), dtype=dtype
     )
     # same delayed-update TPU schedule as the single-device path
-    n = model.num_variables
-    sweep_block = min(32, 1 << (n - 1).bit_length())
-    h_np, J_np, n_orig = _pad_for_block(
-        model.h.astype(np.float64), model.J.astype(np.float64), sweep_block
-    )
-    h = jnp.asarray(h_np, dtype=dtype)
-    J = jnp.asarray(J_np, dtype=dtype)
+    h, J, n_orig, sweep_block = _prepare_delayed(model, dtype, sweep_block)
     keys = jax.random.split(jax.random.key(seed), n_dev)
 
     from jax.sharding import PartitionSpec as P

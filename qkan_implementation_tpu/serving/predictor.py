@@ -8,6 +8,7 @@ back.  Tracks simple latency statistics.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Dict, List, Optional, Union
 
@@ -29,6 +30,10 @@ class BatchedPredictor:
             model = FixedKAN.load_model(model)
         if model.params is None:
             raise ValueError("Model has no parameters; run optimize() first")
+        if not isinstance(max_batch, int) or max_batch < 1:
+            raise ValueError(
+                f"max_batch must be a positive int, got {max_batch!r}"
+            )
         self.model = model
         self.dtype = dtype
         self.max_batch = max_batch
@@ -43,6 +48,10 @@ class BatchedPredictor:
             self.buckets.append(max_batch)
         self._latencies: List[float] = []
         self._served = 0  # monotonically increasing, unlike the trimmed window
+        # the HTTP server wraps this in ThreadingHTTPServer: guard the
+        # read-modify-write stats (counter increment, window trim) so
+        # concurrent requests can't undercount or interleave trims
+        self._stats_lock = threading.Lock()
         # reuse the model's own jitted apply: same computation, same jit
         # cache entry as direct FixedKAN calls
         self._apply = model._apply
@@ -83,18 +92,23 @@ class BatchedPredictor:
         start = time.perf_counter()
         out = self._apply(self.model.params, jnp.asarray(x))
         out = np.asarray(jax.block_until_ready(out))[:n]
-        self._latencies.append(time.perf_counter() - start)
-        self._served += 1
-        if len(self._latencies) > 1000:
-            del self._latencies[:-1000]
+        elapsed = time.perf_counter() - start
+        with self._stats_lock:
+            self._latencies.append(elapsed)
+            self._served += 1
+            if len(self._latencies) > 1000:
+                del self._latencies[:-1000]
         return out
 
     def stats(self) -> Dict[str, float]:
-        if not self._latencies:
-            return {"requests": self._served}
-        lat = np.array(self._latencies)
+        with self._stats_lock:
+            served = self._served
+            lat_copy = list(self._latencies)
+        if not lat_copy:
+            return {"requests": served}
+        lat = np.array(lat_copy)
         return {
-            "requests": self._served,
+            "requests": served,
             "latency_mean_ms": float(lat.mean() * 1e3),
             "latency_p50_ms": float(np.percentile(lat, 50) * 1e3),
             "latency_p99_ms": float(np.percentile(lat, 99) * 1e3),

@@ -519,3 +519,32 @@ def test_unknown_kernel_and_backend_raise():
     with pytest.raises(ValueError, match="unknown backend"):
         simulated_annealing(model, num_reads=2, num_sweeps=2,
                             backend="natve")
+
+
+def test_sweep_block_validation():
+    """sweep_block=0 / negative / non-int must raise a clear ValueError,
+    not ZeroDivisionError or a deep reshape error (review r3); an explicit
+    valid block still produces the block-invariant result."""
+    import pytest
+    from qkan_implementation_tpu.anneal.sa import parallel_tempering
+
+    rng = np.random.default_rng(1)
+    n = 8
+    J = rng.normal(0, 1, (n, n))
+    J = J + J.T
+    np.fill_diagonal(J, 0.0)
+    model = QuboModel(h=rng.normal(0, 1, n), J=J, offset=0.0)
+    for bad in (0, -8, 2.5):
+        with pytest.raises(ValueError, match="sweep_block"):
+            simulated_annealing(
+                model, num_reads=2, num_sweeps=2, sweep_block=bad
+            )
+        with pytest.raises(ValueError, match="sweep_block"):
+            parallel_tempering(
+                model, num_chains=2, num_replicas=2, num_sweeps=2,
+                sweep_block=bad,
+            )
+    s, e = simulated_annealing(
+        model, num_reads=4, num_sweeps=20, sweep_block=4, seed=3
+    )
+    assert s.shape == (4, n) and np.isfinite(e).all()

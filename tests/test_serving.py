@@ -131,3 +131,37 @@ def test_predictor_non_pow2_max_batch_and_counters(trained_model):
     for _ in range(3):
         p.predict(x[:2])
     assert p.stats()["requests"] == before + 3
+
+
+def test_predictor_rejects_bad_max_batch(trained_model):
+    """max_batch < 1 is a config error, not an IndexError (review r3)."""
+    kan, _ = trained_model
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="max_batch"):
+            BatchedPredictor(kan, max_batch=bad)
+
+
+def test_predictor_stats_thread_safe(trained_model):
+    """Concurrent predict() calls (the ThreadingHTTPServer model) must not
+    lose counter increments: 4 threads x 25 requests == 100 served."""
+    import threading
+
+    kan, _ = trained_model
+    pred = BatchedPredictor(kan, max_batch=8)
+    pred.warmup()
+    errs = []
+
+    def worker():
+        try:
+            for _ in range(25):
+                pred.predict(np.zeros((3, 1)))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert pred.stats()["requests"] == 100
