@@ -140,12 +140,22 @@ def plot_sample_distributions(results: List[Dict], num_classes: int = 10):
 
     num_runs = len(results)
     fig, ax = plt.subplots(figsize=(12, 6))
+    # analyze_sample_distribution widens past num_classes when labels
+    # exceed the nominal range -- bar against the actual array length so
+    # the two can't mismatch
+    num_classes = max(
+        num_classes,
+        *(len(np.asarray(r["class_percentages"])) for r in results),
+    )
     x = np.arange(num_classes)
     width = 0.8 / num_runs
     for i, result in enumerate(results):
+        pct = np.asarray(result["class_percentages"], dtype=float)
+        if len(pct) < num_classes:
+            pct = np.pad(pct, (0, num_classes - len(pct)))
         ax.bar(
             x + i * width,
-            result["class_percentages"],
+            pct,
             width,
             label=f"Run {i+1}",
             alpha=0.7,

@@ -101,11 +101,12 @@ def plot_degree_optimization_improved(
 
     fig = plt.figure(figsize=(15, 10))
     plt.subplot(2, 2, 1)
-    plt.scatter(x_np, y_np, alpha=0.3, label="Data", color="gray")
+    plt.scatter(x_np[:, 0], y_np, alpha=0.3, label="Data", color="gray")
     colors = plt.cm.viridis(np.linspace(0, 1, optimizer.max_degree + 1))
     for d, pred in enumerate(predictions):
         plt.plot(
-            x_sorted, pred, "--", alpha=0.7, color=colors[d], label=f"Degree {d}"
+            x_sorted[:, 0], pred, "--", alpha=0.7, color=colors[d],
+            label=f"Degree {d}"
         )
     plt.title("Data and Predictions by Degree")
     plt.xlabel("x")
@@ -113,9 +114,9 @@ def plot_degree_optimization_improved(
     plt.legend(bbox_to_anchor=(1.05, 1), loc="upper left")
 
     plt.subplot(2, 2, 2)
-    plt.scatter(x_np, y_np, alpha=0.3, label="Data", color="gray")
+    plt.scatter(x_np[:, 0], y_np, alpha=0.3, label="Data", color="gray")
     plt.plot(
-        x_sorted,
+        x_sorted[:, 0],
         predictions[best_degree],
         "r-",
         linewidth=2,

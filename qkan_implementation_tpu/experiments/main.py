@@ -24,7 +24,6 @@ from qkan_implementation_tpu.experiments.visualization import ResultVisualizer
 from qkan_implementation_tpu.utils.metrics import compute_metrics
 from qkan_implementation_tpu.models.mlp import MLPConfig, mlp_predict, train_mlp
 from qkan_implementation_tpu.optim.degree_optimizer import DegreeOptimizer
-from qkan_implementation_tpu.utils.metrics import compute_metrics
 
 
 def setup_logging(config: ExperimentConfig):
@@ -176,6 +175,10 @@ def run_experiment(config_path: str):
                 train_metrics = compute_metrics(
                     train_target.to_numpy(), train_pred, train_weight.to_numpy()
                 )
+                # reference-faithful headline: the reference averages the
+                # PER-EPOCH validation scores (main.py:116-117), mixing
+                # early-epoch losses into MSE_Score -- kept as-is for
+                # parity; the final-model numbers are in val_metrics
                 mse_score = float(np.average(scores)) if scores else val_metrics["mse"]
                 r2_score_val = (
                     float(np.average(compr2_scores))

@@ -30,6 +30,10 @@ from qkan_implementation_tpu.data.mnist import (
 )
 from qkan_implementation_tpu.models.fixed_kan import FixedKAN, FixedKANConfig
 
+# one shared converter for every committed JSON record (review r3: two
+# near-duplicate private sanitizers had started to diverge)
+from qkan_implementation_tpu.utils.run_records import to_jsonable as _jsonable
+
 
 def run_mnist_experiment(
     network_shape: Optional[List[int]] = None,
@@ -218,18 +222,23 @@ def run_mnist_n_times(
     # diagnostics must describe the SAME corpus the runs train on -- with
     # dataset='digits-784' sampling load_mnist here would measure class
     # balance of data the experiment never saw
-    if experiment_kwargs.get("dataset") == "digits-784":
-        from qkan_implementation_tpu.data.mnist import load_digits_784
+    def load_corpus(seed):
+        if experiment_kwargs.get("dataset") == "digits-784":
+            from qkan_implementation_tpu.data.mnist import load_digits_784
 
-        x_full, y_full, _ = load_digits_784(
-            train=True,
-            augment_to=experiment_kwargs.get("train_size", 10000),
-            seed=base_seed,
-        )
-    else:
-        x_full, y_full, _ = load_mnist(
+            # per-RUN seed: the augmented corpus itself is seed-dependent
+            # (augment indices/shifts), so a base-seed corpus would
+            # mis-describe every run past the first
+            return load_digits_784(
+                train=True,
+                augment_to=experiment_kwargs.get("train_size", 10000),
+                seed=seed,
+            )[:2]
+        return load_mnist(
             root=experiment_kwargs.get("data_root"), train=True
-        )
+        )[:2]
+
+    x_full, y_full = load_corpus(base_seed)
     for run in range(n):
         res = run_mnist_experiment(
             seed=base_seed + run, verbose=verbose, **experiment_kwargs
@@ -238,6 +247,8 @@ def run_mnist_n_times(
         if ensemble:
             models.append(model)
         all_results.append(res)
+        if run > 0 and experiment_kwargs.get("dataset") == "digits-784":
+            x_full, y_full = load_corpus(base_seed + run)
         train_size = min(
             experiment_kwargs.get("train_size", 10000), len(x_full)
         )
@@ -297,14 +308,3 @@ def run_mnist_n_times(
     }
 
 
-def _jsonable(obj):
-    """Recursively convert numpy scalars/arrays to plain Python types."""
-    if isinstance(obj, dict):
-        return {k: _jsonable(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        return [_jsonable(v) for v in obj]
-    if isinstance(obj, np.ndarray):
-        return obj.tolist()
-    if isinstance(obj, np.generic):
-        return obj.item()
-    return obj

@@ -259,7 +259,9 @@ def quantum_extract_block_columns(
     block = 2 ** ((circuit.num_qubits - 1) // 2)
 
     sim = jax.jit(jax.vmap(lambda e: simulate(circuit, psi0=e)[:block]))
-    out = np.empty((rows, cols), dtype=a.dtype)
+    # float output regardless of a's dtype: the recovered amplitudes are
+    # real-valued, and an integer buffer would silently truncate them
+    out = np.empty((rows, cols), dtype=np.promote_types(a.dtype, np.float32))
     for start in range(0, cols, chunk):
         end = min(start + chunk, cols)
         basis = np.zeros((chunk, dim))  # fixed shape: one compile per chunk size

@@ -33,16 +33,28 @@ class RunRecorder:
             return [json.loads(line) for line in f if line.strip()]
 
 
-def _jsonable(obj):
-    try:
-        import numpy as np
+def to_jsonable(obj):
+    """Recursively convert numpy scalars/arrays (and containers holding
+    them) to plain Python types -- THE shared converter for every
+    committed JSON record (runs.jsonl here, the n-runs evidence records
+    in experiments.mnist), so serialization semantics can't diverge
+    between them."""
+    import numpy as np
 
-        if isinstance(obj, (np.integer,)):
-            return int(obj)
-        if isinstance(obj, (np.floating,)):
-            return float(obj)
-        if isinstance(obj, np.ndarray):
-            return obj.tolist()
-    except ImportError:
-        pass
-    return str(obj)
+    if isinstance(obj, dict):
+        return {k: to_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [to_jsonable(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, np.generic):
+        return obj.item()
+    return obj
+
+
+def _jsonable(obj):
+    """``json.dumps(default=...)`` hook: numpy types via the shared
+    converter, anything else stringified (the JSONL log must never fail
+    to serialize a record)."""
+    out = to_jsonable(obj)
+    return out if out is not obj else str(obj)

@@ -123,3 +123,21 @@ def test_sparsity_clusters_merge_across_chunk_boundaries(tmp_path):
     # whole-file single chunk agrees
     m2 = compute_sparsity(path, chunk_size=1000, cluster_min_len=10)
     assert m2.zero_clusters == [(20, 40)]
+
+
+def test_plot_sample_distributions_widened_labels():
+    """Labels beyond the nominal class range widen
+    analyze_sample_distribution's arrays; the bar plot must follow the
+    actual array length instead of crashing on a shape mismatch
+    (review r3)."""
+    from qkan_implementation_tpu.analysis.mnist_diagnostics import (
+        plot_sample_distributions,
+    )
+
+    rng = np.random.default_rng(2)
+    y = np.concatenate([rng.integers(0, 10, 290), [11] * 10])
+    x = rng.uniform(0, 1, (300, 8))
+    res = analyze_sample_distribution(x, y, verbose=False)
+    assert len(res["class_percentages"]) == 12  # widened
+    fig = plot_sample_distributions([res], num_classes=10)
+    assert fig is not None

@@ -132,3 +132,24 @@ def test_mnist_n_times_ensemble():
         consistent_tanh=True,
     )
     assert "ensemble_test_accuracy" not in base
+
+
+def test_improved_degree_viz_multi_feature():
+    """plot_degree_optimization_improved must render for MULTI-feature
+    fits (review r3: it passed the full [N, F] matrix to scatter/plot,
+    crashing exactly the case its docstring claimed to handle; panels
+    plot against feature 0 like the sibling function)."""
+    from qkan_implementation_tpu.experiments.degree_viz import (
+        plot_degree_optimization_improved,
+    )
+    from qkan_implementation_tpu.optim.degree_optimizer import (
+        DegreeOptimizer,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (120, 2))
+    y = (0.4 * x[:, :1] ** 2 + 0.2 * x[:, 1:]).astype(float)
+    opt = DegreeOptimizer(network_shape=[2, 1], max_degree=4)
+    opt.fit(x, y)
+    fig = plot_degree_optimization_improved(opt, x, y)
+    assert fig is not None

@@ -306,3 +306,18 @@ def test_quantum_grad_finite_f32_at_saturation():
     # forward accuracy survives the margin: round trip within f32 rounding
     rec = quantum_extract_diag_packed(diag)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(diag), atol=1e-4)
+
+
+def test_extract_block_columns_integer_input():
+    """Integer design matrices must come back as floats (review r3: the
+    output buffer inherited a.dtype and silently truncated every
+    recovered amplitude to 0)."""
+    import numpy as np
+    from qkan_implementation_tpu.ops.quantum import (
+        quantum_extract_block_columns,
+    )
+
+    a = np.eye(4, dtype=np.int64)
+    out = quantum_extract_block_columns(a)
+    assert np.issubdtype(out.dtype, np.floating)
+    np.testing.assert_allclose(out, a.astype(float), atol=1e-6)
