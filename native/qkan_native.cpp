@@ -68,7 +68,9 @@ void qkan_anneal(int n, int num_reads, int num_sweeps, const double* h,
                  double* out_samples, double* out_energies) {
   std::vector<double> betas(num_sweeps);
   if (num_sweeps == 1) {
-    betas[0] = beta1;
+    // np.geomspace(b0, b1, 1) == [b0]: the JAX annealer this mirrors runs
+    // its single sweep HOT, not quenched
+    betas[0] = beta0;
   } else {
     double ratio = std::pow(beta1 / beta0, 1.0 / (num_sweeps - 1));
     double b = beta0;

@@ -106,6 +106,11 @@ def anneal_native(
     lib = load_native()
     if beta_range is None:
         beta_range = default_beta_range(model)
+    if beta_range[0] <= 0 or beta_range[1] <= 0:
+        # np.geomspace raises for non-positive endpoints; the C++ schedule
+        # would otherwise compute 0 * inf = NaN betas and silently return
+        # quench samples
+        raise ValueError(f"beta_range must be positive, got {beta_range}")
     n = model.num_variables
     h = np.ascontiguousarray(model.h, dtype=np.float64)
     J = np.ascontiguousarray(model.J, dtype=np.float64)

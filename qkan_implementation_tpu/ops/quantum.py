@@ -11,6 +11,8 @@ simulator").
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +35,15 @@ def fable_diag_traced(diag: jax.Array):
     subnormalization uses a smooth-safe clip; alpha is returned as a traced
     scalar.
     """
+    flat, alpha = _diag_angles(diag)
+    n = int(np.log2(diag.shape[-1]))
+    circ = _build_diag_circuit(n, flat)
+    return circ, alpha
+
+
+def _diag_angles(diag: jax.Array):
+    """Traced FABLE-diagonal rotation angles: (flat [size^2] thetas,
+    alpha).  The differentiable half of ``fable_diag_traced``."""
     size = diag.shape[-1]
     n = int(np.log2(size))
     if 2**n != size:
@@ -54,17 +65,40 @@ def fable_diag_traced(diag: jax.Array):
     clip_lim = 1.0 - margin
     thetas = 2.0 * jnp.arccos(jnp.clip(scaled, -clip_lim, clip_lim))
     flat = flat.at[idx].set(thetas)
+    return flat, alpha
 
+
+def _build_diag_circuit(n: int, ucry_params) -> Circuit:
+    """The FABLE-diagonal circuit structure for a 2^n diagonal."""
     circ = Circuit(2 * n + 1)
     anc = 2 * n
     for qubit in range(n, 2 * n):
         circ.h(qubit)
-    circ.ucry(flat, tuple(range(2 * n - 1, -1, -1)), anc)
+    circ.ucry(ucry_params, tuple(range(2 * n - 1, -1, -1)), anc)
     for j in range(n):
         circ.swap(j, n + j)
     for qubit in range(n, 2 * n):
         circ.h(qubit)
-    return circ, alpha
+    return circ
+
+
+@lru_cache(maxsize=16)
+def _diag_circuit_template(n: int):
+    """Structure-only FABLE-diagonal circuit (placeholder ucry angles),
+    cached per size with its ucry gate index.
+
+    The sharded engine's compiled-executor cache hangs on the Circuit
+    OBJECT (review r3): a fresh circuit per call attached a fresh cache
+    and re-traced + re-compiled the shard_map executor every eager call
+    -- the minutes-scale remote-TPU compile the cache exists to
+    eliminate.  The traced angles ride in as ``runtime_params``, so the
+    structure is the only thing worth keying."""
+    size = 2**n
+    circ = _build_diag_circuit(
+        n, np.full((size * size,), np.pi, dtype=np.float32)
+    )
+    (ucry_idx,) = [i for i, g in enumerate(circ.gates) if g.name == "ucry"]
+    return circ, ucry_idx
 
 
 def quantum_extract_diag(diag: jax.Array) -> jax.Array:
@@ -140,7 +174,12 @@ def quantum_extract_diag_packed_sharded(
 
     size = diag.shape[-1]
     n = int(np.log2(size))
-    circ, alpha = fable_diag_traced(diag)
+    # per-size circuit TEMPLATE + traced angles as runtime operands: the
+    # compiled-executor cache hangs on the circuit object, so reusing one
+    # template makes repeat eager calls hit the cache instead of paying a
+    # fresh shard_map trace + (remote) compile every time
+    flat, alpha = _diag_angles(diag)
+    circ, ucry_idx = _diag_circuit_template(n)
     dim = 2 ** (2 * n + 1)
     # Build the packed initial state SHARDED: with out_shardings set, each
     # device materializes only its 2^q/n_dev slice -- never the full state
@@ -151,16 +190,13 @@ def quantum_extract_diag_packed_sharded(
         .set(1.0 / np.sqrt(size)),
         out_shardings=NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])),
     )()
-    (ucry_idx,) = [
-        i for i, g in enumerate(circ.gates) if g.name == "ucry"
-    ]
     psi = sharded_simulate(
         circ,
         mesh,
         psi0=psi0,
         dtype=diag.dtype,
         exchange_impl=exchange_impl,
-        runtime_params={ucry_idx: circ.gates[ucry_idx].params},
+        runtime_params={ucry_idx: flat},
     )
     return psi[:size] * (alpha * size * np.sqrt(size))
 

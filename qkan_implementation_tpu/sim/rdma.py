@@ -361,7 +361,7 @@ def _rdma_bwd(dev_bit, axis_name, n_dev, interpret, res, g):
     # R^T g, then the adjoint exchange (involution) back to pre-exchange
     dpost = jnp.concatenate([c * g0 + s * g1, -s * g0 + c * g1])
     dpre = _exchange_global_local(
-        dpost, dev_bit, q_local - 1, axis_name, n_dev, q_local
+        dpost, dev_bit, q_local - 1, axis_name, n_dev
     )
     return dpre, dc.astype(c.dtype), ds.astype(s.dtype)
 
@@ -444,7 +444,7 @@ def _h_bwd(dev_bit, axis_name, n_dev, interpret, res, g):
     hg = jnp.concatenate([(g0 + g1) * r, (g0 - g1) * r])
     return (
         _exchange_global_local(
-            hg, dev_bit, q_local - 1, axis_name, n_dev, q_local
+            hg, dev_bit, q_local - 1, axis_name, n_dev
         ),
     )
 

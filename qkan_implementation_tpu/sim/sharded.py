@@ -46,7 +46,6 @@ def _exchange_global_local(
     local_pos: int,
     axis_name: str,
     n_dev: int,
-    q_local: int,
     chunks: int = 1,
     pairwise_fn=pairwise_exchange,
 ):
@@ -115,7 +114,6 @@ def _select_global_control_angles(params, controls, q_local, axis_name):
     # traced base: device bits placed at their axis positions (axis 0 is
     # the MSB of the parameter index, matching the reshape convention)
     base = jnp.zeros((), dtype=jnp.int32)
-    local_axis = 0
     shifts = []  # (axis position from the right) per LOCAL control
     for axis, c in enumerate(controls):
         if c >= q_local:
@@ -123,7 +121,6 @@ def _select_global_control_angles(params, controls, q_local, axis_name):
             base = base + (bit << (k - 1 - axis))
         else:
             shifts.append(k - 1 - axis)
-            local_axis += 1
     # static offsets: local pattern j (kk bits, MSB-first over the local
     # controls in axis order) -> its contribution to the full index
     j = np.arange(2**kk, dtype=np.int64)
@@ -191,7 +188,6 @@ class _QubitLayout:
                 phys_local,
                 self.axis_name,
                 self.n_dev,
-                self.q_local,
                 chunks=self.exchange_chunks,
                 pairwise_fn=self.pairwise_fn,
             )
@@ -491,10 +487,21 @@ def _apply_h_wall(psi, logicals, layout: _QubitLayout, q_local: int,
         from qkan_implementation_tpu.sim.rdma import ucry_exchange_eligible
 
         if ucry_exchange_eligible(2**q_local, interpret=interpret):
-            # Each fused pass finishes one global wall qubit; the evicted
-            # local-MSB occupant may itself be a pending wall qubit, in
-            # which case the loop picks it up as a new global (the pending
-            # set strictly shrinks, so this terminates).
+            # Finish the already-local wall qubits FIRST: every fused pass
+            # evicts the local-MSB occupant to global, so evicting a
+            # still-pending local would cost an extra fused pass bringing
+            # it back (review r3: one avoidable ICI pass per FABLE wall).
+            # H gates on distinct qubits commute, so applying locals up
+            # front means every eviction hits an already-done qubit --
+            # and the fused exchange count equals the collective path's
+            # (count_exchanges parity).
+            locals_ = [t for t in pending if layout.phys[t] < q_local]
+            if locals_:
+                pos = tuple(sorted(layout.phys[t] for t in locals_))
+                psi = apply_h_register(psi, HRegister(pos), q_local)
+                for t in locals_:
+                    pending.remove(t)
+            # Each fused pass finishes one (global) wall qubit.
             while True:
                 glb = [t for t in pending if layout.phys[t] >= q_local]
                 if not glb:
@@ -524,8 +531,15 @@ def count_exchanges(circuit: Circuit, n_devices: int) -> int:
     this circuit on an ``n_devices`` mesh (dry bookkeeping, no execution:
     the layout's first-class ``dry_run`` mode walks the schedule without
     touching amplitudes)."""
+    # same mesh contract as sharded_simulate: a non-power-of-two count
+    # would silently model the wrong layout, and too many devices would
+    # surface as a misleading error deep inside make_local
     k = int(np.log2(n_devices))
+    if 2**k != n_devices:
+        raise ValueError(f"n_devices {n_devices} must be a power of two")
     q = circuit.num_qubits
+    if q <= k:
+        raise ValueError(f"Need more qubits ({q}) than mesh bits ({k})")
     q_local = q - k
     layout = _QubitLayout(q, q_local, "_dry", n_devices, dry_run=True)
 
@@ -679,7 +693,17 @@ def sharded_simulate(
     if q <= k:
         raise ValueError(f"Need more qubits ({q}) than mesh bits ({k})")
     q_local = q - k
-    dtype = dtype or default_dtype(circuit)
+    if dtype is None:
+        dtype = default_dtype(circuit)
+        # inferred dtype covers the CIRCUIT; a complex initial state must
+        # promote it or .astype silently drops the imaginary part (same
+        # promotion as statevector.simulate -- the engines must agree)
+        if psi0 is not None and jnp.issubdtype(
+            jnp.asarray(psi0).dtype, jnp.complexfloating
+        ) and not jnp.issubdtype(dtype, jnp.complexfloating):
+            dtype = (
+                jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+            )
     # platform of the mesh's OWN devices: keying off jax.devices()[0]
     # would lower Mosaic TPU kernels for a CPU test mesh on a TPU-default
     # image (and skip the interpret-mode guards)

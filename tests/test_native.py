@@ -250,3 +250,27 @@ def test_native_statevector_rejects_unitary_gate():
     c.unitary(np.eye(4), (1, 0))
     with pytest.raises(ValueError, match="unitary"):
         nb.sv_encode_circuit(c)
+
+
+def test_native_single_sweep_and_beta_validation():
+    """num_sweeps=1 must anneal HOT (beta0, matching np.geomspace) and a
+    non-positive beta endpoint must raise instead of silently producing
+    NaN-schedule quench samples (review r3)."""
+    import pytest
+    from qkan_implementation_tpu.native_bindings import anneal_native
+
+    rng = np.random.default_rng(0)
+    n = 10
+    J = rng.normal(0, 1, (n, n))
+    J = (J + J.T) / 2
+    np.fill_diagonal(J, 0.0)
+    model = QuboModel(h=rng.normal(0, 1, n), J=J, offset=0.0)
+    with pytest.raises(ValueError, match="beta_range"):
+        anneal_native(model, num_reads=2, num_sweeps=4, beta_range=(0.0, 10.0))
+    # one HOT sweep at beta0=1e-3 accepts nearly every proposal: samples
+    # should differ across reads (a quench at beta1 would lock them into
+    # near-identical local minima from similar inits far more often)
+    s, e = anneal_native(model, num_reads=32, num_sweeps=1,
+                         beta_range=(1e-3, 50.0), seed=1)
+    assert np.isfinite(e).all()
+    assert len({tuple(row) for row in s.astype(int)}) > 8

@@ -321,3 +321,35 @@ def test_extract_block_columns_integer_input():
     out = quantum_extract_block_columns(a)
     assert np.issubdtype(out.dtype, np.floating)
     np.testing.assert_allclose(out, a.astype(float), atol=1e-6)
+
+
+def test_sharded_packed_extraction_reuses_executor_cache():
+    """Repeat eager calls must hit the compiled-executor cache (review
+    r3: a fresh Circuit per call carried a fresh cache, re-tracing and
+    re-compiling the shard_map executor every time -- the minutes-scale
+    remote-compile cost the cache exists to remove)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from qkan_implementation_tpu.ops.quantum import (
+        _diag_circuit_template,
+        quantum_extract_diag_packed_sharded,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    rng = np.random.default_rng(0)
+    d1 = jnp.asarray(rng.uniform(-1, 1, 64))
+    d2 = jnp.asarray(rng.uniform(-1, 1, 64))
+    out1 = quantum_extract_diag_packed_sharded(d1, mesh)
+    circ, _ = _diag_circuit_template(6)
+    cache = getattr(circ, "_sharded_exec_cache", None)
+    assert cache is not None and len(cache) == 1
+    out2 = quantum_extract_diag_packed_sharded(d2, mesh)
+    assert len(getattr(circ, "_sharded_exec_cache")) == 1  # HIT, no new entry
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(d1), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(d2), atol=5e-3)

@@ -319,9 +319,11 @@ def test_fused_h_exchange_matches_dense(mesh8, monkeypatch):
     )
     np.testing.assert_allclose(shard, col, atol=1e-12)
 
-    # MID-WALL eviction: with no prior global H, fusing the wall's global
-    # member 12 evicts the still-PENDING local-MSB member 10 to a device
-    # slot, and the termination loop must fuse it too (2 fused calls)
+    # LOCALS-FIRST schedule (review r3): the wall's local members (10 =
+    # local MSB, 2) finish in one register contraction BEFORE the fused
+    # pass for global member 12, so the eviction hits an already-done
+    # qubit -- ONE fused call where the old schedule paid two (fusing 12
+    # first evicted the still-pending 10 to global)
     del fired[:]
     c2 = Circuit(q)
     c2.ry(0.3, 0)
@@ -330,7 +332,7 @@ def test_fused_h_exchange_matches_dense(mesh8, monkeypatch):
     shard2 = np.asarray(
         jax.device_get(sharded_simulate(c2, mesh8, exchange_impl="rdma"))
     )
-    assert len(fired) == 2, f"expected 2 fused-H calls, got {len(fired)}"
+    assert len(fired) == 1, f"expected 1 fused-H call, got {len(fired)}"
     np.testing.assert_allclose(shard2, dense2, atol=1e-12)
 
 

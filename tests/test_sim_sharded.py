@@ -472,3 +472,38 @@ def test_exact_amplitudes_19_qubit_fable_circuit(mesh8):
         jax.device_get(sharded_simulate(circ, mesh8, dtype=jnp.float64))
     )
     np.testing.assert_allclose(shard, dense, atol=1e-12)
+
+
+def test_sharded_complex_psi0_promotes_dtype(mesh8):
+    """A complex initial state on a real circuit must promote the
+    inferred dtype instead of silently dropping the imaginary part
+    (review r3: simulate() gained this promotion; the engines must
+    agree)."""
+    q = 6
+    circ = Circuit(q)
+    circ.h(0).h(q - 1)
+    rng = np.random.default_rng(4)
+    psi0 = rng.normal(size=2**q) + 1j * rng.normal(size=2**q)
+    psi0 /= np.linalg.norm(psi0)
+    want = np.asarray(simulate(circ, psi0=jnp.asarray(psi0)))
+    got = np.asarray(
+        jax.device_get(
+            sharded_simulate(circ, mesh8, psi0=jnp.asarray(psi0))
+        )
+    )
+    assert np.iscomplexobj(got)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_count_exchanges_validates_mesh_size():
+    """Non-power-of-two or oversized device counts raise the same clear
+    errors sharded_simulate gives (review r3: 6 devices silently modeled
+    a 4-device layout)."""
+    from qkan_implementation_tpu.sim.sharded import count_exchanges
+
+    circ = Circuit(5)
+    circ.h(4)
+    with pytest.raises(ValueError, match="power of two"):
+        count_exchanges(circ, 6)
+    with pytest.raises(ValueError, match="more qubits"):
+        count_exchanges(circ, 32)
