@@ -153,3 +153,55 @@ def test_qr_sweep_matches_svd_scoring(data):
                 assert (sq[i] < sq[j]) == (sv[i] < sv[j]), (
                     i, j, sq, sv,
                 )
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_rdma_h_wall_schedule_matches_collective_and_dense(data, mesh8):
+    """Fuzz the fused-RDMA H-wall scheduler (locals-first since review
+    r3) at kernel-eligible sizes: random walls over arbitrary qubit
+    subsets interleaved with swaps/ucry must match both the collective
+    exchange path and the dense engine exactly, whatever mix of
+    global/local/MSB members the wall draws."""
+    q = data.draw(st.integers(13, 14), label="q")
+    circ = Circuit(q)
+    n_blocks = data.draw(st.integers(1, 3), label="blocks")
+    for b in range(n_blocks):
+        wall = data.draw(
+            st.permutations(list(range(q))).map(
+                lambda p: p[: data.draw(st.integers(2, 5), label="wall_len")]
+            ),
+            label=f"wall{b}",
+        )
+        for t in wall:
+            circ.h(t)
+        kind = data.draw(st.sampled_from(["ucry", "swap", "none"]))
+        if kind == "ucry":
+            t = data.draw(st.integers(0, q - 1), label="ucry_t")
+            pool = [x for x in range(q) if x != t]
+            k = data.draw(st.integers(1, 2), label="ucry_k")
+            controls = tuple(pool[:k])
+            circ.ucry(np.linspace(-1.5, 1.5, 2**k), controls, t)
+        elif kind == "swap":
+            a = data.draw(st.integers(0, q - 1), label="swap_a")
+            b2 = data.draw(st.integers(0, q - 2), label="swap_b")
+            b2 = b2 if b2 < a else b2 + 1
+            circ.swap(a, b2)
+    rng = np.random.default_rng(q)
+    psi0 = rng.standard_normal(2**q)
+    psi0 = jnp.asarray(psi0 / np.linalg.norm(psi0))
+    want = np.asarray(simulate(circ, psi0=psi0, backend="xla"))
+    got_rdma = np.asarray(
+        jax.device_get(
+            sharded_simulate(circ, mesh8, psi0=psi0, exchange_impl="rdma")
+        )
+    )
+    got_col = np.asarray(
+        jax.device_get(
+            sharded_simulate(
+                circ, mesh8, psi0=psi0, exchange_impl="collective"
+            )
+        )
+    )
+    np.testing.assert_allclose(got_rdma, want, atol=1e-11)
+    np.testing.assert_allclose(got_col, want, atol=1e-11)
