@@ -118,7 +118,10 @@ def main():
     # early (remote-tunnel backends).  Per-step time is the SLOPE over two
     # chain lengths, cancelling the tunnel's ~25 ms fixed fetch cost.
     iters = 20 if quick else 100
-    long_iters = iters * 6
+    # long chain must carry well over 150 ms of device work or the slope
+    # is tunnel jitter (CLAUDE.md timing trap (a)); at the measured
+    # ~0.16 ms/step, 12x = 1200 steps ~= 190 ms
+    long_iters = iters * (6 if quick else 12)
 
     def make_chain(n):
         @jax.jit
@@ -137,17 +140,31 @@ def main():
     compile_s = time.time() - t0
     print(f"device={jax.devices()[0]} compile={compile_s:.2f}s", file=sys.stderr)
 
-    t_short = min(_walltime(lambda: float(c_short(w, x))) for _ in range(2))
-    t_long = min(_walltime(lambda: float(c_long(w, x))) for _ in range(2))
-    slope = t_long - t_short
-    if slope <= 0.05 * t_long:  # noise-dominated: report the safe bound
-        per_step = t_long / long_iters
-    else:
-        per_step = slope / (long_iters - iters)
+    # Variance-aware headline (VERDICT r3 weak #4): repeat the slope
+    # measurement 3x and report median + spread so round-over-round
+    # deltas are interpretable against the tunnel's jitter band.
+    reps = 1 if quick else 3
+    per_steps = []
+    for _rep in range(reps):
+        t_short = min(_walltime(lambda: float(c_short(w, x))) for _ in range(2))
+        t_long = min(_walltime(lambda: float(c_long(w, x))) for _ in range(2))
+        slope = t_long - t_short
+        if slope <= 0.05 * t_long:  # noise-dominated: safe upper bound
+            per_steps.append(t_long / long_iters)
+        else:
+            per_steps.append(slope / (long_iters - iters))
+    per_step = float(np.median(per_steps))
+    spread_pct = (
+        100.0 * (max(per_steps) - min(per_steps)) / per_step
+        if per_step > 0
+        else 0.0
+    )
     ours_layers_per_sec = B / per_step
     print(
         f"ours: {ours_layers_per_sec:,.0f} fwd+bwd layers/sec "
-        f"({per_step * 1e3:.3f} ms/step slope-timed)",
+        f"({per_step * 1e3:.3f} ms/step median of {reps} slope reps "
+        f"{[round(p * 1e3, 3) for p in per_steps]} ms, spread "
+        f"{spread_pct:.1f}%)",
         file=sys.stderr,
     )
 

@@ -134,6 +134,94 @@ def test_mnist_n_times_ensemble():
     assert "ensemble_test_accuracy" not in base
 
 
+def _write_idx(path, arr):
+    """Minimal IDX writer (the format torchvision's raw MNIST ships in):
+    >HBB header (zero, dtype code 0x08 = uint8, ndim) + big-endian dims +
+    raw bytes."""
+    import struct
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, arr.ndim))
+        f.write(struct.pack(">" + "I" * arr.ndim, *arr.shape))
+        f.write(arr.tobytes())
+
+
+def test_load_mnist_idx_branch(tmp_path):
+    """The raw-idx resolver (mnist.py:_read_idx/_find) must parse real
+    idx files — plain AND gzipped — before any fallback fires (VERDICT
+    r3 weak #5: these branches never ran in the suite)."""
+    import gzip
+
+    from qkan_implementation_tpu.data.mnist import load_mnist
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 28, 28)).astype(np.uint8)
+    labels = np.array([3, 1, 4, 1], dtype=np.uint8)
+    _write_idx(tmp_path / "train-images-idx3-ubyte", imgs)
+    _write_idx(tmp_path / "train-labels-idx1-ubyte", labels)
+    x, y, meta = load_mnist(root=str(tmp_path), train=True)
+    assert meta["source"] == "mnist-idx"
+    assert x.shape == (4, 784) and x.dtype == np.float64
+    np.testing.assert_allclose(x, imgs.reshape(4, 784) / 255.0)
+    np.testing.assert_array_equal(y, labels.astype(np.int64))
+
+    # gzipped test split resolves through the same finder
+    timgs = rng.integers(0, 256, (2, 28, 28)).astype(np.uint8)
+    tlabels = np.array([7, 2], dtype=np.uint8)
+    import io
+    import struct
+
+    for name, arr in (
+        ("t10k-images-idx3-ubyte.gz", timgs),
+        ("t10k-labels-idx1-ubyte.gz", tlabels),
+    ):
+        buf = io.BytesIO()
+        buf.write(struct.pack(">HBB", 0, 0x08, arr.ndim))
+        buf.write(struct.pack(">" + "I" * arr.ndim, *arr.shape))
+        buf.write(arr.tobytes())
+        with gzip.open(tmp_path / name, "wb") as f:
+            f.write(buf.getvalue())
+    xt, yt, meta_t = load_mnist(root=str(tmp_path), train=False)
+    assert meta_t["source"] == "mnist-idx"
+    np.testing.assert_allclose(xt, timgs.reshape(2, 784) / 255.0)
+    np.testing.assert_array_equal(yt, tlabels.astype(np.int64))
+
+
+def test_load_mnist_npz_branch(tmp_path):
+    """Keras-style mnist.npz resolves when no idx files exist."""
+    from qkan_implementation_tpu.data.mnist import load_mnist
+
+    rng = np.random.default_rng(1)
+    xtr = rng.integers(0, 256, (5, 28, 28)).astype(np.uint8)
+    ytr = np.array([0, 9, 2, 5, 5], dtype=np.uint8)
+    np.savez(
+        tmp_path / "mnist.npz",
+        x_train=xtr,
+        y_train=ytr,
+        x_test=xtr[:2],
+        y_test=ytr[:2],
+    )
+    x, y, meta = load_mnist(root=str(tmp_path), train=True)
+    assert meta["source"] == "mnist-npz"
+    np.testing.assert_allclose(x, xtr.reshape(5, 784) / 255.0)
+    np.testing.assert_array_equal(y, ytr.astype(np.int64))
+    xt, _, _ = load_mnist(root=str(tmp_path), train=False)
+    assert xt.shape == (2, 784)
+
+
+def test_bilinear_upsample_exact_cases():
+    """_bilinear_upsample is align-corners bilinear: constant images stay
+    constant, and a linear ramp upsamples to the exact linear ramp."""
+    from qkan_implementation_tpu.data.mnist import _bilinear_upsample
+
+    const = np.full((1, 8, 8), 0.625)
+    np.testing.assert_allclose(_bilinear_upsample(const, 28), 0.625)
+    ramp = np.tile(np.linspace(0.0, 1.0, 8), (8, 1))[None]
+    up = _bilinear_upsample(ramp, 15)
+    np.testing.assert_allclose(up[0, 0], np.linspace(0.0, 1.0, 15), atol=1e-12)
+
+
 def test_improved_degree_viz_multi_feature():
     """plot_degree_optimization_improved must render for MULTI-feature
     fits (review r3: it passed the full [N, F] matrix to scatter/plot,
