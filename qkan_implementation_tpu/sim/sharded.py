@@ -526,6 +526,47 @@ def _apply_h_wall(psi, logicals, layout: _QubitLayout, q_local: int,
     return apply_h_register(psi, HRegister(pos), q_local)
 
 
+def shard_memory_report(psi: jax.Array) -> dict:
+    """Per-device memory accounting for a sharded statevector.
+
+    The point of the sharded engine is footprint: with 2^k devices each
+    chip holds 1/2^k of the amplitudes, so an N-chip slice holds states
+    k qubits past any single chip's HBM (the reference's Aer ceiling is
+    one host's RAM, SURVEY.md section 5).  This measures that claim on a
+    live array instead of asserting it: bytes are read off the actual
+    device buffers (``addressable_shards``), not computed from the shape.
+
+    Returns ``logical_bytes`` (the array's nominal size), ``total_bytes``
+    (sum of live buffer bytes across devices -- LARGER than logical for a
+    replicated array), device count, max/min bytes held per device, and
+    ``balanced`` (True only when every device holds exactly
+    logical/devices, i.e. a true even shard with zero replication).
+    """
+    logical = int(psi.nbytes)
+    per_dev: dict[int, int] = {}
+    for s in psi.addressable_shards:
+        per_dev[s.device.id] = per_dev.get(s.device.id, 0) + s.data.nbytes
+    if not per_dev:  # fully remote array: fall back to shape accounting
+        return {
+            "logical_bytes": logical,
+            "total_bytes": logical,
+            "devices": 0,
+            "max_bytes_per_device": logical,
+            "min_bytes_per_device": 0,
+            "balanced": False,
+        }
+    total = sum(per_dev.values())
+    mx, mn = max(per_dev.values()), min(per_dev.values())
+    return {
+        "logical_bytes": logical,
+        "total_bytes": int(total),
+        "devices": len(per_dev),
+        "max_bytes_per_device": int(mx),
+        "min_bytes_per_device": int(mn),
+        "balanced": bool(mx == mn and mx * len(per_dev) == logical),
+    }
+
+
 def count_exchanges(circuit: Circuit, n_devices: int) -> int:
     """Number of qubit-exchange collectives the layout schedule issues for
     this circuit on an ``n_devices`` mesh (dry bookkeeping, no execution:

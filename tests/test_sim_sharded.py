@@ -507,3 +507,33 @@ def test_count_exchanges_validates_mesh_size():
         count_exchanges(circ, 6)
     with pytest.raises(ValueError, match="more qubits"):
         count_exchanges(circ, 32)
+
+
+def test_shard_memory_report(mesh8):
+    """Per-device accounting reads real buffer bytes: an 8-way sharded f32
+    state reports exactly 2^q*4/8 bytes per device and balanced=True; a
+    replicated array reports the FULL size on every device (the failure
+    mode the dryrun assertion guards against)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qkan_implementation_tpu.sim.sharded import shard_memory_report
+
+    q = 10
+    circ = Circuit(q)
+    for t in range(q):
+        circ.ry(0.3 + 0.01 * t, t)
+    psi = sharded_simulate(circ, mesh8, dtype=jnp.float32)
+    rep = shard_memory_report(psi)
+    assert rep["devices"] == 8
+    assert rep["balanced"]
+    assert rep["max_bytes_per_device"] == 2**q * 4 // 8
+    assert rep["total_bytes"] == 2**q * 4
+
+    replicated = jax.device_put(
+        jnp.zeros(2**q, jnp.float32), NamedSharding(mesh8, P())
+    )
+    rep2 = shard_memory_report(replicated)
+    assert rep2["devices"] == 8
+    assert rep2["max_bytes_per_device"] == 2**q * 4  # full copy per device
+    assert not rep2["balanced"]
+    assert rep2["total_bytes"] == 8 * rep2["logical_bytes"]
