@@ -114,6 +114,19 @@ def main():
             weight_grad_clip=1.0, learning_rate=0.002,
             weight_compute_dtype="bfloat16",
         ),
+        # TPU-gap diagnosis cell (r4): same recipe as improved_trained but
+        # every training matmul runs precision 'high' (bf16x3 passes, ~f32
+        # products).  On-chip xla/f32 measured 0.803 vs the CPU true-f32 band
+        # 0.878+-0.013 with identical config/seed -- if this cell recovers
+        # the band, the gap is the TPU f32 default's single bf16 pass in
+        # the gradient path (the training analog of the r3 Gram finding)
+        "improved_trained_prec3x": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_matmul_precision="high",
+        ),
         # the measured capability ceiling: doubling epochs WITH the cosine
         # schedule (constant-lr 30ep overfits: 0.881) -- 0.900 single-seed
         # CPU on the QR structure path
@@ -133,6 +146,17 @@ def main():
             weight_trainable="all", weight_lr_scale="fanin",
             weight_grad_clip=1.0, learning_rate=0.002,
             weight_lr_schedule="cosine", max_degree=7,
+        ),
+        # the ceiling recipe with precision-pinned training matmuls: the
+        # TPU quality headline once the prec3x diagnosis confirms (CPU band
+        # for the unpinned recipe: 0.887 +- 0.010, max 0.903)
+        "improved_trained_cosine30_deg7_prec": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=2 * epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_lr_schedule="cosine", max_degree=7,
+            weight_matmul_precision="high",
         ),
     }
 

@@ -58,6 +58,7 @@ def run_mnist_experiment(
     weight_batch_size: int = 64,
     weight_backend: str = "xla",
     weight_compute_dtype=None,
+    weight_matmul_precision: str | None = None,
     verbose: bool = True,
 ) -> Dict:
     """One full structure-optimization + evaluation run.
@@ -140,6 +141,7 @@ def run_mnist_experiment(
             seed=seed,
             backend=weight_backend,
             compute_dtype=weight_compute_dtype,
+            matmul_precision=weight_matmul_precision,
         )
         weight_time = time.time() - weight_start
         train_losses = [float(l) for l in kan.last_train_losses]
@@ -167,6 +169,7 @@ def run_mnist_experiment(
         else None,
         "weight_lr_schedule": weight_lr_schedule,
         "weight_batch_size": weight_batch_size,
+        "weight_matmul_precision": weight_matmul_precision,
         "learning_rate": learning_rate,
         "test_size": len(x_test),
         "metrics": {

@@ -771,6 +771,7 @@ class FixedKAN:
         verbose: bool = False,
         backend: str = "xla",
         compute_dtype=None,
+        matmul_precision: str | None = None,
         mesh=None,
         mesh_axis: str | None = None,
         tensor_axis: str | None = "auto",
@@ -796,6 +797,17 @@ class FixedKAN:
         the device's default multiply precision (bf16 passes on TPU
         MXUs -- the torch-tf32-like tradeoff; see ops/qkan_layer.py).
         Note ``compute_dtype='int8'`` is invalid here (zero gradients).
+
+        ``matmul_precision`` (opt-in) pins the multiply precision of every
+        matmul in the training step (forward, cotangents, Adam) via
+        ``jax.default_matmul_precision`` -- e.g. ``'high'`` (bf16x3 MXU
+        passes, ~f32-accurate products) or ``'highest'``.  On TPU the
+        f32 default is ONE bf16 pass: enough for inference, but the r4
+        on-chip flagship cells measured the same recipe converging ~5
+        accuracy points below its CPU true-f32 band with it (the Pallas
+        fused backend, whose Mosaic matmuls multiply more precisely, lost
+        only ~2) -- the training analog of the r3 Gram-solve finding.
+        ``None`` keeps the device default; irrelevant on CPU (true f32).
 
         Each epoch runs as ONE device-side ``lax.scan`` over the permuted
         batch indices (gathered on-device), not a host loop per step: on
@@ -1054,10 +1066,38 @@ class FixedKAN:
             return params, opt_state, ls
 
         rng = np.random.default_rng(seed)
+        import contextlib
+
+        # the precision context must wrap the epoch_fn TRACE (first call),
+        # and jit keys on the ambient precision config, so wrapping the
+        # whole loop is both necessary and cache-correct
+        prec_ctx = (
+            jax.default_matmul_precision(matmul_precision)
+            if matmul_precision is not None
+            else contextlib.nullcontext()
+        )
+        with prec_ctx:
+            losses, params, diverged = self._run_epochs(
+                epoch_fn, params, opt_state, rng, epochs, n, steps,
+                batch_size, idx_sharding, verbose,
+            )
+        self.params = rebuild(params)
+        # diagnosability: callers (e.g. experiments/mnist.py records) need
+        # to distinguish "trained to chance" from "diverged and restored"
+        self.last_train_diverged = diverged
+        self.last_train_losses = list(losses)
+        return losses
+
+    @staticmethod
+    def _run_epochs(
+        epoch_fn, params, opt_state, rng, epochs, n, steps, batch_size,
+        idx_sharding, verbose,
+    ):
+        """Epoch loop with divergence detection: per-step losses arrive at
+        each epoch end; any non-finite value restores the last finite
+        epoch's parameters instead of silently returning a NaN-poisoned
+        model.  Returns (losses, params, diverged)."""
         losses = []
-        # divergence detection: per-step losses arrive at each epoch end --
-        # any non-finite value restores the last finite epoch's parameters
-        # instead of silently returning a NaN-poisoned model
         last_good = params
         diverged = False
         for epoch in range(epochs):
@@ -1085,12 +1125,7 @@ class FixedKAN:
             losses.append(float(ls.mean()))
             if verbose:
                 print(f"Epoch {epoch+1}/{epochs}, avg Loss: {losses[-1]:.4f}")
-        self.params = rebuild(params)
-        # diagnosability: callers (e.g. experiments/mnist.py records) need
-        # to distinguish "trained to chance" from "diverged and restored"
-        self.last_train_diverged = diverged
-        self.last_train_losses = list(losses)
-        return losses
+        return losses, params, diverged
 
     def train_horizontal_weights(
         self, x_data, y_data, epochs: int, learning_rate: float = 0.01, **kw

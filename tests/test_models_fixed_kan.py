@@ -601,6 +601,32 @@ def test_train_lr_schedule_cosine():
         kan.train(x, y, epochs=1, loss="mse", lr_schedule="bogus")
 
 
+def test_train_matmul_precision_knob():
+    """matmul_precision='high'/'highest' must reproduce the default
+    trajectory exactly on CPU (true-f32 multiplies either way -- the knob
+    only changes TPU MXU pass counts) and reject unknown enum names.  The
+    knob exists because on-chip flagship cells measured the TPU f32
+    default (ONE bf16 pass) costing ~5 accuracy points of training
+    convergence vs the same recipe on CPU (docs/benchmarks.md r4)."""
+    x, y = quadratic_data(n=200)
+
+    def run(**kw):
+        kan = FixedKAN(FixedKANConfig(network_shape=[1, 4, 1], max_degree=3))
+        kan.optimize(x, y, solver="exact")
+        return np.asarray(
+            kan.train(x, y, epochs=3, loss="mse", seed=0, **kw)
+        )
+
+    base = run()
+    for prec in ("high", "highest"):
+        np.testing.assert_allclose(run(matmul_precision=prec), base, rtol=1e-6)
+
+    kan = FixedKAN(FixedKANConfig(network_shape=[1, 4, 1], max_degree=3))
+    kan.optimize(x, y, solver="exact")
+    with pytest.raises(ValueError, match="enum"):
+        kan.train(x, y, epochs=1, loss="mse", matmul_precision="bogus")
+
+
 def test_train_data_parallel_matches_single_device():
     """FixedKAN.train(mesh=...): dp training shards dataset rows and each
     minibatch over the mesh with replicated params (SURVEY section 2 data
