@@ -99,7 +99,7 @@ def generate_market_parquet(
     seed: int = 0,
     target_col: str = "responder_6",
     profile: str = "demo",
-    signal_frac: float = 0.045,
+    signal_frac: float = 0.10,
 ) -> str:
     """Write a synthetic Jane-Street-shaped parquet.
 
@@ -130,10 +130,15 @@ def generate_market_parquet(
         high-volatility dates (volatility-aware sizing, like the
         competition metric's weights).
 
-      Calibration: a reference-faithful degree-3 search (DegreeOptimizer,
-      79 features, the market_bench.py pipeline) on 20k-1M rows of this
-      profile scores val comp-R^2 ~= 0.04-0.05 at the default
-      ``signal_frac=0.045`` -- the reference's real-data regime.
+      Calibration (r4, measured): a reference-faithful degree-3 search
+      (DegreeOptimizer, 79 features, the market_bench.py pipeline) on
+      250k rows scores val MSE 0.2449 / comp-R^2 0.0462 at the default
+      ``signal_frac=0.10`` -- the reference's real-data regime (swept:
+      sf 0.07 -> 0.0331, 0.10 -> 0.0462, 0.13 -> 0.0590).  Smaller row
+      counts read HIGHER at the same sf because ``evaluate_degree``
+      refits in-sample on the val rows (reference semantics): the
+      overfit bias is ~n_basis/n_val ~= 0.08 at 20k rows and ~0.006 at
+      250k, so calibration is stated at 250k.
     """
     rng = np.random.default_rng(seed)
     dates = np.sort(rng.integers(0, n_dates, n_rows))
