@@ -41,6 +41,7 @@ from qkan_implementation_tpu.experimental.pallas_layer import (
     qkan_layer_fused,
     weights_to_m3,
 )
+from qkan_implementation_tpu.ops.fused_layer import kan_layer_fused
 
 
 def make_variants(N, K, interpret):
@@ -73,6 +74,24 @@ def make_variants(N, K, interpret):
     def pallas(x, w):
         return qkan_layer_fused(x, weights_to_m3(w, N, K), interpret)
 
+    def fused(x, w):
+        # the PRODUCTION VMEM-basis kernel (ops/fused_layer, the flagship
+        # trainer's 11.1x path) in raw-Chebyshev mode: degree-major weight
+        # fold, apply_tanh=False keeps qkan_layer_forward_batched semantics.
+        # The r4 roofline question: the bf16io K=128 fwd+bwd chain is HBM-
+        # bound on basis + out/dout round trips (~400 MB/step predicts the
+        # measured 0.48 ms); this kernel removes the basis traffic.
+        M = qkan_weight_tensor(w, N, K)  # [K, N, D+1]
+        w2 = M.transpose(2, 1, 0).reshape(-1, K)  # degree-major [dp1*N, K]
+        return kan_layer_fused(x, w2, w.shape[0], interpret, False)
+
+    def fused_bf16io(x, w):
+        # x arrives bf16 (data-pipeline cast): the kernel's recurrence and
+        # fwd dot then run native-bf16 with f32 accumulation
+        M = qkan_weight_tensor(w, N, K)
+        w2 = M.transpose(2, 1, 0).reshape(-1, K)
+        return kan_layer_fused(x, w2, w.shape[0], interpret, False)
+
     def bf16io(x, w):
         # mixed-precision recipe: x arrives ALREADY bf16 (cast outside the
         # step; input precision is a data-pipeline choice), so the per-step
@@ -86,7 +105,7 @@ def make_variants(N, K, interpret):
 
     return {
         "xla": xla, "remat": remat, "bf16": bf16, "bf16io": bf16io,
-        "pallas": pallas,
+        "pallas": pallas, "fused": fused, "fused_bf16io": fused_bf16io,
     }
 
 
@@ -224,10 +243,10 @@ def main():
     ref = np.asarray(qkan_layer_forward_batched(x[:512], w, N, K))
     records = []
     for name, fn in make_variants(N, K, interpret=not on_tpu).items():
-        xv = x.astype(jnp.bfloat16) if name == "bf16io" else x
+        xv = x.astype(jnp.bfloat16) if name.endswith("bf16io") else x
         got = np.asarray(fn(xv[:512], w)).astype(np.float32)
         err = float(np.max(np.abs(got - ref)))
-        tol = 5e-2 if name.startswith("bf16") else 1e-5
+        tol = 5e-2 if "bf16" in name else 1e-5
         assert err < tol, f"{name}: parity error {err}"
         rec = time_variant(name, fn, xv, w, iters)
         rec["parity_max_err"] = err
@@ -242,6 +261,9 @@ def main():
         if (N, K) == (16, 16)
         else f"layer_variants_N{N}K{K}.json"
     )
+    # quick smoke runs must never clobber the committed TPU records
+    if quick:
+        name = f"QUICK_{name}"
     (out / name).write_text(json.dumps(records, indent=1))
     print(f"records -> {out / name}")
 

@@ -55,8 +55,8 @@ def _cheb_blocks(t, dp1):
     return ts[:dp1]
 
 
-def _fwd_kernel(dp1, x_ref, w_ref, out_ref):
-    t = jnp.tanh(x_ref[:])
+def _fwd_kernel(dp1, apply_tanh, x_ref, w_ref, out_ref):
+    t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
     basis = jnp.concatenate(_cheb_blocks(t, dp1), axis=1)  # [TB, dp1*in]
     # w2 stays f32 in HBM (it is tiny); cast to the basis dtype at the dot
     # so a bf16 x rides the native-bf16 MXU path with f32 accumulation
@@ -66,8 +66,8 @@ def _fwd_kernel(dp1, x_ref, w_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
-def _bwd_kernel(dp1, x_ref, w_ref, g_ref, dx_ref, dw_ref):
-    t = jnp.tanh(x_ref[:])
+def _bwd_kernel(dp1, apply_tanh, x_ref, w_ref, g_ref, dx_ref, dw_ref):
+    t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
     g = g_ref[:]
     n = t.shape[1]
     basis = jnp.concatenate(_cheb_blocks(t, dp1), axis=1)
@@ -96,7 +96,11 @@ def _bwd_kernel(dp1, x_ref, w_ref, g_ref, dx_ref, dw_ref):
             preferred_element_type=jnp.float32,
         )
         dt += (float(d) * us[d - 1]) * gm_d
-    dx_ref[:] = ((1.0 - t * t) * dt).astype(dx_ref.dtype)
+    # tanh chain rule only when the kernel applied tanh; raw-basis mode
+    # (apply_tanh=False, the QKANLayer semantics) backprops dt directly
+    dx_ref[:] = (((1.0 - t * t) * dt) if apply_tanh else dt).astype(
+        dx_ref.dtype
+    )
 
 
 def _batch_tile(b: int) -> int:
@@ -113,27 +117,31 @@ def _pad_batch(x, tile):
     return x, b
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def kan_layer_fused(
-    x: jax.Array, w2: jax.Array, dp1: int, interpret: bool = False
+    x: jax.Array, w2: jax.Array, dp1: int, interpret: bool = False,
+    apply_tanh: bool = True,
 ):
     """Fused layer: [B, in] x degree-major [dp1*in, T] -> [B, T] float32.
 
     ``x`` may be f32 or bf16 (the tanh + recurrence run in x's dtype,
     matching the bf16io recipe); accumulation is always f32.
-    Differentiable in ``x`` and ``w2``.
+    Differentiable in ``x`` and ``w2``.  ``apply_tanh=False`` runs the
+    Chebyshev recurrence on raw ``x`` (the ``ops.qkan_layer`` batched-layer
+    semantics, where tanh lives upstream) -- callers then own the [-1, 1]
+    domain guarantee, as with ``chebyshev_basis``.
     """
-    return _fused_fwd(x, w2, dp1, interpret)[0]
+    return _fused_fwd(x, w2, dp1, interpret, apply_tanh)[0]
 
 
-def _fused_fwd(x, w2, dp1, interpret):
+def _fused_fwd(x, w2, dp1, interpret, apply_tanh=True):
     tb = _batch_tile(x.shape[0])
     xp, b = _pad_batch(x, tb)
     bp = xp.shape[0]
     n = x.shape[1]
     t_dim = w2.shape[1]
     out = pl.pallas_call(
-        partial(_fwd_kernel, dp1),
+        partial(_fwd_kernel, dp1, apply_tanh),
         grid=(bp // tb,),
         in_specs=[
             pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -150,7 +158,7 @@ def _fused_fwd(x, w2, dp1, interpret):
     return out[:b], (x, w2)
 
 
-def _fused_bwd(dp1, interpret, res, g):
+def _fused_bwd(dp1, interpret, apply_tanh, res, g):
     x, w2 = res
     tb = _batch_tile(x.shape[0])
     xp, b = _pad_batch(x, tb)
@@ -159,7 +167,7 @@ def _fused_bwd(dp1, interpret, res, g):
     n = x.shape[1]
     t_dim = w2.shape[1]
     dx, dw = pl.pallas_call(
-        partial(_bwd_kernel, dp1),
+        partial(_bwd_kernel, dp1, apply_tanh),
         grid=(bp // tb,),
         in_specs=[
             pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -120,3 +120,53 @@ def test_fused_raw_op_degree_major_contract():
     basis = np.concatenate(ts[:dp1], axis=1)
     want = basis @ np.asarray(w_dm)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_fused_raw_chebyshev_mode_matches_qkan_layer():
+    """apply_tanh=False runs the recurrence on raw x: forward AND both
+    cotangents must match qkan_layer_forward_batched (the QKANLayer
+    semantics, tanh upstream) under the degree-major weight fold -- the
+    contract the r4 K=128 MFU shootout relies on."""
+    from qkan_implementation_tpu.ops.qkan_layer import (
+        qkan_layer_forward_batched,
+        qkan_weight_tensor,
+    )
+
+    rng = np.random.default_rng(7)
+    N, K, D = 16, 8, 7
+    x = jnp.asarray(rng.uniform(-1, 1, (37, N)), dtype=jnp.float32)
+    w = jnp.asarray(rng.uniform(-1, 1, (D + 1, N * K)), dtype=jnp.float32)
+
+    def ref(x, w):
+        return qkan_layer_forward_batched(x, w, N, K)
+
+    def fused(x, w):
+        M = qkan_weight_tensor(w, N, K)
+        w2 = M.transpose(2, 1, 0).reshape(-1, K)
+        return kan_layer_fused(x, w2, D + 1, True, False)  # interpret, no tanh
+
+    np.testing.assert_allclose(
+        np.asarray(fused(x, w)), np.asarray(ref(x, w)), rtol=1e-5, atol=1e-5
+    )
+
+    def loss(fn):
+        def f(x, w):
+            return jnp.sum(jnp.sin(fn(x, w)))
+        return jax.grad(f, argnums=(0, 1))
+
+    dx_r, dw_r = loss(ref)(x, w)
+    dx_f, dw_f = loss(fused)(x, w)
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_f), np.asarray(dw_r), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_tanh_mode_unchanged_by_flag_default():
+    """The apply_tanh flag must default to the original tanh semantics."""
+    rng = np.random.default_rng(8)
+    in_dim, T, dp1 = 5, 3, 4
+    w_dm = jnp.asarray(rng.normal(0, 1, (dp1 * in_dim, T)))
+    x = jnp.asarray(rng.uniform(-2, 2, (9, in_dim)))
+    np.testing.assert_array_equal(
+        np.asarray(kan_layer_fused(x, w_dm, dp1, True)),
+        np.asarray(kan_layer_fused(x, w_dm, dp1, True, True)),
+    )
