@@ -58,7 +58,7 @@ def run_mnist_experiment(
     weight_batch_size: int = 64,
     weight_backend: str = "xla",
     weight_compute_dtype=None,
-    weight_matmul_precision: str | None = None,
+    weight_matmul_precision: str | None = "auto",
     verbose: bool = True,
 ) -> Dict:
     """One full structure-optimization + evaluation run.

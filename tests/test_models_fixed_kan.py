@@ -617,8 +617,8 @@ def test_train_matmul_precision_knob():
             kan.train(x, y, epochs=3, loss="mse", seed=0, **kw)
         )
 
-    base = run()
-    for prec in ("high", "highest"):
+    base = run()  # default 'auto' -> 'high' on the xla backend
+    for prec in ("high", "highest", None):
         np.testing.assert_allclose(run(matmul_precision=prec), base, rtol=1e-6)
 
     kan = FixedKAN(FixedKANConfig(network_shape=[1, 4, 1], max_degree=3))
