@@ -95,6 +95,32 @@ class FixedKANConfig:
         },
     }
 
+    # FixedKAN.train(**kwargs) bundles for the same two philosophies.
+    # 'reference' keeps its trainer semantics (horizontal scalars only,
+    # constant lr, no clipping -- reference :309-333); 'recommended' is
+    # the measured flagship recipe (docs/benchmarks.md quality table:
+    # full-gradient refinement, fan-in-scaled lr, clip 1.0, 30-epoch
+    # cosine schedule -- 0.886 +- 0.008 CPU / band-matching TPU with the
+    # default 'high' training-matmul precision).  Merge explicit choices
+    # over the bundle: kan.train(x, y, **{**TRAIN_PRESETS['recommended'],
+    # 'epochs': 15}).
+    TRAIN_PRESETS = {
+        "reference": {
+            "trainable": "horizontal",
+            "lr_scale": "none",
+            "lr_schedule": "none",
+            "grad_clip": None,
+        },
+        "recommended": {
+            "trainable": "all",
+            "lr_scale": "fanin",
+            "lr_schedule": "cosine",
+            "grad_clip": 1.0,
+            "learning_rate": 0.002,
+            "epochs": 30,
+        },
+    }
+
     @classmethod
     def preset(
         cls, name: str, network_shape: List[int], max_degree: int, **overrides

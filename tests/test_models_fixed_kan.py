@@ -1005,3 +1005,17 @@ def test_optimize_mesh_nondivisible_warns_not_silent():
         warnings.simplefilter("always")
         FixedKAN(cfg).optimize(x, y, solver="exact", mesh=mesh)
     assert any("unsharded" in str(x.message) for x in w)
+
+
+def test_train_presets_bundle():
+    """FixedKANConfig.TRAIN_PRESETS: 'reference' keeps the reference trainer
+    semantics, 'recommended' is the measured flagship recipe; both must be
+    valid train() kwargs end-to-end, and merging explicit overrides must
+    win (the documented usage)."""
+    x, y = quadratic_data(n=200)
+    for name, bundle in FixedKANConfig.TRAIN_PRESETS.items():
+        kan = FixedKAN(FixedKANConfig(network_shape=[1, 4, 1], max_degree=3))
+        kan.optimize(x, y, solver="exact")
+        kw = {**bundle, "epochs": 2, "loss": "mse"}  # overrides win
+        losses = kan.train(x, y, **kw)
+        assert len(losses) == 2 and np.isfinite(losses).all(), name
