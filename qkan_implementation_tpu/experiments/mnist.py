@@ -146,6 +146,8 @@ def run_mnist_experiment(
         weight_time = time.time() - weight_start
         train_losses = [float(l) for l in kan.last_train_losses]
         train_diverged = kan.last_train_diverged
+        # record the RESOLVED precision ('auto' -> what actually ran)
+        weight_matmul_precision = kan.last_matmul_precision
 
     def accuracy(x, labels):
         pred = np.asarray(kan(jnp.asarray(x)))

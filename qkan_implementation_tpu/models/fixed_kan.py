@@ -1100,6 +1100,9 @@ class FixedKAN:
 
         if matmul_precision == "auto":
             matmul_precision = "high" if backend == "xla" else None
+        # resolved value exposed for run records (provenance: 'auto' alone
+        # doesn't say what the step actually ran)
+        self.last_matmul_precision = matmul_precision
         # the precision context must wrap the epoch_fn TRACE (first call),
         # and jit keys on the ambient precision config, so wrapping the
         # whole loop is both necessary and cache-correct
