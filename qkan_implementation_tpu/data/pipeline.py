@@ -127,7 +127,7 @@ def generate_market_parquet(
         interaction losses take the *achievable* val comp-R^2 below
         ``signal_frac``);
       * heavy-tailed t(3) noise and lognormal weights scaled down on
-        high-volatility dates (volatility-aware sizing, like the
+        high-volatility rows (volatility-aware sizing, like the
         competition metric's weights).
 
       Calibration (r4, measured): a reference-faithful degree-3 search
@@ -186,7 +186,7 @@ def generate_market_parquet(
         target = np.sqrt(signal_frac) * signal + np.sqrt(
             1.0 - signal_frac
         ) * noise
-        # volatility-aware weights: high-|factor| dates sized down
+        # volatility-aware weights: high-|factor| rows sized down
         date_vol = np.abs(factors[:, 0]) + 0.5
         data["weight"] = rng.lognormal(0.0, 0.4, n_rows) / date_vol
     else:
