@@ -1,0 +1,102 @@
+"""Is the residual TPU quality gap in the INFERENCE forward?
+
+r4 on-chip bands: with training matmuls pinned ('high'), TPU and CPU reach
+the SAME final training loss (~0.21) yet report different accuracies
+(train 0.86 vs 0.93) -- and the loss is computed inside the pinned
+training scan while accuracy runs the serving forward at the device
+default (ONE bf16 pass).  At the flagship first layer the contraction is
+F = 784*(D+1) = 4704 terms: per-term bf16 rounding (~4e-3 relative) over
+thousands of partially-cancelling terms can shift logits by percents,
+flipping argmax near decision boundaries -- invisible at the N=16
+contract scale (1.1e-5, tpu_contracts.py).
+
+This probe trains ONE flagship cell (the reproducible evidence recipe),
+then evaluates the SAME parameters twice: device-default forward vs
+precision-pinned forward.  A material accuracy delta convicts the
+inference path; parity acquits it.
+
+Run: PYTHONPATH=. python benchmarks/eval_precision_probe.py [--seed 2]
+"""
+
+from qkan_implementation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import argparse
+import json
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=2,
+                    help="2 = the weakest seed of the r4 TPU 3-seed band")
+    ap.add_argument("--train-size", type=int, default=10000)
+    args = ap.parse_args()
+
+    from qkan_implementation_tpu.data.mnist import (
+        load_digits_784,
+        sample_train_subset,
+        to_one_hot,
+    )
+    from qkan_implementation_tpu.models import FixedKAN, FixedKANConfig
+
+    x_train_full, y_train_full, meta = load_digits_784(
+        train=True, augment_to=args.train_size, seed=args.seed
+    )
+    x_test, y_test, _ = load_digits_784(train=False)
+    x_train, y_labels = sample_train_subset(
+        x_train_full, y_train_full, args.train_size, seed=args.seed
+    )
+    y_1h = to_one_hot(y_labels, 10)
+
+    kan = FixedKAN(FixedKANConfig(
+        network_shape=[meta["image_dim"], 32, 16, 16, 10], max_degree=5,
+        complexity_weight=0.001, degree_objective="penalized_mse",
+        consistent_tanh=True, lstsq_method="normal",
+    ))
+    kan.optimize(jnp.asarray(x_train), jnp.asarray(y_1h), seed=args.seed)
+    kan.train(
+        jnp.asarray(x_train), jnp.asarray(y_labels), epochs=15,
+        learning_rate=0.002, trainable="all", lr_scale="fanin",
+        grad_clip=1.0, batch_size=64, seed=args.seed,
+    )
+
+    def acc(x, labels, precision):
+        import contextlib
+        ctx = (
+            jax.default_matmul_precision(precision)
+            if precision else contextlib.nullcontext()
+        )
+        with ctx:
+            pred = np.asarray(kan(jnp.asarray(x)))
+        return float((pred.argmax(axis=1) == labels).mean())
+
+    rec = {"seed": args.seed, "device": str(jax.devices()[0])}
+    for name, prec in [("default", None), ("high", "high"),
+                       ("highest", "highest")]:
+        rec[f"train_acc_{name}"] = acc(x_train, y_labels, prec)
+        rec[f"test_acc_{name}"] = acc(x_test, y_test, prec)
+        print(name, rec[f"train_acc_{name}"], rec[f"test_acc_{name}"],
+              flush=True)
+    rec["train_delta_high_vs_default"] = round(
+        rec["train_acc_high"] - rec["train_acc_default"], 4
+    )
+    rec["test_delta_high_vs_default"] = round(
+        rec["test_acc_high"] - rec["test_acc_default"], 4
+    )
+    out = pathlib.Path(__file__).resolve().parent / "records"
+    out.mkdir(parents=True, exist_ok=True)
+    plat = jax.devices()[0].platform
+    (out / f"eval_precision_probe_{plat}.json").write_text(
+        json.dumps(rec, indent=1)
+    )
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

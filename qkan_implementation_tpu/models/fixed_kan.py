@@ -79,6 +79,12 @@ class FixedKANConfig:
     # HBM -- the wide-layer training/serving recipe; same math, see
     # ops/fused_layer.py).  Incompatible with compute_dtype='int8'.
     layer_backend: str = "xla"
+    # TPU multiply-pass policy for the f32 forward matmul: 'auto' pins
+    # 'high' (bf16x3) on layers whose fan-in in*(D+1) >= 512, because one
+    # bf16 pass measurably costs ACCURACY at wide layers (5.6 test points
+    # at the flagship shape on identical parameters -- r4
+    # eval_precision_probe); None = device default everywhere.
+    forward_matmul_precision: Optional[str] = "auto"
 
     #: Named switch bundles for the reference-faithful-vs-fixed behaviors.
     #: 'reference' keeps the dataclass defaults (every reference quirk
@@ -292,12 +298,32 @@ def _layer_gram_kernels(dp1: int, in_dim: int, ridge: float):
     return gram_fn, solve_fn
 
 
+# Fan-in threshold for the forward precision policy: one bf16 pass carries
+# ~4e-3 relative error PER PRODUCT, and over a partially-cancelling
+# F-term contraction the logit error grows ~sqrt(F).  Measured anchors
+# (r4): F=128 is harmless (1.1e-5 layer contract, tpu_contracts.py);
+# F=4704 (flagship layer-0) costs 5.6-6.7 ACCURACY POINTS on the same
+# trained parameters (benchmarks/eval_precision_probe.py: test 0.806 ->
+# 0.861, train 0.864 -> 0.931 just by pinning the eval forward).  512 =
+# 2x the known-good scale, conservative side of the known-bad.
+_FORWARD_PRECISION_MIN_FANIN = 512
+
+
+def _resolve_forward_precision(matmul_precision, fan_in: int):
+    if matmul_precision == "auto":
+        return (
+            "high" if fan_in >= _FORWARD_PRECISION_MIN_FANIN else None
+        )
+    return matmul_precision
+
+
 def kan_layer_apply(
     layer_params: dict,
     x: jax.Array,
     max_degree: int,
     compute_dtype=None,
     backend: str = "xla",
+    matmul_precision: str | None = "auto",
 ) -> jax.Array:
     """Apply one KAN layer: [B, in] -> [B, target_dim].
 
@@ -325,6 +351,18 @@ def kan_layer_apply(
     under x64 the weights/inputs are downcast and the output is float32
     (unlike 'xla', which follows the param dtype).  Composes with float
     compute_dtypes but not 'int8'.
+
+    ``matmul_precision`` governs the f32 layer matmul's TPU multiply
+    passes.  Default ``'auto'``: layers whose contraction fan-in
+    in*(D+1) reaches ``_FORWARD_PRECISION_MIN_FANIN`` run ``'high'``
+    (bf16x3); narrow layers keep the device default (its error is below
+    any decision threshold there -- the measured 1.1e-5 N=16 contract).
+    This is NOT a micro-optimization: at the flagship shape the device
+    default's single bf16 pass costs 5.6 accuracy points of pure EVAL
+    error on identical parameters (eval_precision_probe, r4).  Explicit
+    ``None`` opts into the device default everywhere; ignored by the
+    int8/bf16io recipes (their precision is the recipe) and the fused
+    backend (kernel-controlled).
     """
     if backend not in ("xla", "fused"):
         raise ValueError(
@@ -364,7 +402,10 @@ def kan_layer_apply(
         "oidt,od->idt", coeffs, mask.astype(coeffs.dtype) * hw[:, None]
     ).reshape(-1, coeffs.shape[-1])  # [in*(D+1), T]
     if compute_dtype is None:
-        return basis.reshape(b, -1) @ W
+        prec = _resolve_forward_precision(matmul_precision, W.shape[0])
+        # precision=None defers to the ambient default, so this composes
+        # with (and is consistent under) train()'s 'high' context
+        return jnp.matmul(basis.reshape(b, -1), W, precision=prec)
     if jnp.dtype(compute_dtype) == jnp.int8:
         from qkan_implementation_tpu.ops.qkan_layer import (
             int8_quantized_matmul,
@@ -387,12 +428,14 @@ def kan_apply(
     max_degree: int,
     compute_dtype=None,
     backend: str = "xla",
+    matmul_precision: str | None = "auto",
 ) -> jax.Array:
     """Full forward pass through all layers (FixedKAN.forward:369-374)."""
     current = x
     for layer_params in params:
         current = kan_layer_apply(
-            layer_params, current, max_degree, compute_dtype, backend
+            layer_params, current, max_degree, compute_dtype, backend,
+            matmul_precision,
         )
     return current
 
@@ -416,6 +459,7 @@ class FixedKAN:
                 max_degree=config.max_degree,
                 compute_dtype=cd,
                 backend=config.layer_backend,
+                matmul_precision=config.forward_matmul_precision,
             ),
         )
 

@@ -1019,3 +1019,44 @@ def test_train_presets_bundle():
         kw = {**bundle, "epochs": 2, "loss": "mse"}  # overrides win
         losses = kan.train(x, y, **kw)
         assert len(losses) == 2 and np.isfinite(losses).all(), name
+
+
+def test_forward_matmul_precision_policy():
+    """The 'auto' forward policy pins 'high' at fan-in >= 512 and leaves
+    narrow layers on the device default; on CPU every choice is the same
+    true-f32 math (the knob only changes TPU MXU pass counts).  Exists
+    because one bf16 pass cost 5.6 test-accuracy points of pure EVAL error
+    at the flagship shape (r4 eval_precision_probe)."""
+    from qkan_implementation_tpu.models.fixed_kan import (
+        _FORWARD_PRECISION_MIN_FANIN,
+        _resolve_forward_precision,
+        kan_layer_apply,
+    )
+
+    assert _resolve_forward_precision("auto", 511) is None
+    assert _resolve_forward_precision("auto", 512) == "high"
+    assert _resolve_forward_precision(None, 10_000) is None  # explicit opt-out
+    assert _resolve_forward_precision("highest", 4) == "highest"
+
+    rng = np.random.default_rng(3)
+    D = 5
+    in_dim = 100  # fan-in 600 >= 512: the 'auto' path takes the pinned branch
+    lp = {
+        "degrees": jnp.asarray(rng.integers(0, D + 1, 7).astype(np.int32)),
+        "coefficients": jnp.asarray(rng.normal(0, 0.3, (7, in_dim, D + 1, 3))),
+        "horizontal_weights": jnp.asarray(rng.normal(0, 1, 7)),
+    }
+    x = jnp.asarray(rng.uniform(-1, 1, (13, in_dim)))
+    base = np.asarray(kan_layer_apply(lp, x, D, matmul_precision=None))
+    for prec in ("auto", "high", "highest"):
+        np.testing.assert_allclose(
+            np.asarray(kan_layer_apply(lp, x, D, matmul_precision=prec)),
+            base, rtol=1e-6,
+        )
+
+    # config plumbing: the field reaches the jitted forward, and an old
+    # checkpoint dict without the field still constructs (default applies)
+    cfg = FixedKANConfig(network_shape=[1, 4, 1], max_degree=3)
+    assert cfg.forward_matmul_precision == "auto"
+    old_style = dict(network_shape=[1, 4, 1], max_degree=3)
+    assert FixedKANConfig(**old_style).forward_matmul_precision == "auto"
