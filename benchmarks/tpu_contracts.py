@@ -138,6 +138,44 @@ def main():
         np.linalg.norm(np.asarray(c_dev) - c_ref) / np.linalg.norm(c_ref)
     )
 
+    # 7. forward-precision policy at flagship fan-in (r4).  The model
+    # forward defaults to a fan-in-aware precision policy
+    # (forward_matmul_precision='auto': F >= 512 pins bf16x3) because one
+    # bf16 pass at F=4704 measured 5.6 test-accuracy points of pure eval
+    # error (eval_precision_probe).  This contract runs the flagship
+    # layer-0 shape under the DEFAULT policy vs host f64: if the policy is
+    # ever silently disabled, the error jumps ~two orders to the
+    # single-pass level and the floor gate exits 1.
+    from qkan_implementation_tpu.models.fixed_kan import kan_layer_apply
+
+    in_dim, out, t_dim, D = 784, 32, 10, 5
+    lp = {
+        "degrees": jnp.asarray(
+            rng.integers(0, D + 1, out).astype(np.int32)
+        ),
+        "coefficients": jnp.asarray(
+            rng.normal(0, 0.3, (out, in_dim, D + 1, t_dim)),
+            dtype=jnp.float32,
+        ),
+        "horizontal_weights": jnp.asarray(
+            rng.normal(0, 1, out), dtype=jnp.float32
+        ),
+    }
+    xf = jnp.asarray(rng.uniform(-1, 1, (256, in_dim)), dtype=jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda p, xb: kan_layer_apply(p, xb, D)
+    )(lp, xf), dtype=np.float64)
+    lp64 = {
+        k: jnp.asarray(np.asarray(v, np.float64)) if k != "degrees" else v
+        for k, v in lp.items()
+    }
+    want = np.asarray(
+        kan_layer_apply(lp64, jnp.asarray(np.asarray(xf, np.float64)), D)
+    )
+    results["layer_forward_policy_F4704"] = float(
+        np.linalg.norm(got - want) / np.linalg.norm(want)
+    )
+
     reference_bars = {
         "cheb_dilated_N4_deg8": 1e-15,  # ChebyshevStep.py:133 (x64 bar)
         "mul_deg0": 1e-6,
@@ -171,6 +209,10 @@ def main():
         # Ridge-bias dominated (lambda=1e-4 vs exact lstsq), not pure f32
         # noise: CPU f32 with the same 'highest' pin measures 1.7e-3.
         "gram_solve_coeff_relerr_F384": 4.0e-03,
+        # bf16x3 at F=4704 lands ~1e-6 (f32 rounding); a silently-disabled
+        # policy (single bf16 pass) measures ~1e-3 relative -- two orders
+        # past this floor.
+        "layer_forward_policy_F4704": 5.0e-05,
     }
     regressions = check_chip_floor(
         results, chip_floor, gate=jax.devices()[0].platform == "tpu"
