@@ -71,6 +71,12 @@ class FixedKANConfig:
     # B=16384); the win appears on WIDE layers like the QKAN batched op
     # (docs/benchmarks.md bf16io: 1.57x at K=128) -- the flag exists for
     # those deployments and for halving activation bandwidth.
+    # ACCURACY caveat (r4, measured): at flagship fan-in (4704-term
+    # contractions) bf16 products cost ~12 test-accuracy points vs the
+    # default fan-in-aware f32 policy, and 'int8' collapses to CHANCE
+    # there (eval_precision_probe_tpu.json) -- both recipes are for
+    # NARROW layers (fan-in < ~512), where their error is harmless and
+    # contract-pinned.
     # 'int8' selects the quantized serving path (inference-only; training
     # methods always run the exact-f32 kan_apply regardless of this flag).
     compute_dtype: Optional[str] = None
@@ -411,6 +417,25 @@ def kan_layer_apply(
             int8_quantized_matmul,
         )
 
+        if W.shape[0] >= _FORWARD_PRECISION_MIN_FANIN:
+            import warnings
+
+            # measured r4 (eval_precision_probe_tpu.json): per-element
+            # ~4e-3 quantization noise random-walks through the 4704-term
+            # flagship contraction into O(1) logit error -- int8 serving
+            # scored CHANCE accuracy there.  The recipe is sound only at
+            # narrow fan-in (the ~1e-3 relative error the tests pin is an
+            # N=16-scale number).
+            warnings.warn(
+                f"int8 serving at fan-in {W.shape[0]} >= "
+                f"{_FORWARD_PRECISION_MIN_FANIN}: quantization noise at "
+                "this contraction width measured CHANCE accuracy on the "
+                "flagship shape; use compute_dtype=None (the fan-in-aware "
+                "precision policy serves at full accuracy there -- bf16io "
+                "loses ~12 test points at this width too, "
+                "eval_precision_probe_tpu.json)",
+                stacklevel=2,
+            )
         return int8_quantized_matmul(basis.reshape(b, -1), W)
     # bf16io: cast the FINAL dot operands only (after reshape -- the
     # cast-placement rule of ops/qkan_layer.py), accumulate f32

@@ -59,10 +59,16 @@ def _fwd_kernel(dp1, apply_tanh, x_ref, w_ref, out_ref):
     t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
     basis = jnp.concatenate(_cheb_blocks(t, dp1), axis=1)  # [TB, dp1*in]
     # w2 stays f32 in HBM (it is tiny); cast to the basis dtype at the dot
-    # so a bf16 x rides the native-bf16 MXU path with f32 accumulation
+    # so a bf16 x rides the native-bf16 MXU path with f32 accumulation.
+    # precision=HIGHEST: without it the f32 dot lowers to ONE bf16 pass
+    # (measured r4: the fused serving forward then scores IDENTICALLY to
+    # the single-pass XLA default -- 0.756 vs 0.878 test at flagship
+    # fan-in, eval_precision_probe_tpu.json); for bf16 inputs the hint is
+    # a no-op, so the bf16io recipe keeps its native single-pass speed
     out_ref[:] = jnp.dot(
         basis, w_ref[:].astype(basis.dtype),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(out_ref.dtype)
 
 
@@ -78,10 +84,13 @@ def _bwd_kernel(dp1, apply_tanh, x_ref, w_ref, g_ref, dx_ref, dw_ref):
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     # dW dot is tiny ([F, TB] @ [TB, T]); run it f32 so the accumulated
-    # weight cotangent never round-trips through bf16
+    # weight cotangent never round-trips through bf16.  precision=HIGHEST
+    # because f32 INPUTS alone don't buy f32 MULTIPLIES on the MXU (the
+    # device default is one bf16 pass -- the r4 finding)
     dw_ref[:] += jnp.dot(
         basis.astype(jnp.float32).T, g,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(dw_ref.dtype)
 
     # dx: d(out)/d(t) via T'_d = d * U_{d-1}, then the tanh chain rule.
@@ -94,6 +103,7 @@ def _bwd_kernel(dp1, apply_tanh, x_ref, w_ref, g_ref, dx_ref, dw_ref):
         gm_d = jnp.dot(
             g, w_ref[d * n : (d + 1) * n, :].T,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dt += (float(d) * us[d - 1]) * gm_d
     # tanh chain rule only when the kernel applied tanh; raw-basis mode
