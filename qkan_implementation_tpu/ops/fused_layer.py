@@ -47,6 +47,36 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_B = 256
 
 
+def _dot_x3(a, b, split: bool):
+    """~f32-accurate dot for f32 operands on an MXU that multiplies bf16.
+
+    When ``split`` (the compiled-TPU path), f32 operands are decomposed
+    into hi (bf16) + lo (bf16 of the residual) and the three significant
+    cross terms accumulate in f32 -- the bf16_3x algorithm XLA uses for
+    ``precision='high'``, done MANUALLY because this Mosaic version
+    rejects precision hints on in-kernel dots ("Bad lhs type", r4).
+    Without it the kernel's "f32" dot runs ONE bf16 pass and the fused
+    serving forward measured identical accuracy to the single-pass XLA
+    default (test 0.756 vs 0.878 on the same parameters,
+    eval_precision_probe_tpu.json).  bf16 operands pass through as one
+    native dot (they carry no lo part); the lo@lo term is below f32
+    rounding and skipped.  Interpret mode (CPU suite, possibly x64) sets
+    ``split=False``: the host multiplies exactly at the input dtype.
+    """
+    if (
+        not split
+        or a.dtype != jnp.float32
+        or b.dtype != jnp.float32
+    ):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _cheb_blocks(t, dp1):
     """[T_0 | T_1 | ... | T_D](t) of a [TB, in] tile, degree-major list."""
     ts = [jnp.ones_like(t), t]
@@ -55,24 +85,18 @@ def _cheb_blocks(t, dp1):
     return ts[:dp1]
 
 
-def _fwd_kernel(dp1, apply_tanh, x_ref, w_ref, out_ref):
+def _fwd_kernel(dp1, apply_tanh, split, x_ref, w_ref, out_ref):
     t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
     basis = jnp.concatenate(_cheb_blocks(t, dp1), axis=1)  # [TB, dp1*in]
-    # w2 stays f32 in HBM (it is tiny); cast to the basis dtype at the dot
-    # so a bf16 x rides the native-bf16 MXU path with f32 accumulation.
-    # precision=HIGHEST: without it the f32 dot lowers to ONE bf16 pass
-    # (measured r4: the fused serving forward then scores IDENTICALLY to
-    # the single-pass XLA default -- 0.756 vs 0.878 test at flagship
-    # fan-in, eval_precision_probe_tpu.json); for bf16 inputs the hint is
-    # a no-op, so the bf16io recipe keeps its native single-pass speed
-    out_ref[:] = jnp.dot(
-        basis, w_ref[:].astype(basis.dtype),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(out_ref.dtype)
+    # w2 stays f32 in HBM (it is tiny); for a bf16 x the dot rides the
+    # native-bf16 MXU path (one pass, f32 accumulation); for f32 the
+    # _dot_x3 split buys ~f32-accurate products (see its docstring)
+    out_ref[:] = _dot_x3(basis, w_ref[:].astype(basis.dtype), split).astype(
+        out_ref.dtype
+    )
 
 
-def _bwd_kernel(dp1, apply_tanh, x_ref, w_ref, g_ref, dx_ref, dw_ref):
+def _bwd_kernel(dp1, apply_tanh, split, x_ref, w_ref, g_ref, dx_ref, dw_ref):
     t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
     g = g_ref[:]
     n = t.shape[1]
@@ -83,15 +107,13 @@ def _bwd_kernel(dp1, apply_tanh, x_ref, w_ref, g_ref, dx_ref, dw_ref):
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    # dW dot is tiny ([F, TB] @ [TB, T]); run it f32 so the accumulated
-    # weight cotangent never round-trips through bf16.  precision=HIGHEST
-    # because f32 INPUTS alone don't buy f32 MULTIPLIES on the MXU (the
-    # device default is one bf16 pass -- the r4 finding)
-    dw_ref[:] += jnp.dot(
-        basis.astype(jnp.float32).T, g,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(dw_ref.dtype)
+    # dW dot is tiny ([F, TB] @ [TB, T]); f32 INPUTS alone don't buy f32
+    # MULTIPLIES on the MXU (the device default is one bf16 pass -- the
+    # r4 finding), so the accumulated weight cotangent goes through the
+    # _dot_x3 split when the basis is f32
+    dw_ref[:] += _dot_x3(basis.astype(jnp.float32).T, g, split).astype(
+        dw_ref.dtype
+    )
 
     # dx: d(out)/d(t) via T'_d = d * U_{d-1}, then the tanh chain rule.
     # U recurrence: U_0 = 1, U_1 = 2t, U_d = 2t U_{d-1} - U_{d-2}.
@@ -100,11 +122,7 @@ def _bwd_kernel(dp1, apply_tanh, x_ref, w_ref, g_ref, dx_ref, dw_ref):
         us.append(2.0 * t * us[-1] - us[-2])
     dt = jnp.zeros(t.shape, dtype=jnp.float32)
     for d in range(1, dp1):
-        gm_d = jnp.dot(
-            g, w_ref[d * n : (d + 1) * n, :].T,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        gm_d = _dot_x3(g, w_ref[d * n : (d + 1) * n, :].T, split)
         dt += (float(d) * us[d - 1]) * gm_d
     # tanh chain rule only when the kernel applied tanh; raw-basis mode
     # (apply_tanh=False, the QKANLayer semantics) backprops dt directly
@@ -151,7 +169,7 @@ def _fused_fwd(x, w2, dp1, interpret, apply_tanh=True):
     n = x.shape[1]
     t_dim = w2.shape[1]
     out = pl.pallas_call(
-        partial(_fwd_kernel, dp1, apply_tanh),
+        partial(_fwd_kernel, dp1, apply_tanh, not interpret),
         grid=(bp // tb,),
         in_specs=[
             pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -177,7 +195,7 @@ def _fused_bwd(dp1, interpret, apply_tanh, res, g):
     n = x.shape[1]
     t_dim = w2.shape[1]
     dx, dw = pl.pallas_call(
-        partial(_bwd_kernel, dp1, apply_tanh),
+        partial(_bwd_kernel, dp1, apply_tanh, not interpret),
         grid=(bp // tb,),
         in_specs=[
             pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
