@@ -13,10 +13,33 @@ import os
 
 
 def apply_platform_env(var: str = "QKAN_PLATFORM") -> str | None:
-    """If the env var is set, force that platform via jax.config."""
+    """If the env var is set, force that platform via jax.config.
+
+    Also enables JAX's persistent compilation cache (measured working
+    THROUGH the remote-compile tunnel on this image: a second process's
+    compile of the same program dropped 0.72 s -> 0.09 s,
+    ``benchmarks/compile_cache_probe.py`` r4).  Remote compiles of the
+    flagship structure search measured 159 s vs 1,184 s across processes
+    for IDENTICAL shapes -- the cache turns every repeat run warm.
+    ``QKAN_COMPILE_CACHE`` overrides the directory; set it to ``0`` to
+    disable.
+    """
     value = os.environ.get(var)
     if value:
         import jax
 
         jax.config.update("jax_platforms", value)
+
+    cache = os.environ.get(
+        "QKAN_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/qkan_jax_compile"),
+    )
+    if cache and cache != "0":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        # default thresholds skip tiny/fast compiles; on a remote-compile
+        # backend EVERY compile pays the tunnel, so cache them all
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return value or None
