@@ -1060,3 +1060,37 @@ def test_forward_matmul_precision_policy():
     assert cfg.forward_matmul_precision == "auto"
     old_style = dict(network_shape=[1, 4, 1], max_degree=3)
     assert FixedKANConfig(**old_style).forward_matmul_precision == "auto"
+
+
+def test_int8_wide_fanin_warns():
+    """int8 serving at fan-in >= 512 must warn: it measured CHANCE accuracy
+    at the flagship contraction width (r4 eval_precision_probe) -- a user
+    pointing the quantized path at a wide layer should hear about it at
+    trace time, not discover it in production metrics."""
+    import warnings
+
+    from qkan_implementation_tpu.models.fixed_kan import kan_layer_apply
+
+    rng = np.random.default_rng(0)
+    D = 5
+
+    def layer(in_dim):
+        return {
+            "degrees": jnp.asarray(rng.integers(0, D + 1, 4).astype(np.int32)),
+            "coefficients": jnp.asarray(
+                rng.normal(0, 0.3, (4, in_dim, D + 1, 3)).astype(np.float32)
+            ),
+            "horizontal_weights": jnp.asarray(
+                rng.normal(0, 1, 4).astype(np.float32)
+            ),
+        }
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        kan_layer_apply(layer(100), jnp.ones((4, 100), jnp.float32), D, jnp.int8)
+    assert any("int8 serving at fan-in" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        kan_layer_apply(layer(16), jnp.ones((4, 16), jnp.float32), D, jnp.int8)
+    assert not any("int8 serving" in str(x.message) for x in w)  # narrow: fine
