@@ -1,0 +1,52 @@
+"""apply_platform_env: platform forcing + persistent-compile-cache wiring.
+
+The cache is the r4 remote-compile fix (second process 0.72s -> 0.09s,
+benchmarks/compile_cache_probe.py); these tests pin the env contract in
+subprocesses so the suite's own jax config stays untouched.
+"""
+
+import os
+import subprocess
+import sys
+
+SNIPPET = """
+import jax
+from qkan_implementation_tpu.utils.platform import apply_platform_env
+apply_platform_env()
+print("CACHE_DIR=", jax.config.jax_compilation_cache_dir, sep="")
+print("MIN_SECS=", jax.config.jax_persistent_cache_min_compile_time_secs, sep="")
+"""
+
+
+def run(env_extra):
+    env = dict(os.environ, QKAN_PLATFORM="cpu", **env_extra)
+    out = subprocess.run(
+        [sys.executable, "-c", SNIPPET], capture_output=True, text=True,
+        env=env, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    return dict(
+        line.split("=", 1) for line in out.stdout.splitlines() if "=" in line
+    )
+
+
+def test_cache_enabled_by_default(tmp_path):
+    got = run({"QKAN_COMPILE_CACHE": str(tmp_path / "cache")})
+    assert got["CACHE_DIR"] == str(tmp_path / "cache")
+    assert float(got["MIN_SECS"]) == 0.0
+
+
+def test_cache_opt_out():
+    got = run({"QKAN_COMPILE_CACHE": "0"})
+    assert got["CACHE_DIR"] == "None"
+
+
+def test_cache_default_location():
+    env = dict(os.environ, QKAN_PLATFORM="cpu")
+    env.pop("QKAN_COMPILE_CACHE", None)
+    out = subprocess.run(
+        [sys.executable, "-c", SNIPPET], capture_output=True, text=True,
+        env=env, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert ".cache/qkan_jax_compile" in out.stdout
