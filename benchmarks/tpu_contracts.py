@@ -165,13 +165,28 @@ def main():
     got = np.asarray(jax.jit(
         lambda p, xb: kan_layer_apply(p, xb, D)
     )(lp, xf), dtype=np.float64)
-    lp64 = {
-        k: jnp.asarray(np.asarray(v, np.float64)) if k != "degrees" else v
-        for k, v in lp.items()
-    }
-    want = np.asarray(
-        kan_layer_apply(lp64, jnp.asarray(np.asarray(xf, np.float64)), D)
+    # Host f64 reference in PURE numpy.  (A jnp-based reference would
+    # silently downcast to f32 without x64 AND re-run the same on-device
+    # policy as `got`, making the contract vacuous: both sides would drop
+    # to a single bf16 pass together and the gate could never fire.)
+    x64 = np.asarray(xf, np.float64)
+    t64 = np.tanh(x64)
+    basis64 = np.empty(t64.shape + (D + 1,), np.float64)
+    basis64[..., 0] = 1.0
+    basis64[..., 1] = t64
+    for k in range(2, D + 1):
+        basis64[..., k] = (
+            2.0 * t64 * basis64[..., k - 1] - basis64[..., k - 2]
+        )
+    mask64 = (
+        np.arange(D + 1)[None, :] <= np.asarray(lp["degrees"])[:, None]
     )
+    W64 = np.einsum(
+        "oidt,od->idt",
+        np.asarray(lp["coefficients"], np.float64),
+        mask64 * np.asarray(lp["horizontal_weights"], np.float64)[:, None],
+    ).reshape(-1, t_dim)
+    want = basis64.reshape(x64.shape[0], -1) @ W64
     results["layer_forward_policy_F4704"] = float(
         np.linalg.norm(got - want) / np.linalg.norm(want)
     )
@@ -209,9 +224,12 @@ def main():
         # Ridge-bias dominated (lambda=1e-4 vs exact lstsq), not pure f32
         # noise: CPU f32 with the same 'highest' pin measures 1.7e-3.
         "gram_solve_coeff_relerr_F384": 4.0e-03,
-        # bf16x3 at F=4704 lands ~1e-6 (f32 rounding); a silently-disabled
-        # policy (single bf16 pass) measures ~1e-3 relative -- two orders
-        # past this floor.
+        # vs HOST f64: bf16x3 at F=4704 measured 2.2e-5 on-chip (CPU f32
+        # 5.4e-7); a silently-disabled policy (single bf16 pass) measured
+        # 1.5e-3 -- 30x past this floor, so the gate separates cleanly in
+        # both directions.  (The earlier-committed 2.1e-7 was a vacuous
+        # jit-vs-eager comparison -- both sides ran the same on-device
+        # policy; fixed to a pure-numpy f64 reference this revision.)
         "layer_forward_policy_F4704": 5.0e-05,
     }
     regressions = check_chip_floor(

@@ -966,8 +966,15 @@ class FixedKAN:
                 y1h = y
 
             def loss_fn(params, xb, yb):
+                # matmul_precision=None: inside train() the ambient
+                # default_matmul_precision context (resolved below) owns
+                # EVERY matmul's numerics.  Letting the forward re-pin its
+                # own 'auto' policy here would make train(None) silently
+                # keep 'high' at wide layers and would DOWNGRADE an
+                # explicit train('highest') to 'high' there.
                 logits = kan_apply(
-                    params, xb, max_degree, compute_dtype, backend
+                    params, xb, max_degree, compute_dtype, backend,
+                    matmul_precision=None,
                 )
                 return jnp.mean(
                     optax.softmax_cross_entropy(logits, yb)
@@ -978,8 +985,10 @@ class FixedKAN:
             y_train = y if y.ndim > 1 else y[:, None]
 
             def loss_fn(params, xb, yb):
+                # ambient precision context governs (see cross_entropy note)
                 pred = kan_apply(
-                    params, xb, max_degree, compute_dtype, backend
+                    params, xb, max_degree, compute_dtype, backend,
+                    matmul_precision=None,
                 )
                 return jnp.mean((pred - yb) ** 2)
         else:

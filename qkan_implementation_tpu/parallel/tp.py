@@ -39,7 +39,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from qkan_implementation_tpu.models.fixed_kan import kan_layer_apply
+from qkan_implementation_tpu.models.fixed_kan import (
+    _resolve_forward_precision,
+    kan_layer_apply,
+)
 
 
 def _tp_layer_flags(params: list, n_tp: int, x_dim: int) -> list[bool]:
@@ -69,18 +72,36 @@ def _param_specs(params: list, flags: list[bool], tp_axis: str) -> list:
     return specs
 
 
-def _forward_local(params, x, max_degree, flags, tp_axis, n_tp, compute_dtype):
+def _forward_local(
+    params, x, max_degree, flags, tp_axis, n_tp, compute_dtype,
+    matmul_precision="auto",
+):
     """Per-device forward: partial contractions + tp reductions.
 
     ``x`` arrives feature-sharded iff ``flags[0]``.  Between two
     consecutive sharded layers the reduction is a tiled ``psum_scatter``
     over the feature axis, so the intermediate never materializes
     replicated.
+
+    The fan-in-aware precision policy is resolved against the GLOBAL
+    contraction width, not the local shard's: a flagship layer (fan-in
+    4704) sharded 16-way sees only 294 local rows, but the psum'd result
+    is still a 4704-term contraction -- exactly the width where a single
+    bf16 pass costs 5.6 accuracy points (eval_precision_probe, r4).
+    Deciding on local width would silently drop the bf16x3 pin under tp.
     """
     cur = x
     n_layers = len(params)
     for i, (lp, sharded) in enumerate(zip(params, flags)):
-        y = kan_layer_apply(lp, cur, max_degree, compute_dtype)
+        fan_in_global = (
+            lp["coefficients"].shape[1]
+            * (max_degree + 1)
+            * (n_tp if sharded else 1)
+        )
+        prec = _resolve_forward_precision(matmul_precision, fan_in_global)
+        y = kan_layer_apply(
+            lp, cur, max_degree, compute_dtype, matmul_precision=prec
+        )
         if sharded:
             next_sharded = i + 1 < n_layers and flags[i + 1]
             if next_sharded:
@@ -134,6 +155,7 @@ def kan_apply_tp(
     tp_axis: str = "tp",
     dp_axis: str | None = "auto",
     compute_dtype=None,
+    matmul_precision: str | None = "auto",
 ) -> jax.Array:
     """Tensor-parallel forward: [B, in] -> [B, target_dim], replicated out.
 
@@ -164,6 +186,7 @@ def kan_apply_tp(
             tp_axis=tp_axis,
             n_tp=n_tp,
             compute_dtype=compute_dtype,
+            matmul_precision=matmul_precision,
         ),
         mesh=mesh,
         in_specs=(specs, x_spec),
@@ -180,6 +203,7 @@ def make_tp_train_step(
     tp_axis: str = "tp",
     dp_axis: str | None = "auto",
     compute_dtype=None,
+    matmul_precision: str | None = "auto",
 ):
     """A jitted SGD train step over the (dp, tp) mesh.
 
@@ -213,7 +237,7 @@ def make_tp_train_step(
                 ]
                 pred = _forward_local(
                     full, xb, max_degree, flags, tp_axis, n_tp,
-                    compute_dtype,
+                    compute_dtype, matmul_precision,
                 )
                 sse = jnp.sum((pred - yb) ** 2)
                 if dp_ax is not None:

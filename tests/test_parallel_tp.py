@@ -207,3 +207,35 @@ def test_train_step_rejects_int8(mesh2d):
     # tangent, so a train step through them silently mis-trains
     with pytest.raises(ValueError, match="int8"):
         make_tp_train_step(mesh2d, MAX_DEGREE, compute_dtype=jnp.int8)
+
+
+def test_forward_precision_policy_uses_global_fanin(mesh1d):
+    """The fan-in-aware precision policy must be decided on the GLOBAL
+    contraction width, not the local shard's: a wide layer split 8-way can
+    drop below the 512 threshold per-device while the psum'd contraction
+    is still the width where one bf16 pass costs 5.6 accuracy points
+    (eval_precision_probe, r4).  Pinned structurally via the lowered HLO:
+    the layer dot must carry HIGH operand precision under tp."""
+    # in=128, D+1=4: global fan-in 512 (>= threshold), local 64 (< it)
+    params = _params(7, 128, (4,), 3, MAX_DEGREE)
+    params = [
+        {
+            k: v.astype(jnp.float32) if k != "degrees" else v
+            for k, v in lp.items()
+        }
+        for lp in params
+    ]
+    x = jnp.asarray(
+        np.random.default_rng(8).uniform(-1, 1, (16, 128)), jnp.float32
+    )
+    low = jax.jit(
+        lambda p, xb: kan_apply_tp(p, xb, MAX_DEGREE, mesh1d)
+    ).lower(params, x).as_text()
+    assert "precision = [HIGH, HIGH]" in low
+    # and an explicit opt-out must NOT pin it
+    low_none = jax.jit(
+        lambda p, xb: kan_apply_tp(
+            p, xb, MAX_DEGREE, mesh1d, matmul_precision=None
+        )
+    ).lower(params, x).as_text()
+    assert "precision = [HIGH, HIGH]" not in low_none
