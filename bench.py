@@ -104,7 +104,15 @@ def main():
     rng = np.random.default_rng(0)
     x_np = rng.uniform(-1, 1, (B, N))
     w_np = rng.uniform(-1, 1, (d + 1, N * K))
-    x = jnp.asarray(x_np, dtype=jnp.float32)
+    # 2x input POOL, rotated inside the scan body: with a single fixed x
+    # the tanh/Chebyshev prefix depends only on loop-invariant data and
+    # XLA hoists it OUT of the chain, so the slope times only the matmuls
+    # (CLAUDE.md timing trap (b) -- the fix long applied to the flagship
+    # train-step bench, now applied here too; earlier rounds' headline
+    # over-reported by excluding the basis work from fwd+bwd).
+    x_pool = jnp.asarray(
+        np.stack([x_np, x_np[::-1]]), dtype=jnp.float32
+    )  # [2, B, N]
     w = jnp.asarray(w_np, dtype=jnp.float32)
 
     def loss(w, x):
@@ -125,18 +133,23 @@ def main():
 
     def make_chain(n):
         @jax.jit
-        def chained(w, x):
-            def body(w, _):
-                return w - 1e-7 * grad(w, x), None
+        def chained(w, x_pool):
+            def body(w, i):
+                xi = jax.lax.dynamic_index_in_dim(
+                    x_pool, i % 2, axis=0, keepdims=False
+                )
+                return w - 1e-7 * grad(w, xi), None
 
-            return jnp.sum(jax.lax.scan(body, w, None, length=n)[0])
+            return jnp.sum(
+                jax.lax.scan(body, w, jnp.arange(n, dtype=jnp.int32))[0]
+            )
 
         return chained
 
     c_short, c_long = make_chain(iters), make_chain(long_iters)
     t0 = time.time()
-    _ = float(c_short(w, x))
-    _ = float(c_long(w, x))
+    _ = float(c_short(w, x_pool))
+    _ = float(c_long(w, x_pool))
     compile_s = time.time() - t0
     print(f"device={jax.devices()[0]} compile={compile_s:.2f}s", file=sys.stderr)
 
@@ -146,8 +159,12 @@ def main():
     reps = 1 if quick else 3
     per_steps = []
     for _rep in range(reps):
-        t_short = min(_walltime(lambda: float(c_short(w, x))) for _ in range(2))
-        t_long = min(_walltime(lambda: float(c_long(w, x))) for _ in range(2))
+        t_short = min(
+            _walltime(lambda: float(c_short(w, x_pool))) for _ in range(2)
+        )
+        t_long = min(
+            _walltime(lambda: float(c_long(w, x_pool))) for _ in range(2)
+        )
         slope = t_long - t_short
         if slope <= 0.05 * t_long:  # noise-dominated: safe upper bound
             per_steps.append(t_long / long_iters)

@@ -13,7 +13,9 @@ honors the cache; no change means compilation happens service-side past
 the cache's reach, and the honest answer is documented instead.
 
 Run twice: PYTHONPATH=. python benchmarks/compile_cache_probe.py
-Cache dir: QKAN_COMPILE_CACHE (default /tmp/qkan_jax_cache)
+Cache dir: whatever ``apply_platform_env`` wired (QKAN_COMPILE_CACHE
+override; production default ~/.cache/qkan_jax_compile) -- the probe
+measures the SHIPPED cache wiring, not its own.
 """
 
 from qkan_implementation_tpu.utils.platform import apply_platform_env
@@ -21,7 +23,6 @@ from qkan_implementation_tpu.utils.platform import apply_platform_env
 apply_platform_env()
 
 import json
-import os
 import pathlib
 import time
 
@@ -31,10 +32,23 @@ import numpy as np
 
 
 def main():
-    cache_dir = os.environ.get("QKAN_COMPILE_CACHE", "/tmp/qkan_jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # probe exactly what apply_platform_env configured: a divergent local
+    # default here would validate a cache nobody ships, and '0' (disable)
+    # must probe as disabled, not as a directory literally named "0"
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if not cache_dir:
+        print(
+            json.dumps(
+                {
+                    "device": str(jax.devices()[0]),
+                    "cache_dir": None,
+                    "note": "persistent cache disabled "
+                    "(QKAN_COMPILE_CACHE=0 or forced-cpu default); "
+                    "nothing to probe",
+                }
+            )
+        )
+        return
 
     # a distinctive shape so no other benchmark's cache entry can collide
     rng = np.random.default_rng(0)

@@ -183,6 +183,13 @@ def main():
     from functools import partial
 
     for q in args.marginals_qubits:
+        # q=0 is the historical "disable" value (the flag was a single int
+        # before it took a list), and the workload's entanglers/probe
+        # qubits (cx on 5 and q-2, marginals at t=5) need q >= 7: skip
+        # rather than crash deep in circuit construction.
+        if q < 7:
+            print(f"skipping marginals q={q}: workload needs q >= 7")
+            continue
         rng = np.random.default_rng(23)
         thetas = rng.uniform(0.2, np.pi - 0.2, q)
         circ = Circuit(q)

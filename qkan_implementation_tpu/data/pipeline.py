@@ -153,6 +153,12 @@ def generate_market_parquet(
         )
         data["weight"] = rng.uniform(0.5, 2.0, n_rows)
     elif profile == "hard":
+        if n_features < 6:
+            raise ValueError(
+                f"profile='hard' needs n_features >= 6 (its signal uses "
+                f"the first 6 columns, incl. the s4*s5 interaction); got "
+                f"{n_features}"
+            )
         n_factors = 8
         loadings = rng.normal(0, 1, (n_features, n_factors)) * (
             rng.uniform(size=(n_features, n_factors)) < 0.3

@@ -22,7 +22,12 @@ def apply_platform_env(var: str = "QKAN_PLATFORM") -> str | None:
     flagship structure search measured 159 s vs 1,184 s across processes
     for IDENTICAL shapes -- the cache turns every repeat run warm.
     ``QKAN_COMPILE_CACHE`` overrides the directory; set it to ``0`` to
-    disable.
+    disable.  The DEFAULT cache is skipped when the platform is forced to
+    ``cpu``: CPU compiles are subsecond (nothing to save) and XLA:CPU
+    cache entries are AOT results keyed to the compiling machine's
+    feature set -- a home dir shared across heterogeneous hosts serves
+    mismatched AOT code (observed loader warnings threatening SIGILL).
+    An explicit ``QKAN_COMPILE_CACHE=<dir>`` is always honored.
     """
     value = os.environ.get(var)
     if value:
@@ -30,10 +35,9 @@ def apply_platform_env(var: str = "QKAN_PLATFORM") -> str | None:
 
         jax.config.update("jax_platforms", value)
 
-    cache = os.environ.get(
-        "QKAN_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/qkan_jax_compile"),
-    )
+    cache = os.environ.get("QKAN_COMPILE_CACHE")
+    if cache is None and value != "cpu":
+        cache = os.path.expanduser("~/.cache/qkan_jax_compile")
     if cache and cache != "0":
         import jax
 

@@ -42,7 +42,9 @@ def test_cache_opt_out():
 
 
 def test_cache_default_location():
-    env = dict(os.environ, QKAN_PLATFORM="cpu")
+    # QKAN_PLATFORM=tpu only updates jax.config (lazy -- no device init),
+    # so the subprocess exits cleanly without touching the tunnel
+    env = dict(os.environ, QKAN_PLATFORM="tpu")
     env.pop("QKAN_COMPILE_CACHE", None)
     out = subprocess.run(
         [sys.executable, "-c", SNIPPET], capture_output=True, text=True,
@@ -50,3 +52,18 @@ def test_cache_default_location():
     )
     assert out.returncode == 0, out.stderr[-800:]
     assert ".cache/qkan_jax_compile" in out.stdout
+
+
+def test_cache_default_off_on_cpu():
+    """Forced-cpu runs must NOT default into the shared cache dir: CPU
+    compiles are subsecond and XLA:CPU AOT entries are machine-feature
+    keyed (mismatched entries from other hosts load with SIGILL-warning
+    banners).  An explicit dir still wins (test_cache_enabled_by_default)."""
+    env = dict(os.environ, QKAN_PLATFORM="cpu")
+    env.pop("QKAN_COMPILE_CACHE", None)
+    out = subprocess.run(
+        [sys.executable, "-c", SNIPPET], capture_output=True, text=True,
+        env=env, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "CACHE_DIR=None" in out.stdout
