@@ -88,6 +88,13 @@ def main():
         )
         os.environ["BENCH_QUICK"] = "1"
         fallback = True
+        from qkan_implementation_tpu.utils.platform import (
+            disable_default_compile_cache,
+        )
+
+        # forcing cpu AFTER the default TPU cache dir was wired would
+        # write XLA:CPU AOT entries into the shared dir (ADVICE r4)
+        disable_default_compile_cache()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -158,6 +165,7 @@ def main():
     # deltas are interpretable against the tunnel's jitter band.
     reps = 1 if quick else 3
     per_steps = []
+    noise_fallback_reps = 0
     for _rep in range(reps):
         t_short = min(
             _walltime(lambda: float(c_short(w, x_pool))) for _ in range(2)
@@ -167,6 +175,13 @@ def main():
         )
         slope = t_long - t_short
         if slope <= 0.05 * t_long:  # noise-dominated: safe upper bound
+            noise_fallback_reps += 1
+            print(
+                f"rep {_rep}: slope noise-dominated "
+                f"(t_short={t_short:.3f}s t_long={t_long:.3f}s); using "
+                f"t_long/long_iters upper bound",
+                file=sys.stderr,
+            )
             per_steps.append(t_long / long_iters)
         else:
             per_steps.append(slope / (long_iters - iters))
@@ -263,7 +278,20 @@ def main():
         "value": round(ours_layers_per_sec, 1),
         "unit": "layers/sec",
         "vs_baseline": round(ours_layers_per_sec / base_layers_per_sec, 2),
+        # workload version: guards cross-round comparability.  v1
+        # (BENCH_r01-r03) re-read a FIXED input each scan step, letting
+        # XLA hoist the tanh+Chebyshev prefix out of the timed chain; v2
+        # (r04+) rotates a 2x input pool so the basis work is honestly
+        # timed.  v1 and v2 numbers are NOT comparable (r4 measured
+        # 1.67e9 v1 vs 1.32e9 v2 on the same program).
+        "workload": "rotating-pool-v2",
+        "spread_pct": round(spread_pct, 1),
     }
+    if noise_fallback_reps:
+        # per-rep slope was noise-dominated and the safe upper bound was
+        # substituted -- mark it so a noisy rep is distinguishable from a
+        # clean slope after the fact (VERDICT r4 weak #7)
+        record["noise_fallback_reps"] = noise_fallback_reps
     if fallback:
         record["platform"] = "cpu-fallback (TPU backend unhealthy)"
     print(json.dumps(record))

@@ -148,6 +148,10 @@ def run_mnist_experiment(
         train_diverged = kan.last_train_diverged
         # record the RESOLVED precision ('auto' -> what actually ran)
         weight_matmul_precision = kan.last_matmul_precision
+    else:
+        # weight phase skipped: an unresolved 'auto' in the record would
+        # read as provenance for a phase that never ran (ADVICE r4)
+        weight_matmul_precision = "not-trained"
 
     def accuracy(x, labels):
         pred = np.asarray(kan(jnp.asarray(x)))

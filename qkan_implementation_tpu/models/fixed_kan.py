@@ -473,6 +473,9 @@ class FixedKAN:
         self.params: Optional[list] = None
         self.last_train_diverged = False
         self.last_train_losses: list = []
+        # resolved by train(); None means "never trained" (reading it
+        # before train() used to raise AttributeError -- ADVICE r4)
+        self.last_matmul_precision: Optional[str] = None
         cd = (
             jnp.dtype(config.compute_dtype)
             if config.compute_dtype

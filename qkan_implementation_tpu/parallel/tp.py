@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qkan_implementation_tpu.models.fixed_kan import (
+    _FORWARD_PRECISION_MIN_FANIN,
     _resolve_forward_precision,
     kan_layer_apply,
 )
@@ -170,6 +171,27 @@ def kan_apply_tp(
     """
     n_tp, dp_axis = _resolve_axes(mesh, tp_axis, dp_axis)
     flags = _tp_layer_flags(params, n_tp, x.shape[1])
+    if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+        # the wide-fan-in chance-accuracy warning in kan_layer_apply checks
+        # the LOCAL shard's W rows, which an n_tp-way shard can pull below
+        # the threshold while the psum'd contraction is still global-wide
+        # -- mirror the precision policy and warn on GLOBAL fan-in here
+        # (ADVICE r4).  Unlike _forward_local, the params HERE are still
+        # the global (unsharded) pytree, so shape[1] IS the global in-dim.
+        for lp in params:
+            fan_in_global = lp["coefficients"].shape[1] * (max_degree + 1)
+            if fan_in_global >= _FORWARD_PRECISION_MIN_FANIN:
+                import warnings
+
+                warnings.warn(
+                    f"int8 tp serving at GLOBAL fan-in {fan_in_global} >= "
+                    f"{_FORWARD_PRECISION_MIN_FANIN}: quantization noise "
+                    "at this contraction width measured CHANCE accuracy "
+                    "on the flagship shape (eval_precision_probe_tpu.json)"
+                    "; use compute_dtype=None",
+                    stacklevel=2,
+                )
+                break
     specs = _param_specs(params, flags, tp_axis)
     x_spec = P(dp_axis, tp_axis if flags[0] else None)
     if dp_axis is not None and x.shape[0] % mesh.shape[dp_axis] != 0:

@@ -37,7 +37,16 @@ def apply_platform_env(var: str = "QKAN_PLATFORM") -> str | None:
 
     cache = os.environ.get("QKAN_COMPILE_CACHE")
     if cache is None and value != "cpu":
-        cache = os.path.expanduser("~/.cache/qkan_jax_compile")
+        # gate the DEFAULT cache on the RESOLVED platform, not just the
+        # env var: the test harness / a caller may already have forced
+        # jax_platforms='cpu' via jax.config, and wiring the shared TPU
+        # cache dir there writes XLA:CPU AOT entries into it -- the exact
+        # cross-host hazard the cpu-skip exists for (ADVICE r4)
+        import jax
+
+        resolved = jax.config.jax_platforms
+        if not (resolved and str(resolved).split(",")[0] == "cpu"):
+            cache = os.path.expanduser("~/.cache/qkan_jax_compile")
     if cache and cache != "0":
         import jax
 
@@ -47,3 +56,20 @@ def apply_platform_env(var: str = "QKAN_PLATFORM") -> str | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return value or None
+
+
+def disable_default_compile_cache() -> None:
+    """Unwire the DEFAULT persistent cache dir (explicit dirs stay).
+
+    For callers that force ``jax_platforms='cpu'`` AFTER
+    ``apply_platform_env()`` already wired the default TPU cache dir
+    (bench.py's TPU-unhealthy fallback): without this, XLA:CPU AOT
+    entries land in the shared ``~/.cache/qkan_jax_compile`` -- the
+    cross-host SIGILL hazard the default cpu-skip avoids (ADVICE r4).
+    An explicit ``QKAN_COMPILE_CACHE=<dir>`` choice is honored as-is.
+    """
+    if os.environ.get("QKAN_COMPILE_CACHE"):
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)

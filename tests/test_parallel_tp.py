@@ -239,3 +239,44 @@ def test_forward_precision_policy_uses_global_fanin(mesh1d):
         )
     ).lower(params, x).as_text()
     assert "precision = [HIGH, HIGH]" not in low_none
+
+
+def test_int8_tp_warns_on_global_fanin(mesh1d):
+    """The int8 chance-accuracy warning must fire on GLOBAL fan-in under
+    tp: an 8-way shard of a 512-wide contraction sees only 64 local rows,
+    below kan_layer_apply's local check, but the psum'd result is still
+    the width where int8 measured chance accuracy (ADVICE r4)."""
+    import warnings
+
+    params = _params(7, 128, (4,), 3, MAX_DEGREE)  # global fan-in 512
+    params = [
+        {
+            k: v.astype(jnp.float32) if k != "degrees" else v
+            for k, v in lp.items()
+        }
+        for lp in params
+    ]
+    x = jnp.asarray(
+        np.random.default_rng(8).uniform(-1, 1, (16, 128)), jnp.float32
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        kan_apply_tp(params, x, MAX_DEGREE, mesh1d, compute_dtype=jnp.int8)
+    assert any("GLOBAL fan-in 512" in str(x.message) for x in w)
+
+    # narrow global fan-in: quiet
+    params_n = _params(9, 32, (4,), 3, MAX_DEGREE)  # global fan-in 128
+    params_n = [
+        {
+            k: v.astype(jnp.float32) if k != "degrees" else v
+            for k, v in lp.items()
+        }
+        for lp in params_n
+    ]
+    x_n = jnp.asarray(
+        np.random.default_rng(10).uniform(-1, 1, (16, 32)), jnp.float32
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        kan_apply_tp(params_n, x_n, MAX_DEGREE, mesh1d, compute_dtype=jnp.int8)
+    assert not any("int8 tp serving" in str(x.message) for x in w)
