@@ -86,16 +86,77 @@ def main():
     # the single bf16 pass that costs 5.6 points -- so their flagship
     # serving accuracy is measured here instead of assumed from
     # small-shape relative-error checks.
+    # r5 additions (VERDICT r4 items 3+4): the accuracy-throughput
+    # frontier between the device default (1 bf16 pass) and the policy
+    # 'high' (3 passes) -- manual bf16x2 splits of either operand -- plus
+    # the two-level residual int8 recipe (3 int8 dots ~ 1.5 bf16-pass
+    # MXU equivalents, ~1/254^2 effective resolution,
+    # ops.qkan_layer.int8_residual_matmul).
     for name, prec, backend, cd in [
         ("default", None, "xla", None), ("high", "high", "xla", None),
         ("highest", "highest", "xla", None), ("fused", None, "fused", None),
+        ("bf16x2_w", "bf16x2_w", "xla", None),
+        ("bf16x2_x", "bf16x2_x", "xla", None),
         ("bf16io", None, "xla", jnp.bfloat16),
         ("int8", None, "xla", jnp.int8),
+        ("int8x2", None, "xla", "int8x2"),
+        ("int8x2w", None, "xla", "int8x2w"),
     ]:
         rec[f"train_acc_{name}"] = acc(x_train, y_labels, prec, backend, cd)
         rec[f"test_acc_{name}"] = acc(x_test, y_test, prec, backend, cd)
         print(name, rec[f"train_acc_{name}"], rec[f"test_acc_{name}"],
               flush=True)
+
+    # int8 error decomposition (VERDICT r4 item 4): which operand's
+    # quantization kills single-level int8 at flagship fan-in?  Re-run
+    # the forward with exactly ONE side quantized (the other f32) --
+    # probe-local matmuls, parity-checked against the library forward.
+    from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
+
+    def _quant127(a):
+        return jnp.round(a * 127.0) / 127.0
+
+    def _quant_w(W):
+        s = jnp.maximum(jnp.max(jnp.abs(W), axis=0, keepdims=True), 1e-30)
+        return jnp.round(W / s * 127.0) / 127.0 * s
+
+    def forward_custom(params, x, matmul):
+        D = kan.config.max_degree
+        cur = x
+        for lp in params:
+            t = jnp.tanh(cur)
+            basis = chebyshev_basis(t, D, clip=False)
+            mask = (
+                jnp.arange(D + 1)[None, :] <= lp["degrees"][:, None]
+            )
+            W = jnp.einsum(
+                "oidt,od->idt", lp["coefficients"],
+                mask.astype(lp["coefficients"].dtype)
+                * lp["horizontal_weights"][:, None],
+            ).reshape(-1, lp["coefficients"].shape[-1])
+            cur = matmul(basis.reshape(x.shape[0], -1), W)
+        return cur
+
+    def acc_custom(x, labels, matmul):
+        pred = np.asarray(jax.jit(
+            lambda p, xb: forward_custom(p, xb, matmul)
+        )(kan.params, jnp.asarray(x)))
+        return float((pred.argmax(axis=1) == labels).mean())
+
+    f32dot = lambda a, W: jnp.matmul(a, W, precision="highest")
+    parity = abs(
+        acc_custom(x_test, y_test, f32dot) - rec["test_acc_highest"]
+    )
+    assert parity < 5e-3, f"probe-local forward drifted: {parity}"
+    rec["test_acc_int8_acts_only"] = acc_custom(
+        x_test, y_test, lambda a, W: f32dot(_quant127(a), W)
+    )
+    rec["test_acc_int8_weights_only"] = acc_custom(
+        x_test, y_test, lambda a, W: f32dot(a, _quant_w(W))
+    )
+    print("int8 decomposition: acts-only",
+          rec["test_acc_int8_acts_only"], "weights-only",
+          rec["test_acc_int8_weights_only"], flush=True)
     rec["train_delta_high_vs_default"] = round(
         rec["train_acc_high"] - rec["train_acc_default"], 4
     )

@@ -152,35 +152,52 @@ def main():
         f"({per_step * 1e3:.3f} ms per {max_batch}-batch, slope-timed)"
     )
 
-    # same measurement through the Pallas fused layer (exact f32 math;
-    # the [B, in*(D+1)] basis stays in VMEM -- ops/fused_layer.py)
+    # the serving accuracy-throughput frontier (VERDICT r4 items 3+4):
+    # device-resident throughput of every precision path measured the
+    # same way.  The matching ACCURACY column at flagship fan-in comes
+    # from benchmarks/eval_precision_probe.py -- read the two records
+    # together.  'fused' = Pallas VMEM-basis kernel; 'bf16x2_*' = manual
+    # two-pass bf16 splits; 'int8x2' = two-level residual int8 (3 int8
+    # dots, ~bf16x3 accuracy at flagship fan-in).
     from functools import partial
+    import warnings
 
     from qkan_implementation_tpu.models.fixed_kan import kan_apply
 
-    fused_apply = jax.jit(
-        partial(
-            kan_apply, max_degree=kan.config.max_degree, backend="fused"
+    paths = [
+        ("fused", dict(backend="fused")),
+        ("default_1pass", dict(matmul_precision=None)),
+        ("bf16x2_w", dict(matmul_precision="bf16x2_w")),
+        ("bf16x2_x", dict(matmul_precision="bf16x2_x")),
+        ("bf16io", dict(compute_dtype=jnp.bfloat16)),
+        ("int8", dict(compute_dtype=jnp.int8)),
+        ("int8x2", dict(compute_dtype="int8x2")),
+        ("int8x2w", dict(compute_dtype="int8x2w")),
+    ]
+    for name, kw in paths:
+        path_apply = jax.jit(
+            partial(kan_apply, max_degree=kan.config.max_degree, **kw)
         )
-    )
 
-    def step_fused(xc, params):
-        out = fused_apply(params, xc)
-        return xc + 1e-30 * jnp.mean(out).astype(xc.dtype)
+        def step_p(xc, params):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # int8 wide-fan-in advisory
+                out = path_apply(params, xc)
+            return xc + 1e-30 * jnp.mean(out).astype(xc.dtype)
 
-    per_step_f = timeit_chained(
-        step_fused, xd, iters=5 if args.quick else 200, consts=(params,)
-    )
-    results["device_resident_fused_rows_per_sec"] = round(
-        max_batch / per_step_f, 1
-    )
-    results["device_resident_fused_ms_per_batch"] = round(
-        per_step_f * 1e3, 3
-    )
-    print(
-        f"device-resident (fused layer): {max_batch / per_step_f:,.0f} "
-        f"rows/s ({per_step_f * 1e3:.3f} ms per {max_batch}-batch)"
-    )
+        per_step_p = timeit_chained(
+            step_p, xd, iters=5 if args.quick else 200, consts=(params,)
+        )
+        results[f"device_resident_{name}_rows_per_sec"] = round(
+            max_batch / per_step_p, 1
+        )
+        results[f"device_resident_{name}_ms_per_batch"] = round(
+            per_step_p * 1e3, 3
+        )
+        print(
+            f"device-resident ({name}): {max_batch / per_step_p:,.0f} "
+            f"rows/s ({per_step_p * 1e3:.3f} ms per {max_batch}-batch)"
+        )
 
     out_dir = pathlib.Path(__file__).resolve().parent / "records"
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -381,7 +381,10 @@ def kan_layer_apply(
     coeffs = layer_params["coefficients"]  # [out, in, D+1, T]
     hw = layer_params["horizontal_weights"]  # [out]
     if backend == "fused":
-        if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+        if compute_dtype is not None and (
+            compute_dtype in ("int8x2", "int8x2w")
+            or jnp.dtype(compute_dtype) == jnp.int8
+        ):
             raise ValueError(
                 "backend='fused' has no int8 path; use backend='xla'"
             )
@@ -409,9 +412,42 @@ def kan_layer_apply(
     ).reshape(-1, coeffs.shape[-1])  # [in*(D+1), T]
     if compute_dtype is None:
         prec = _resolve_forward_precision(matmul_precision, W.shape[0])
+        if prec in ("bf16x2_w", "bf16x2_x"):
+            # manual TWO-pass bf16 (between the device default's one pass
+            # and 'high' = bf16x3): split ONE operand into bf16 value +
+            # bf16 residual and keep the other at plain bf16.  '_w'
+            # splits the weights (residual error = basis rounding); '_x'
+            # splits the basis (residual error = weight rounding).  The
+            # serving accuracy-throughput frontier between these and
+            # bf16x3 is measured at flagship fan-in by
+            # benchmarks/eval_precision_probe.py (VERDICT r4 item 3).
+            a2d = basis.reshape(b, -1)
+            split, keep = (W, a2d) if prec == "bf16x2_w" else (a2d, W)
+            hi = split.astype(jnp.bfloat16)
+            lo = (split - hi.astype(split.dtype)).astype(jnp.bfloat16)
+            kb = keep.astype(jnp.bfloat16)
+
+            def dot(p, q):
+                return jax.lax.dot_general(
+                    p, q, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            if prec == "bf16x2_w":
+                return dot(kb, hi) + dot(kb, lo)
+            return dot(hi, kb) + dot(lo, kb)
         # precision=None defers to the ambient default, so this composes
         # with (and is consistent under) train()'s 'high' context
         return jnp.matmul(basis.reshape(b, -1), W, precision=prec)
+    if compute_dtype in ("int8x2", "int8x2w"):
+        from qkan_implementation_tpu.ops.qkan_layer import (
+            int8_residual_matmul,
+        )
+
+        return int8_residual_matmul(
+            basis.reshape(b, -1), W,
+            acts_residual=compute_dtype == "int8x2",
+        )
     if jnp.dtype(compute_dtype) == jnp.int8:
         from qkan_implementation_tpu.ops.qkan_layer import (
             int8_quantized_matmul,
@@ -476,8 +512,12 @@ class FixedKAN:
         # resolved by train(); None means "never trained" (reading it
         # before train() used to raise AttributeError -- ADVICE r4)
         self.last_matmul_precision: Optional[str] = None
+        # 'int8x2'/'int8x2w' are recipe sentinels (two-level residual
+        # int8 serving, ops.qkan_layer.int8_residual_matmul), not dtypes
         cd = (
-            jnp.dtype(config.compute_dtype)
+            config.compute_dtype
+            if config.compute_dtype in ("int8x2", "int8x2w")
+            else jnp.dtype(config.compute_dtype)
             if config.compute_dtype
             else None
         )
@@ -957,7 +997,10 @@ class FixedKAN:
         x = jnp.asarray(x_data)
         y = jnp.asarray(y_data)
         max_degree = self.config.max_degree
-        if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+        if compute_dtype is not None and (
+            compute_dtype in ("int8x2", "int8x2w")
+            or jnp.dtype(compute_dtype) == jnp.int8
+        ):
             raise ValueError("int8 rounding has zero gradient; use bf16")
         if compute_dtype is not None:
             x = x.astype(compute_dtype)  # store-once, the bf16io recipe

@@ -207,6 +207,65 @@ def int8_quantized_matmul(basis2d: jax.Array, W: jax.Array) -> jax.Array:
     return acc.astype(jnp.float32) * (s_w / 127.0).astype(jnp.float32)
 
 
+def int8_residual_matmul(
+    basis2d: jax.Array, W: jax.Array, acts_residual: bool = True
+) -> jax.Array:
+    """``[B, F] @ [F, K] -> [B, K] float32`` via two-level residual int8.
+
+    Single-level int8 is structurally dead at wide fan-in: the flagship
+    F=4704 contraction random-walks the ~1/254 per-element quantization
+    noise into O(1) logit error (CHANCE accuracy on a trained flagship
+    model -- eval_precision_probe r4), and the r5 error decomposition
+    convicts the WEIGHT side specifically (acts-only quantization held
+    full flagship accuracy; weights-only scored chance -- the trained
+    weight columns' dynamic range swamps a single per-column scale).
+    This path therefore always quantizes the weights twice: the first
+    int8 level plus an int8 encoding of its rounding residual (exactly
+    representable: |residual*254*127| <= 127), ~1/254^2 effective weight
+    resolution.
+
+    ``acts_residual=True`` (the 'int8x2' recipe) gives the basis the same
+    two-level treatment -- THREE int8 MXU dots:
+
+        a @ W ~= s/127^2 * [qa1@qw1 + (qa1@qw2 + qa2@qw1)/254]
+
+    (the qa2@qw2 cross term is O(1/254^2) per element and dropped).
+    ``acts_residual=False`` (the 'int8x2w' recipe) keeps the basis at one
+    int8 level -- TWO dots -- which the decomposition predicts is enough
+    (activation resolution was never the problem).  On v5e the int8 MXU
+    runs at 2x the bf16 rate, so 2-3 int8 passes cost ~1-1.5 bf16-pass
+    equivalents -- cheaper than the 3-pass bf16x3 the fan-in-aware policy
+    pins at these widths, at comparable accuracy (measured at flagship
+    shape by benchmarks/eval_precision_probe.py).  Same contracts as
+    ``int8_quantized_matmul``: basis analytically bounded in [-1, 1],
+    per-output-channel symmetric weight scale, int32 accumulation, f32
+    dequant.  Inference-only (rounding has no grad).
+    """
+    s_w = jnp.maximum(
+        jnp.max(jnp.abs(W), axis=0, keepdims=True), 1e-30
+    )  # [1, K]
+    wn = W / s_w  # columns span [-1, 1]
+    qw1 = jnp.round(wn * 127.0)
+    qw2 = jnp.round((wn - qw1 / 127.0) * (127.0 * 254.0))
+    qa1 = jnp.round(basis2d * 127.0)
+    qw1, qw2 = qw1.astype(jnp.int8), qw2.astype(jnp.int8)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+
+    if acts_residual:
+        qa2 = jnp.round((basis2d - qa1 / 127.0) * (127.0 * 254.0))
+        qa1, qa2 = qa1.astype(jnp.int8), qa2.astype(jnp.int8)
+        acc = dot(qa1, qw1) + (dot(qa1, qw2) + dot(qa2, qw1)) / 254.0
+    else:
+        qa1 = qa1.astype(jnp.int8)
+        acc = dot(qa1, qw1) + dot(qa1, qw2) / 254.0
+    return acc * (s_w / (127.0 * 127.0)).astype(jnp.float32)
+
+
 def qkan_intermediates(
     x: jax.Array, weights: jax.Array, N: int, K: int
 ) -> dict:

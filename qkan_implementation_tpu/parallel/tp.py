@@ -171,7 +171,9 @@ def kan_apply_tp(
     """
     n_tp, dp_axis = _resolve_axes(mesh, tp_axis, dp_axis)
     flags = _tp_layer_flags(params, n_tp, x.shape[1])
-    if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+    if compute_dtype is not None and compute_dtype not in (
+        "int8x2", "int8x2w"
+    ) and jnp.dtype(compute_dtype) == jnp.int8:
         # the wide-fan-in chance-accuracy warning in kan_layer_apply checks
         # the LOCAL shard's W rows, which an n_tp-way shard can pull below
         # the threshold while the psum'd contraction is still global-wide
@@ -235,7 +237,10 @@ def make_tp_train_step(
     ``shard_params``.  Loss is global MSE; gradient reductions over ``dp``
     and ``tp`` come from the vma-aware transpose (module docstring).
     """
-    if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+    if compute_dtype is not None and (
+        compute_dtype in ("int8x2", "int8x2w")
+        or jnp.dtype(compute_dtype) == jnp.int8
+    ):
         # same guard as FixedKAN.train: the rounded int8 operands have
         # zero tangent, so "training" through them applies garbage updates
         raise ValueError("int8 rounding has zero gradient; use bf16")

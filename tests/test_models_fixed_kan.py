@@ -510,6 +510,105 @@ def test_compute_dtype_int8_serving_parity():
     assert np.isfinite(np.asarray(losses)).all()
 
 
+def test_compute_dtype_int8x2_residual_serving():
+    """compute_dtype='int8x2' (two-level residual int8,
+    ops.qkan_layer.int8_residual_matmul): ~1/254^2 effective resolution
+    must land ~two orders tighter than single-level int8 at wide fan-in,
+    the config sentinel must round-trip the model plumbing, and training
+    must reject it (rounding has zero gradient)."""
+    import pytest as _pytest
+    from qkan_implementation_tpu.models.fixed_kan import kan_layer_apply
+
+    rng = np.random.default_rng(7)
+    in_dim, out, T, D = 256, 8, 4, 3  # fan-in 1024 >= policy threshold
+    lp = {
+        "degrees": jnp.asarray(rng.integers(0, D + 1, out).astype(np.int32)),
+        "coefficients": jnp.asarray(
+            rng.normal(0, 0.3, (out, in_dim, D + 1, T)), dtype=jnp.float32
+        ),
+        "horizontal_weights": jnp.asarray(
+            rng.normal(0, 1, out), dtype=jnp.float32
+        ),
+    }
+    x = jnp.asarray(rng.uniform(-1, 1, (64, in_dim)), dtype=jnp.float32)
+    ref = np.asarray(
+        kan_layer_apply(lp, x, D, matmul_precision="highest"),
+        dtype=np.float64,
+    )
+    scale = np.linalg.norm(ref)
+    with np.errstate(all="ignore"):
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            got1 = np.asarray(kan_layer_apply(lp, x, D, compute_dtype=jnp.int8))
+        got2 = np.asarray(kan_layer_apply(lp, x, D, compute_dtype="int8x2"))
+        got2w = np.asarray(
+            kan_layer_apply(lp, x, D, compute_dtype="int8x2w")
+        )
+    rel1 = np.linalg.norm(got1 - ref) / scale
+    rel2 = np.linalg.norm(got2 - ref) / scale
+    rel2w = np.linalg.norm(got2w - ref) / scale
+    assert rel2 < rel1 / 30, (rel1, rel2)
+    assert rel2 < 2e-4, rel2
+    # weights-only residual ('int8x2w', 2 dots): kills the weight-side
+    # error (the convicted side -- eval_precision_probe decomposition);
+    # the remaining activation-quantization error sits between the two
+    assert rel2 < rel2w < rel1, (rel2, rel2w, rel1)
+    # config-level plumbing: sentinel string survives FixedKAN.__init__
+    cfg = dict(
+        network_shape=[1, 4, 1], max_degree=3,
+        degree_objective="penalized_mse", complexity_weight=1e-3,
+    )
+    exact = FixedKAN(FixedKANConfig(**cfg))
+    exact.optimize(quadratic_data()[0], quadratic_data()[1], solver="exact")
+    q2 = FixedKAN(FixedKANConfig(**cfg, compute_dtype="int8x2"))
+    q2.params = exact.params
+    xq = quadratic_data()[0]
+    out_e = np.asarray(exact(xq), dtype=np.float32)
+    out_q = np.asarray(q2(xq))
+    assert out_q.dtype == np.float32
+    assert 0.0 < np.max(np.abs(out_q - out_e)) < 1e-2 * max(
+        float(np.std(out_e)), 1.0
+    )
+    with _pytest.raises(ValueError, match="zero gradient"):
+        q2.train(xq, quadratic_data()[1], epochs=1, loss="mse",
+                 compute_dtype="int8x2")
+
+
+def test_matmul_precision_bf16x2_variants():
+    """matmul_precision='bf16x2_w'/'bf16x2_x' (manual two-pass bf16):
+    error must sit strictly between one bf16 pass and f32, with the
+    residual-split side's rounding eliminated."""
+    from qkan_implementation_tpu.models.fixed_kan import kan_layer_apply
+
+    rng = np.random.default_rng(11)
+    in_dim, out, T, D = 256, 8, 4, 3
+    lp = {
+        "degrees": jnp.asarray(rng.integers(0, D + 1, out).astype(np.int32)),
+        "coefficients": jnp.asarray(
+            rng.normal(0, 0.3, (out, in_dim, D + 1, T)), dtype=jnp.float32
+        ),
+        "horizontal_weights": jnp.asarray(
+            rng.normal(0, 1, out), dtype=jnp.float32
+        ),
+    }
+    x = jnp.asarray(rng.uniform(-1, 1, (64, in_dim)), dtype=jnp.float32)
+    ref = np.asarray(
+        kan_layer_apply(lp, x, D, matmul_precision="highest"),
+        dtype=np.float64,
+    )
+    scale = np.linalg.norm(ref)
+    one_pass = np.asarray(
+        kan_layer_apply(lp, x, D, compute_dtype=jnp.bfloat16)
+    )
+    rel1 = np.linalg.norm(one_pass - ref) / scale
+    for prec in ("bf16x2_w", "bf16x2_x"):
+        got = np.asarray(kan_layer_apply(lp, x, D, matmul_precision=prec))
+        rel = np.linalg.norm(got - ref) / scale
+        assert 0.0 < rel < rel1, (prec, rel, rel1)
+
+
 def test_collapsed_layer_matches_naive_oidt_einsum():
     """The o-collapsed kan_layer_apply must equal the naive per-output
     contraction sum_o hw_o * (basis[:, :, <=d_o] . C_o) exactly (same
