@@ -67,6 +67,49 @@ def check_chip_floor(results, chip_floor, *, gate):
     }
 
 
+def sharded_contracts(rng) -> dict:
+    """Sharded path through real Mosaic (VERDICT r4 item 2).  The
+    shard_map + Pallas ucry local path had only ever lowered through
+    interpret mode (virtual CPU meshes).  A 1-device mesh on the real
+    chip runs the SAME shard_map program with interpret=False, so the
+    streaming ucry kernel and the packed diagonal extraction go through
+    real Mosaic -- the tripwire for compiler drift on the SHARDED path
+    (the dense-engine kernels are covered by contracts 1-5).  The RDMA
+    exchange kernel (sim/rdma.py) needs >= 2 physical devices and
+    remains interpret-mode-verified only."""
+    from jax.sharding import Mesh
+    from qkan_implementation_tpu.sim import sharded_simulate, simulate
+
+    n_enc = 5
+    size = 2**n_enc  # 2n - k = 10 >= 10: local ucry is Pallas-eligible
+    diag_v = rng.uniform(-1, 1, size)
+    fcirc, alpha = fable(np.diag(diag_v.astype(np.float32)))
+    psi0 = np.zeros(2**fcirc.num_qubits, dtype=np.float32)
+    psi0[:size] = 1.0 / np.sqrt(size)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("d",))
+    psi_sh = np.asarray(
+        sharded_simulate(
+            fcirc, mesh1, psi0=jnp.asarray(psi0), backend="pallas",
+            dtype=jnp.float32,
+        )
+    )
+    rec_sh = psi_sh[:size] * alpha * size * np.sqrt(size)
+    # engine-vs-engine: the sharded Pallas state against the dense
+    # pure-XLA lowering of the identical circuit/initial state
+    psi_xla = np.asarray(
+        simulate(fcirc, psi0=jnp.asarray(psi0), dtype=jnp.float32,
+                 backend="xla")
+    )
+    return {
+        "sharded_pallas_diag32": float(
+            np.linalg.norm(rec_sh - diag_v) / np.linalg.norm(diag_v)
+        ),
+        "sharded_vs_dense_state_maxabs": float(
+            np.max(np.abs(psi_sh - psi_xla))
+        ),
+    }
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -191,44 +234,7 @@ def main():
         np.linalg.norm(got - want) / np.linalg.norm(want)
     )
 
-    # 8. sharded path through real Mosaic (VERDICT r4 item 2).  The
-    # shard_map + Pallas ucry local path had only ever lowered through
-    # interpret mode (virtual CPU meshes).  A 1-device mesh on the real
-    # chip runs the SAME shard_map program with interpret=False, so the
-    # streaming ucry kernel and the packed diagonal extraction go through
-    # real Mosaic -- the tripwire for compiler drift on the SHARDED path
-    # (the dense-engine kernels are covered by contracts 1-5).  The RDMA
-    # exchange kernel (sim/rdma.py) needs >= 2 physical devices and
-    # remains interpret-mode-verified only.
-    from jax.sharding import Mesh
-    from qkan_implementation_tpu.sim import sharded_simulate, simulate
-
-    n_enc = 5
-    size = 2**n_enc  # 2n - k = 10 >= 10: local ucry is Pallas-eligible
-    diag_v = rng.uniform(-1, 1, size)
-    fcirc, alpha = fable(np.diag(diag_v.astype(np.float32)))
-    psi0 = np.zeros(2**fcirc.num_qubits, dtype=np.float32)
-    psi0[:size] = 1.0 / np.sqrt(size)
-    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("d",))
-    psi_sh = np.asarray(
-        sharded_simulate(
-            fcirc, mesh1, psi0=jnp.asarray(psi0), backend="pallas",
-            dtype=jnp.float32,
-        )
-    )
-    rec_sh = psi_sh[:size] * alpha * size * np.sqrt(size)
-    results["sharded_pallas_diag32"] = float(
-        np.linalg.norm(rec_sh - diag_v) / np.linalg.norm(diag_v)
-    )
-    # engine-vs-engine: the sharded Pallas state against the dense
-    # pure-XLA lowering of the identical circuit/initial state
-    psi_xla = np.asarray(
-        simulate(fcirc, psi0=jnp.asarray(psi0), dtype=jnp.float32,
-                 backend="xla")
-    )
-    results["sharded_vs_dense_state_maxabs"] = float(
-        np.max(np.abs(psi_sh - psi_xla))
-    )
+    results.update(sharded_contracts(rng))
 
     reference_bars = {
         "cheb_dilated_N4_deg8": 1e-15,  # ChebyshevStep.py:133 (x64 bar)
@@ -273,10 +279,11 @@ def main():
         # Sharded shard_map+Pallas ucry through REAL Mosaic (r5): the
         # FABLE round-trip of a 32-entry diagonal (11-qubit circuit, one
         # ladder + one Pallas-streamed multiplexed Ry) at f32.  Floors are
-        # 2x the first committed on-chip measurement; dense-XLA agreement
-        # bounds the Mosaic-specific part.
-        "sharded_pallas_diag32": 4.0e-05,
-        "sharded_vs_dense_state_maxabs": 2.0e-06,
+        # 2x the first committed on-chip measurement (9.65e-8 / 1.49e-8,
+        # 2026-08-20 -- bit-identical to interpret mode); dense-XLA
+        # agreement bounds the Mosaic-specific part.
+        "sharded_pallas_diag32": 2.0e-07,
+        "sharded_vs_dense_state_maxabs": 3.0e-08,
     }
     regressions = check_chip_floor(
         results, chip_floor, gate=jax.devices()[0].platform == "tpu"

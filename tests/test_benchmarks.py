@@ -88,6 +88,17 @@ def test_main_exits_nonzero_on_regression(tpu_contracts, monkeypatch, tmp_path):
         "qkan_layer_forward_quantum",
         lambda x, w, N, K: mod.qkan_layer_forward(x, w, N, K),
     )
+    # sharded_contracts builds a real Mesh from the (fake) device list;
+    # stub it with catastrophically bad values so the gate must fire on
+    # the sharded keys too.
+    monkeypatch.setattr(
+        mod,
+        "sharded_contracts",
+        lambda rng: {
+            "sharded_pallas_diag32": 1.0,
+            "sharded_vs_dense_state_maxabs": 1.0,
+        },
+    )
     monkeypatch.setattr(
         mod, "__file__", str(tmp_path / "benchmarks" / "tpu_contracts.py")
     )
