@@ -25,6 +25,20 @@ Gradient math (custom VJP; t = tanh(x)):
     dW[d*in+i, t] = sum_b T_d(t[b,i]) g[b, t]        (one [F, TB]@[TB, T])
     dx[b, i]    = (1 - t^2) * sum_d T'_d(t) (g @ W_d^T)[b, i],
                   T'_d = d * U_{d-1}  (Chebyshev 2nd kind)
+The dx reduction runs as ONE [TB, T] @ [T, dp1*in] dot against the full
+transposed weight (then an elementwise U-weighted segment sum over the
+degree blocks) rather than dp1 narrow per-degree dots -- same math,
+MXU-shaped (r5 retune).
+
+``kan_train_step_fused`` additionally fuses a whole SINGLE-LAYER train
+step (fwd + elementwise loss + dW) into one kernel: the loss cotangent
+g is a per-row function of (out, y), so each batch tile can compute its
+own g and accumulate dW without the basis, out, or g ever reaching HBM.
+This is the only way to compute the basis ONCE per step -- a custom-vjp
+pair (fwd kernel + bwd kernel) recomputes it in each -- and is the
+measured headline-step lever (benchmarks/headline_roofline.json: the
+honest XLA step's entire 0.042 ms overhead over the hoisted workload is
+the backward's basis recompute).
 
 Reference semantics: KANLayer.forward / KANNeuron.forward
 (KAN_w_cumulative_polynomials.py:180-188, :72-82) -- identical math to
@@ -41,10 +55,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Batch rows per grid step.  VMEM at TILE_B=256, in=784, D+1=6, f32:
-# basis 4.8 MB + x/dx 0.8 MB each + W/dW 0.2 MB each -- comfortably under
-# the ~16 MB budget for fwd and bwd alike.
+# Default batch rows per grid step.  VMEM at TILE_B=256, in=784, D+1=6,
+# f32: basis 4.8 MB + x/dx 0.8 MB each + W/dW 0.2 MB each -- comfortably
+# under the ~16 MB budget for fwd and bwd alike.  Narrow layers afford
+# far larger tiles (fewer grid steps, less per-tile fixed cost):
+# ``_batch_tile`` scales the tile to a basis budget, and callers can pin
+# ``tile_b`` explicitly (swept by benchmarks/fused_retune_probe.py).
 TILE_B = 256
+_BASIS_TILE_BUDGET_BYTES = 4 * 2**20
 
 
 def _dot_x3(a, b, split: bool):
@@ -77,6 +95,17 @@ def _dot_x3(a, b, split: bool):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
+def _resolve_split(precision: str, interpret: bool) -> bool:
+    """'high' -> manual bf16x3 on compiled TPU; 'default' -> one native
+    pass (the device-default class -- correct where the contraction width
+    is contract-verified harmless, e.g. the N=16 headline layer)."""
+    if precision not in ("high", "default"):
+        raise ValueError(
+            f"unknown fused precision {precision!r}: 'high' or 'default'"
+        )
+    return precision == "high" and not interpret
+
+
 def _cheb_blocks(t, dp1):
     """[T_0 | T_1 | ... | T_D](t) of a [TB, in] tile, degree-major list."""
     ts = [jnp.ones_like(t), t]
@@ -96,10 +125,24 @@ def _fwd_kernel(dp1, apply_tanh, split, x_ref, w_ref, out_ref):
     )
 
 
+def _dx_from_g(t, g, w_ref, dp1, apply_tanh, split):
+    """dx tile from the output cotangent: one [TB, T] @ [T, dp1*in] dot
+    against the full transposed weight, then the U-weighted sum over
+    degree blocks (T'_d = d * U_{d-1})."""
+    n = t.shape[1]
+    gm = _dot_x3(g, w_ref[:].astype(g.dtype).T, split)  # [TB, dp1*in]
+    us = [jnp.ones_like(t), 2.0 * t]
+    for _ in range(3, dp1):
+        us.append(2.0 * t * us[-1] - us[-2])
+    dt = jnp.zeros(t.shape, dtype=jnp.float32)
+    for d in range(1, dp1):
+        dt += (float(d) * us[d - 1]) * gm[:, d * n : (d + 1) * n]
+    return ((1.0 - t * t) * dt) if apply_tanh else dt
+
+
 def _bwd_kernel(dp1, apply_tanh, split, x_ref, w_ref, g_ref, dx_ref, dw_ref):
     t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
     g = g_ref[:]
-    n = t.shape[1]
     basis = jnp.concatenate(_cheb_blocks(t, dp1), axis=1)
 
     # dW accumulates across the sequential TPU grid: zero on first visit
@@ -114,26 +157,24 @@ def _bwd_kernel(dp1, apply_tanh, split, x_ref, w_ref, g_ref, dx_ref, dw_ref):
     dw_ref[:] += _dot_x3(basis.astype(jnp.float32).T, g, split).astype(
         dw_ref.dtype
     )
-
-    # dx: d(out)/d(t) via T'_d = d * U_{d-1}, then the tanh chain rule.
-    # U recurrence: U_0 = 1, U_1 = 2t, U_d = 2t U_{d-1} - U_{d-2}.
-    us = [jnp.ones_like(t), 2.0 * t]
-    for _ in range(3, dp1):
-        us.append(2.0 * t * us[-1] - us[-2])
-    dt = jnp.zeros(t.shape, dtype=jnp.float32)
-    for d in range(1, dp1):
-        gm_d = _dot_x3(g, w_ref[d * n : (d + 1) * n, :].T, split)
-        dt += (float(d) * us[d - 1]) * gm_d
-    # tanh chain rule only when the kernel applied tanh; raw-basis mode
-    # (apply_tanh=False, the QKANLayer semantics) backprops dt directly
-    dx_ref[:] = (((1.0 - t * t) * dt) if apply_tanh else dt).astype(
+    dx_ref[:] = _dx_from_g(t, g, w_ref, dp1, apply_tanh, split).astype(
         dx_ref.dtype
     )
 
 
-def _batch_tile(b: int) -> int:
+def _batch_tile(b: int, feat_bytes: int | None = None) -> int:
+    """Rows per tile: large enough to amortize per-tile fixed cost, small
+    enough that the in-VMEM basis stays within the budget."""
+    cap = TILE_B
+    if feat_bytes:
+        cap = max(
+            TILE_B,
+            min(4096, _BASIS_TILE_BUDGET_BYTES // feat_bytes // 256 * 256),
+        )
+    if b >= cap:
+        return cap
     if b >= TILE_B:
-        return TILE_B
+        return b // 256 * 256 if b % 256 == 0 else max(8, -(-b // 8) * 8)
     return max(8, -(-b // 8) * 8)
 
 
@@ -145,10 +186,15 @@ def _pad_batch(x, tile):
     return x, b
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _feat_bytes(n, dp1, dtype):
+    return n * dp1 * jnp.dtype(dtype).itemsize
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def kan_layer_fused(
     x: jax.Array, w2: jax.Array, dp1: int, interpret: bool = False,
-    apply_tanh: bool = True,
+    apply_tanh: bool = True, precision: str = "high",
+    tile_b: int | None = None,
 ):
     """Fused layer: [B, in] x degree-major [dp1*in, T] -> [B, T] float32.
 
@@ -158,18 +204,29 @@ def kan_layer_fused(
     Chebyshev recurrence on raw ``x`` (the ``ops.qkan_layer`` batched-layer
     semantics, where tanh lives upstream) -- callers then own the [-1, 1]
     domain guarantee, as with ``chebyshev_basis``.
+
+    ``precision``: 'high' (default) buys ~f32-accurate dots via the manual
+    bf16x3 split -- required at wide fan-in (the 5.6-accuracy-point
+    finding); 'default' runs one native MXU pass per dot, the right class
+    where the fan-in is contract-verified harmless (N=16).  ``tile_b``
+    overrides the batch-tile heuristic (swept by
+    benchmarks/fused_retune_probe.py).
     """
-    return _fused_fwd(x, w2, dp1, interpret, apply_tanh)[0]
+    return _fused_fwd(x, w2, dp1, interpret, apply_tanh, precision, tile_b)[0]
 
 
-def _fused_fwd(x, w2, dp1, interpret, apply_tanh=True):
-    tb = _batch_tile(x.shape[0])
+def _fused_fwd(x, w2, dp1, interpret, apply_tanh=True, precision="high",
+               tile_b=None):
+    split = _resolve_split(precision, interpret)
+    tb = tile_b or _batch_tile(
+        x.shape[0], _feat_bytes(x.shape[1], dp1, x.dtype)
+    )
     xp, b = _pad_batch(x, tb)
     bp = xp.shape[0]
     n = x.shape[1]
     t_dim = w2.shape[1]
     out = pl.pallas_call(
-        partial(_fwd_kernel, dp1, apply_tanh, not interpret),
+        partial(_fwd_kernel, dp1, apply_tanh, split),
         grid=(bp // tb,),
         in_specs=[
             pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -186,16 +243,19 @@ def _fused_fwd(x, w2, dp1, interpret, apply_tanh=True):
     return out[:b], (x, w2)
 
 
-def _fused_bwd(dp1, interpret, apply_tanh, res, g):
+def _fused_bwd(dp1, interpret, apply_tanh, precision, tile_b, res, g):
     x, w2 = res
-    tb = _batch_tile(x.shape[0])
+    split = _resolve_split(precision, interpret)
+    tb = tile_b or _batch_tile(
+        x.shape[0], _feat_bytes(x.shape[1], dp1, x.dtype)
+    )
     xp, b = _pad_batch(x, tb)
     gp, _ = _pad_batch(g.astype(jnp.float32), tb)
     bp = xp.shape[0]
     n = x.shape[1]
     t_dim = w2.shape[1]
     dx, dw = pl.pallas_call(
-        partial(_bwd_kernel, dp1, apply_tanh, not interpret),
+        partial(_bwd_kernel, dp1, apply_tanh, split),
         grid=(bp // tb,),
         in_specs=[
             pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -222,3 +282,97 @@ def _fused_bwd(dp1, interpret, apply_tanh, res, g):
 
 
 kan_layer_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# -- fused single-layer train step -------------------------------------
+
+
+def _step_kernel(dp1, apply_tanh, split, loss, inv_b,
+                 x_ref, w_ref, y_ref, loss_ref, dw_ref):
+    t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
+    basis = jnp.concatenate(_cheb_blocks(t, dp1), axis=1)
+    out = _dot_x3(basis, w_ref[:].astype(basis.dtype), split)  # [TB, T]
+    err = out if loss == "sumsq" else out - y_ref[:]
+    g = ((2.0 * inv_b) * err) if loss == "mse" else 2.0 * err
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        loss_ref[0, 0] = 0.0
+
+    dw_ref[:] += _dot_x3(basis.astype(jnp.float32).T, g, split).astype(
+        dw_ref.dtype
+    )
+    contrib = jnp.sum(err * err)
+    loss_ref[0, 0] += (contrib * inv_b) if loss == "mse" else contrib
+
+
+def kan_train_step_fused(
+    x: jax.Array,
+    w2: jax.Array,
+    dp1: int,
+    y: jax.Array | None = None,
+    loss: str = "sumsq",
+    interpret: bool = False,
+    apply_tanh: bool = True,
+    precision: str = "default",
+    tile_b: int | None = None,
+):
+    """One fused single-layer train step: returns ``(loss, dW)`` with the
+    Chebyshev basis computed ONCE, entirely in VMEM.
+
+    ``loss='sumsq'``: L = sum(out^2) (the headline-bench objective);
+    ``loss='mse'``: L = mean((out - y)^2) over all B*T elements (the
+    single-layer regression objective -- the market QKAN head).  Both
+    cotangents are per-row functions of the tile's own ``out``, which is
+    what lets fwd + bwd share one basis: a custom-vjp pair necessarily
+    rebuilds the basis in each half (headline_roofline.json measures that
+    recompute as the whole honest-vs-hoisted gap).  dX is not produced
+    (single-layer step: the input is data, not an upstream activation).
+
+    The batch must be a multiple of the tile (the step is a hot-loop
+    primitive; padding policy belongs to the caller because padded rows
+    would bias the 'mse' normalization).
+    """
+    if loss not in ("sumsq", "mse"):
+        raise ValueError(f"unknown loss {loss!r}: 'sumsq' or 'mse'")
+    if loss == "mse" and y is None:
+        raise ValueError("loss='mse' needs targets y")
+    split = _resolve_split(precision, interpret)
+    b = x.shape[0]
+    n = x.shape[1]
+    t_dim = w2.shape[1]
+    tb = tile_b or _batch_tile(b, _feat_bytes(n, dp1, x.dtype))
+    tb = min(tb, b)
+    if b % tb:
+        raise ValueError(
+            f"batch {b} must be a multiple of the tile {tb}; pad upstream"
+        )
+    if y is None:
+        y = jnp.zeros((b, t_dim), jnp.float32)
+    inv_b = 1.0 / float(b * t_dim)
+    loss_out, dw = pl.pallas_call(
+        partial(_step_kernel, dp1, apply_tanh, split, loss, inv_b),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tb, t_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, w2, y.astype(jnp.float32))
+    return loss_out[0, 0], dw.astype(w2.dtype)

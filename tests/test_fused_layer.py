@@ -170,3 +170,70 @@ def test_fused_tanh_mode_unchanged_by_flag_default():
         np.asarray(kan_layer_fused(x, w_dm, dp1, True)),
         np.asarray(kan_layer_fused(x, w_dm, dp1, True, True)),
     )
+
+
+def test_fused_train_step_matches_jax_grad():
+    """kan_train_step_fused: one-kernel fwd+loss+dW must equal jax.grad
+    of the plain XLA forward for both losses, honor apply_tanh/tile_b,
+    and reject non-multiple batches (padding would bias 'mse')."""
+    from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
+    from qkan_implementation_tpu.ops.fused_layer import kan_train_step_fused
+
+    rng = np.random.default_rng(5)
+    B, n, dp1, T = 512, 16, 8, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (B, n)), dtype=jnp.float32)
+    w2 = jnp.asarray(rng.uniform(-1, 1, (dp1 * n, T)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(0, 1, (B, T)), dtype=jnp.float32)
+
+    def fwd(w, tanh):
+        t = jnp.tanh(x) if tanh else x
+        bas = chebyshev_basis(t, dp1 - 1, clip=False)
+        return bas.transpose(0, 2, 1).reshape(B, -1) @ w
+
+    for loss_name, tanh, lf in [
+        ("sumsq", True, lambda w: jnp.sum(fwd(w, True) ** 2)),
+        ("mse", True, lambda w: jnp.mean((fwd(w, True) - y) ** 2)),
+        ("sumsq", False, lambda w: jnp.sum(fwd(w, False) ** 2)),
+    ]:
+        ref_l, ref_dw = lf(w2), jax.grad(lf)(w2)
+        got_l, got_dw = kan_train_step_fused(
+            x, w2, dp1, y=(y if loss_name == "mse" else None),
+            loss=loss_name, interpret=True, apply_tanh=tanh, tile_b=128,
+        )
+        np.testing.assert_allclose(
+            float(got_l), float(ref_l), rtol=1e-5
+        )
+        rel = float(
+            jnp.linalg.norm(got_dw - ref_dw) / jnp.linalg.norm(ref_dw)
+        )
+        assert rel < 1e-5, (loss_name, tanh, rel)
+
+    with pytest.raises(ValueError, match="multiple of the tile"):
+        kan_train_step_fused(x[:300], w2, dp1, interpret=True, tile_b=256)
+    with pytest.raises(ValueError, match="needs targets"):
+        kan_train_step_fused(x, w2, dp1, loss="mse", interpret=True)
+    with pytest.raises(ValueError, match="unknown loss"):
+        kan_train_step_fused(x, w2, dp1, loss="mae", interpret=True)
+    with pytest.raises(ValueError, match="unknown fused precision"):
+        kan_train_step_fused(x, w2, dp1, interpret=True, precision="x9")
+
+
+def test_fused_layer_precision_and_tile_knobs():
+    """precision='default'/tile_b overrides keep forward+grad parity in
+    interpret mode (where both resolve to exact host dots)."""
+    rng = np.random.default_rng(6)
+    B, n, dp1, T = 300, 8, 4, 8  # non-multiple batch exercises padding
+    x = jnp.asarray(rng.uniform(-1, 1, (B, n)), dtype=jnp.float32)
+    w2 = jnp.asarray(rng.uniform(-1, 1, (dp1 * n, T)), dtype=jnp.float32)
+    base = kan_layer_fused(x, w2, dp1, True, True)
+    alt = kan_layer_fused(x, w2, dp1, True, True, "default", 64)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(alt), rtol=1e-6)
+    g1 = jax.grad(
+        lambda w: jnp.sum(kan_layer_fused(x, w, dp1, True, True) ** 2)
+    )(w2)
+    g2 = jax.grad(
+        lambda w: jnp.sum(
+            kan_layer_fused(x, w, dp1, True, True, "default", 64) ** 2
+        )
+    )(w2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
