@@ -46,6 +46,7 @@ from qkan_implementation_tpu.ops import qkan_layer_forward_batched
 from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
 from qkan_implementation_tpu.ops.fused_layer import (
     kan_layer_fused,
+    kan_layer_fused_dw,
     kan_train_step_fused,
 )
 from qkan_implementation_tpu.ops.qkan_layer import qkan_weight_tensor
@@ -193,6 +194,25 @@ def headline_sweep(results, interpret):
                 rotating_step_chain(step_pl), (fold_dm(w), x_pool),
             )
 
+    # degree-wise v2 schedule (no basis concat): small VMEM footprint,
+    # so the largest tiles are reachable
+    for tb in ([4096] if QUICK else [4096, 8192, 16384]):
+        if tb > B:
+            continue
+
+        def loss_dw(w, x, tb=tb):
+            return jnp.sum(
+                kan_layer_fused_dw(
+                    x, fold_dm(w), D + 1, interpret, False,
+                    "default", tb,
+                ) ** 2
+            )
+
+        run_case(
+            results, f"headline_dw_tb{tb}_default",
+            rotating_grad_chain(jax.grad(loss_dw)), (w, x_pool),
+        )
+
 
 def flagship_sweep(results, interpret):
     IN, T, dp1 = 784, 32, 6
@@ -241,6 +261,26 @@ def flagship_sweep(results, interpret):
             run_case(
                 results, f"flagship_vjp_tb{tb}_{prec}",
                 rotating_grad_chain(jax.grad(loss_pl)), (w2, x_pool),
+            )
+
+    # degree-wise v2 schedule at wide fan-in: the [tb, 4704] basis concat
+    # is gone, so tiles beyond the v1 OOM wall are reachable, and the
+    # explicit 'bf16' mode chases XLA's bf16io class
+    dw_tiles = [256] if QUICK else [512, 1024, 2048]
+    for tb in dw_tiles:
+        if tb > B:
+            continue
+        for prec in ("bf16", "default", "high"):
+            def loss_dw(w2, x, tb=tb, prec=prec):
+                return jnp.sum(
+                    kan_layer_fused_dw(
+                        x, w2, dp1, interpret, True, prec, tb
+                    ) ** 2
+                )
+
+            run_case(
+                results, f"flagship_dw_tb{tb}_{prec}",
+                rotating_grad_chain(jax.grad(loss_dw)), (w2, x_pool),
             )
 
 

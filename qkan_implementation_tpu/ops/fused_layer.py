@@ -376,3 +376,205 @@ def kan_train_step_fused(
         interpret=interpret,
     )(x, w2, y.astype(jnp.float32))
     return loss_out[0, 0], dw.astype(w2.dtype)
+
+
+# -- degree-wise fused layer (v2 schedule) ------------------------------
+#
+# The v1 kernels above CONCATENATE the full [TB, dp1*in] basis in VMEM.
+# At wide fan-in that concat is the scoped-vmem bottleneck: the flagship
+# layer-0 ([TB, 4704] f32 = 19 MB at TB=1024) blows Mosaic's 16 MB limit
+# at any tile large enough to amortize grid overhead
+# (benchmarks/records/fused_retune.json, r5).  The degree-wise schedule
+# never materializes the basis: the Chebyshev recurrence runs degree by
+# degree and each T_d tile is contracted IMMEDIATELY --
+#
+#     fwd   out  = sum_d T_d(t) @ W_d            (dp1 dots of [TB,in]@[in,T])
+#     bwd   dW_d = T_d^T @ g                     (contract the batch dim)
+#           dt  += d * U_{d-1} * (g @ W_d^T)
+#           dx   = (1 - t^2) * dt                (tanh chain rule)
+#
+# so peak VMEM is a handful of [TB, in] temporaries (recurrence state)
+# instead of dp1 of them concatenated.  d=0 is exact without a dot:
+# T_0 = 1, so out_0 = colsum(W_0) broadcast and dW_0 = colsum(g)
+# broadcast.  ``precision`` adds an explicit 'bf16' mode (operands cast
+# to bf16, f32 accumulation -- the XLA bf16io class) next to 'high'
+# (manual bf16x3) and 'default' (native pass on the given dtype).
+
+
+def _resolve_mode(precision: str, interpret: bool) -> str:
+    if precision not in ("high", "default", "bf16"):
+        raise ValueError(
+            f"unknown fused precision {precision!r}: "
+            "'high', 'default', or 'bf16'"
+        )
+    if precision == "high":
+        return "plain" if interpret else "x3"
+    return "plain" if precision == "default" else "bf16"
+
+
+def _dot_md(a, b, mode, dims=(((1,), (0,)), ((), ()))):
+    """dot_general in one of three precision modes, f32 accumulation."""
+    if mode == "bf16":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+        )
+    if mode != "x3":
+        return jax.lax.dot_general(
+            a.astype(jnp.float32), b.astype(jnp.float32), dims,
+            preferred_element_type=jnp.float32,
+        )
+
+    def d(p, q):
+        return jax.lax.dot_general(
+            p, q, dims, preferred_element_type=jnp.float32
+        )
+
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(a.dtype)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(b.dtype)).astype(jnp.bfloat16)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _fwd_kernel_degreewise(dp1, apply_tanh, mode, x_ref, w_ref, out_ref):
+    t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
+    n = t.shape[1]
+    # T_0 = 1: exact broadcast of the W_0 column sums, no dot
+    acc = jnp.broadcast_to(
+        jnp.sum(w_ref[0:n, :].astype(jnp.float32), axis=0)[None, :],
+        (t.shape[0], w_ref.shape[1]),
+    )
+    prev, cur = jnp.ones_like(t), t
+    for d in range(1, dp1):
+        acc = acc + _dot_md(cur, w_ref[d * n : (d + 1) * n, :], mode)
+        prev, cur = cur, 2.0 * t * cur - prev
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _bwd_kernel_degreewise(
+    dp1, apply_tanh, mode, x_ref, w_ref, g_ref, dx_ref, dw_ref
+):
+    t = jnp.tanh(x_ref[:]) if apply_tanh else x_ref[:]
+    g = g_ref[:]
+    n = t.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    # dW_0 = 1^T @ g: exact broadcast of the g column sums
+    dw_ref[0:n, :] += jnp.broadcast_to(
+        jnp.sum(g.astype(jnp.float32), axis=0)[None, :],
+        (n, dw_ref.shape[1]),
+    ).astype(dw_ref.dtype)
+    prev, cur = jnp.ones_like(t), t  # T_{d-1}, T_d
+    # U_{d-1} with U_{-1} = 0, U_0 = 1: same 2t recurrence as T
+    u_m2, u_m1 = 0.0, jnp.ones_like(t)
+    dt = jnp.zeros(t.shape, dtype=jnp.float32)
+    batch_dims = (((0,), (0,)), ((), ()))
+    for d in range(1, dp1):
+        dw_ref[d * n : (d + 1) * n, :] += _dot_md(
+            cur, g, mode, batch_dims
+        ).astype(dw_ref.dtype)
+        gm_d = _dot_md(
+            g, w_ref[d * n : (d + 1) * n, :], mode,
+            (((1,), (1,)), ((), ())),  # contract T: [TB, T] x [in, T]^T
+        )
+        dt = dt + (float(d) * u_m1) * gm_d
+        prev, cur = cur, 2.0 * t * cur - prev
+        u_m2, u_m1 = u_m1, 2.0 * t * u_m1 - u_m2
+    dx_ref[:] = (((1.0 - t * t) * dt) if apply_tanh else dt).astype(
+        dx_ref.dtype
+    )
+
+
+def _batch_tile_degreewise(b: int, n: int) -> int:
+    """Rows per tile for the degree-wise schedule: ~7 [TB, in] f32
+    recurrence temporaries live at once, budgeted to ~12 MB VMEM."""
+    cap = max(256, min(4096, 12 * 2**20 // (7 * n * 4) // 256 * 256))
+    if b >= cap:
+        return cap
+    return max(8, -(-b // 8) * 8)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def kan_layer_fused_dw(
+    x: jax.Array, w2: jax.Array, dp1: int, interpret: bool = False,
+    apply_tanh: bool = True, precision: str = "high",
+    tile_b: int | None = None,
+):
+    """Degree-wise fused layer: same contract as ``kan_layer_fused``
+    ([B, in] x degree-major [dp1*in, T] -> [B, T] f32, custom VJP) on the
+    v2 schedule (module comment above): the basis is never materialized,
+    so wide fan-in tiles fit VMEM.  ``precision`` adds 'bf16' (explicit
+    one-pass bf16 operands, f32 accumulation -- the XLA bf16io class) to
+    'high'/'default'."""
+    return _fused_dw_fwd(
+        x, w2, dp1, interpret, apply_tanh, precision, tile_b
+    )[0]
+
+
+def _fused_dw_fwd(x, w2, dp1, interpret, apply_tanh=True, precision="high",
+                  tile_b=None):
+    mode = _resolve_mode(precision, interpret)
+    n = x.shape[1]
+    tb = tile_b or _batch_tile_degreewise(x.shape[0], n)
+    xp, b = _pad_batch(x, tb)
+    bp = xp.shape[0]
+    t_dim = w2.shape[1]
+    out = pl.pallas_call(
+        partial(_fwd_kernel_degreewise, dp1, apply_tanh, mode),
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, t_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, t_dim), jnp.float32),
+        interpret=interpret,
+    )(xp, w2)
+    return out[:b], (x, w2)
+
+
+def _fused_dw_bwd(dp1, interpret, apply_tanh, precision, tile_b, res, g):
+    x, w2 = res
+    mode = _resolve_mode(precision, interpret)
+    n = x.shape[1]
+    tb = tile_b or _batch_tile_degreewise(x.shape[0], n)
+    xp, b = _pad_batch(x, tb)
+    gp, _ = _pad_batch(g.astype(jnp.float32), tb)
+    bp = xp.shape[0]
+    t_dim = w2.shape[1]
+    dx, dw = pl.pallas_call(
+        partial(_bwd_kernel_degreewise, dp1, apply_tanh, mode),
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tb, t_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, n), x.dtype),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(xp, w2, gp)
+    return dx[:b], dw.astype(w2.dtype)
+
+
+kan_layer_fused_dw.defvjp(_fused_dw_fwd, _fused_dw_bwd)

@@ -237,3 +237,59 @@ def test_fused_layer_precision_and_tile_knobs():
         )
     )(w2)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+
+def test_degreewise_kernel_matches_v1_and_xla():
+    """v2 degree-wise schedule: same contract as kan_layer_fused (fwd +
+    custom VJP) without materializing the basis -- parity across
+    precisions, apply_tanh modes, dp1=1 edge, and non-tile batches."""
+    from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
+    from qkan_implementation_tpu.ops.fused_layer import kan_layer_fused_dw
+
+    rng = np.random.default_rng(5)
+    for (B, n, dp1, T, tanh) in [
+        (96, 24, 6, 32, True),
+        (64, 16, 8, 16, False),
+        (40, 8, 1, 4, True),
+        (33, 5, 2, 3, True),  # non-multiple batch exercises padding
+    ]:
+        lo, hi = (-2, 2) if tanh else (-0.95, 0.95)
+        x = jnp.asarray(
+            rng.uniform(lo, hi, (B, n)).astype(np.float32)
+        )
+        w2 = jnp.asarray(
+            rng.normal(0, 0.5, (dp1 * n, T)).astype(np.float32)
+        )
+
+        def ref_fn(x, w2):
+            t = jnp.tanh(x) if tanh else x
+            bas = chebyshev_basis(t, dp1 - 1, clip=False)
+            return bas.transpose(0, 2, 1).reshape(B, -1) @ w2
+
+        for prec in ("high", "default", "bf16"):
+            out = kan_layer_fused_dw(x, w2, dp1, True, tanh, prec)
+            ref = ref_fn(x, w2)
+            tol, gtol = (1e-4, 1e-3) if prec != "bf16" else (0.15, 1.0)
+            assert float(jnp.max(jnp.abs(out - ref))) < tol
+
+            g_ref = jax.grad(
+                lambda x, w: jnp.sum(jnp.sin(ref_fn(x, w))),
+                argnums=(0, 1),
+            )(x, w2)
+            g_dw = jax.grad(
+                lambda x, w: jnp.sum(
+                    jnp.sin(kan_layer_fused_dw(x, w, dp1, True, tanh, prec))
+                ),
+                argnums=(0, 1),
+            )(x, w2)
+            for a, b in zip(g_ref, g_dw):
+                assert float(jnp.max(jnp.abs(a - b))) < gtol
+
+
+def test_degreewise_rejects_unknown_precision():
+    from qkan_implementation_tpu.ops.fused_layer import kan_layer_fused_dw
+
+    x = jnp.zeros((8, 4), jnp.float32)
+    w2 = jnp.zeros((8, 2), jnp.float32)
+    with pytest.raises(ValueError, match="precision"):
+        kan_layer_fused_dw(x, w2, 2, True, True, "bf32")
