@@ -194,9 +194,12 @@ def headline_sweep(results, interpret):
                 rotating_step_chain(step_pl), (fold_dm(w), x_pool),
             )
 
-    # degree-wise v2 schedule (no basis concat): small VMEM footprint,
-    # so the largest tiles are reachable
-    for tb in ([4096] if QUICK else [4096, 8192, 16384]):
+    # degree-wise v2 schedule (no basis concat).  Tiles are bounded by
+    # Mosaic's lane padding: at n=16 every [tb, 16] temp is padded to
+    # [tb, 128] (8x), and the unrolled recurrence keeps ~20 such temps
+    # live on the stack -- tb4096 measured a 44.9 MB scoped allocation
+    # (r5 sweep), so only <= 2048 compiles.
+    for tb in ([1024] if QUICK else [1024, 2048]):
         if tb > B:
             continue
 
@@ -265,23 +268,33 @@ def flagship_sweep(results, interpret):
 
     # degree-wise v2 schedule at wide fan-in: the [tb, 4704] basis concat
     # is gone, so tiles beyond the v1 OOM wall are reachable, and the
-    # explicit 'bf16' mode chases XLA's bf16io class
-    dw_tiles = [256] if QUICK else [512, 1024, 2048]
-    for tb in dw_tiles:
+    # explicit 'bf16' mode chases XLA's bf16io class.  VMEM bound: ~7
+    # [tb, 784] f32 recurrence temps -> tb 512 fits (11 MB), 1024 does
+    # not (22 MB, measured OOM); 'high' triples dot operands -> 384 max.
+    dw_cases = (
+        [(256, "bf16")]
+        if QUICK
+        else [
+            (256, "bf16"), (384, "bf16"), (512, "bf16"), (768, "bf16"),
+            (512, "default"), (768, "default"),
+            (256, "high"), (384, "high"),
+        ]
+    )
+    for tb, prec in dw_cases:
         if tb > B:
             continue
-        for prec in ("bf16", "default", "high"):
-            def loss_dw(w2, x, tb=tb, prec=prec):
-                return jnp.sum(
-                    kan_layer_fused_dw(
-                        x, w2, dp1, interpret, True, prec, tb
-                    ) ** 2
-                )
 
-            run_case(
-                results, f"flagship_dw_tb{tb}_{prec}",
-                rotating_grad_chain(jax.grad(loss_dw)), (w2, x_pool),
+        def loss_dw(w2, x, tb=tb, prec=prec):
+            return jnp.sum(
+                kan_layer_fused_dw(
+                    x, w2, dp1, interpret, True, prec, tb
+                ) ** 2
             )
+
+        run_case(
+            results, f"flagship_dw_tb{tb}_{prec}",
+            rotating_grad_chain(jax.grad(loss_dw)), (w2, x_pool),
+        )
 
 
 def main():

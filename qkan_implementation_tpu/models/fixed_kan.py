@@ -358,6 +358,15 @@ def kan_layer_apply(
     (unlike 'xla', which follows the param dtype).  Composes with float
     compute_dtypes but not 'int8'.
 
+    ``backend='fused_dw'`` uses the degree-wise v2 schedule
+    (``ops.fused_layer.kan_layer_fused_dw``): the basis is never
+    materialized even in VMEM, so wide fan-in runs at larger tiles.  It
+    takes the same fan-in-aware ``matmul_precision`` policy as 'xla'
+    ('auto' -> bf16x3 at wide fan-in), and ``compute_dtype=bfloat16``
+    selects the explicit one-pass-bf16 class -- the fastest measured
+    flagship layer-0 train step (0.2287 ms vs XLA bf16io 0.2348,
+    fused_retune.json r5).
+
     ``matmul_precision`` governs the f32 layer matmul's TPU multiply
     passes.  Default ``'auto'``: layers whose contraction fan-in
     in*(D+1) reaches ``_FORWARD_PRECISION_MIN_FANIN`` run ``'high'``
@@ -370,9 +379,10 @@ def kan_layer_apply(
     int8/bf16io recipes (their precision is the recipe) and the fused
     backend (kernel-controlled).
     """
-    if backend not in ("xla", "fused"):
+    if backend not in ("xla", "fused", "fused_dw"):
         raise ValueError(
-            f"unknown backend {backend!r}: expected 'xla' or 'fused'"
+            f"unknown backend {backend!r}: expected 'xla', 'fused', or "
+            "'fused_dw'"
         )
     degs = layer_params["degrees"]  # [out]
     mask = (
@@ -380,15 +390,18 @@ def kan_layer_apply(
     )  # [out, D+1]
     coeffs = layer_params["coefficients"]  # [out, in, D+1, T]
     hw = layer_params["horizontal_weights"]  # [out]
-    if backend == "fused":
+    if backend in ("fused", "fused_dw"):
         if compute_dtype is not None and (
             compute_dtype in ("int8x2", "int8x2w")
             or jnp.dtype(compute_dtype) == jnp.int8
         ):
             raise ValueError(
-                "backend='fused' has no int8 path; use backend='xla'"
+                f"backend={backend!r} has no int8 path; use backend='xla'"
             )
-        from qkan_implementation_tpu.ops.fused_layer import kan_layer_fused
+        from qkan_implementation_tpu.ops.fused_layer import (
+            kan_layer_fused,
+            kan_layer_fused_dw,
+        )
 
         # degree-major [dp1*in, T] fold for the kernel's basis layout
         w_dm = jnp.einsum(
@@ -396,7 +409,26 @@ def kan_layer_apply(
         ).reshape(-1, coeffs.shape[-1]).astype(jnp.float32)
         xin = x if compute_dtype is None else x.astype(compute_dtype)
         interpret = jax.devices()[0].platform != "tpu"
-        return kan_layer_fused(xin, w_dm, max_degree + 1, interpret)
+        if backend == "fused":
+            return kan_layer_fused(xin, w_dm, max_degree + 1, interpret)
+        # fused_dw: the degree-wise schedule takes the SAME fan-in-aware
+        # precision policy as the xla path ('auto' -> 'high' at wide
+        # fan-in, one native pass below); compute_dtype=bfloat16 selects
+        # the explicit one-pass-bf16 class (the r5 retune winner at the
+        # flagship layer-0: 0.2287 vs XLA bf16io 0.2348 ms,
+        # fused_retune.json)
+        if compute_dtype is not None and jnp.dtype(compute_dtype) == (
+            jnp.bfloat16
+        ):
+            prec = "bf16"
+        else:
+            prec = _resolve_forward_precision(
+                matmul_precision, w_dm.shape[0]
+            ) or "default"
+        return kan_layer_fused_dw(
+            xin.astype(jnp.float32), w_dm, max_degree + 1, interpret,
+            True, prec,
+        )
     t = jnp.tanh(x)
     basis = chebyshev_basis(t, max_degree, clip=False)  # [B, in, D+1]
     # basis carries no `o` axis, so sum_o(coeffs * mask * hw) collapses the
@@ -1105,7 +1137,7 @@ class FixedKAN:
 
         idx_sharding = None
         if mesh is not None:
-            if backend == "fused":
+            if backend in ("fused", "fused_dw"):
                 raise ValueError(
                     "mesh= dp training composes with backend='xla' only: "
                     "a pallas_call under sharding propagation silently "

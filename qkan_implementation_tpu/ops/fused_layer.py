@@ -489,10 +489,14 @@ def _bwd_kernel_degreewise(
     )
 
 
-def _batch_tile_degreewise(b: int, n: int) -> int:
+def _batch_tile_degreewise(b: int, n: int, mode: str = "plain") -> int:
     """Rows per tile for the degree-wise schedule: ~7 [TB, in] f32
-    recurrence temporaries live at once, budgeted to ~12 MB VMEM."""
-    cap = max(256, min(4096, 12 * 2**20 // (7 * n * 4) // 256 * 256))
+    recurrence temporaries live at once, budgeted to ~12 MB VMEM; the
+    'x3' split roughly doubles live operand copies (measured on-chip:
+    tb512 'high' OOMs at in=784 where tb512 plain/bf16 fits,
+    fused_retune.json r5)."""
+    budget = (6 if mode == "x3" else 12) * 2**20
+    cap = max(256, min(4096, budget // (7 * n * 4) // 256 * 256))
     if b >= cap:
         return cap
     return max(8, -(-b // 8) * 8)
@@ -519,7 +523,7 @@ def _fused_dw_fwd(x, w2, dp1, interpret, apply_tanh=True, precision="high",
                   tile_b=None):
     mode = _resolve_mode(precision, interpret)
     n = x.shape[1]
-    tb = tile_b or _batch_tile_degreewise(x.shape[0], n)
+    tb = tile_b or _batch_tile_degreewise(x.shape[0], n, mode)
     xp, b = _pad_batch(x, tb)
     bp = xp.shape[0]
     t_dim = w2.shape[1]
@@ -545,7 +549,7 @@ def _fused_dw_bwd(dp1, interpret, apply_tanh, precision, tile_b, res, g):
     x, w2 = res
     mode = _resolve_mode(precision, interpret)
     n = x.shape[1]
-    tb = tile_b or _batch_tile_degreewise(x.shape[0], n)
+    tb = tile_b or _batch_tile_degreewise(x.shape[0], n, mode)
     xp, b = _pad_batch(x, tb)
     gp, _ = _pad_batch(g.astype(jnp.float32), tb)
     bp = xp.shape[0]

@@ -293,3 +293,51 @@ def test_degreewise_rejects_unknown_precision():
     w2 = jnp.zeros((8, 2), jnp.float32)
     with pytest.raises(ValueError, match="precision"):
         kan_layer_fused_dw(x, w2, 2, True, True, "bf32")
+
+
+def test_fused_dw_backend_matches_xla_backend():
+    """backend='fused_dw' through kan_layer_apply/kan_apply: forward and
+    gradient parity with the xla backend, plus the bf16 compute_dtype
+    class staying in f32-output contract."""
+    rng = np.random.default_rng(9)
+    D = 5
+    lp = random_layer(rng, 23, 7, 4, D)
+    x = jnp.asarray(rng.uniform(-2, 2, (37, 23)))
+    want = np.asarray(kan_layer_apply(lp, x, D, backend="xla"))
+    got = np.asarray(kan_layer_apply(lp, x, D, backend="fused_dw"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    out_bf16 = kan_layer_apply(
+        lp, x, D, backend="fused_dw", compute_dtype=jnp.bfloat16
+    )
+    assert out_bf16.dtype == jnp.float32
+    assert (
+        float(jnp.max(jnp.abs(out_bf16 - want)))
+        < 0.1 * float(jnp.max(jnp.abs(want))) + 0.05
+    )
+
+    degs = lp["degrees"]
+    y = jnp.asarray(rng.normal(0, 1, (37, 4)))
+
+    def loss(tp, x, backend):
+        out = kan_layer_apply(dict(tp, degrees=degs), x, D, backend=backend)
+        return jnp.mean((out - y) ** 2)
+
+    tp = {k: v for k, v in lp.items() if k != "degrees"}
+    gp_x, gx_x = jax.grad(loss, argnums=(0, 1))(tp, x, "xla")
+    gp_f, gx_f = jax.grad(loss, argnums=(0, 1))(tp, x, "fused_dw")
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_x), rtol=1e-4, atol=1e-5
+    )
+    for k in gp_x:
+        np.testing.assert_allclose(
+            np.asarray(gp_f[k]), np.asarray(gp_x[k]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fused_dw_rejects_int8():
+    rng = np.random.default_rng(2)
+    lp = random_layer(rng, 6, 3, 2, 3)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 6)))
+    with pytest.raises(ValueError, match="int8"):
+        kan_layer_apply(lp, x, 3, backend="fused_dw", compute_dtype="int8x2")
