@@ -33,12 +33,18 @@ def main():
     parser.add_argument("--num-reads", type=int, default=1000)
     parser.add_argument("--data", type=str, default=None)
     parser.add_argument(
-        "--profile", default="demo", choices=["demo", "hard"],
+        "--profile", default="demo", choices=["demo", "hard", "top"],
         help="'hard' = the generator calibrated to the reference's "
         "real-data regime (val comp-R^2 ~0.04-0.05, heavy tails, regime "
         "drift) so the quality column reads against the reference's "
-        "0.2306 MSE / 0.0473 comp-R^2; 'demo' keeps the strong-signal "
-        "wall-clock workload",
+        "0.2306 MSE / 0.0473 comp-R^2; 'top' = the high-signal regime of "
+        "its curated-feature logs (val R^2 0.3242 top / 0.5147 tail); "
+        "'demo' keeps the strong-signal wall-clock workload",
+    )
+    parser.add_argument(
+        "--signal-frac", type=float, default=None,
+        help="override the profile's calibrated signal fraction "
+        "(generate_market_parquet)",
     )
     args = parser.parse_args()
 
@@ -66,6 +72,7 @@ def main():
             generate_market_parquet(
                 path, n_rows=args.rows, n_features=args.features,
                 n_dates=200, profile=args.profile,
+                signal_frac=args.signal_frac,
             )
 
     cfg = DataConfig(
@@ -128,10 +135,19 @@ def main():
                 f"(generate_market_parquet)"
             ),
             "profile": args.profile,
+            "signal_frac": args.signal_frac,
             "reference_quality": (
                 {"val_mse": 0.2306, "val_comp_r2": 0.0473,
                  "source": "output_result_250k_tail_corrected.txt:522-524"}
                 if args.profile == "hard"
+                else {
+                    "val_comp_r2_top": 0.3242,
+                    "val_comp_r2_tail": 0.5147,
+                    "source": "output_result_top.txt:121, "
+                    "output_result_tail.txt:114 (weighted zero-mean "
+                    "comp-R^2, DegreeOptimizer._compute_metrics)",
+                }
+                if args.profile == "top"
                 else None
             ),
             "phases": {k: round(v, 3) for k, v in timer.durations.items()},
@@ -146,7 +162,7 @@ def main():
     out = Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
     tag = f"market_{args.rows//1000}k" + (
-        "_hard" if args.profile == "hard" else ""
+        "" if args.profile == "demo" else f"_{args.profile}"
     )
     (out / f"{tag}.json").write_text(
         json.dumps(record, indent=1)

@@ -99,7 +99,7 @@ def generate_market_parquet(
     seed: int = 0,
     target_col: str = "responder_6",
     profile: str = "demo",
-    signal_frac: float = 0.10,
+    signal_frac: float | None = None,
 ) -> str:
     """Write a synthetic Jane-Street-shaped parquet.
 
@@ -139,6 +139,25 @@ def generate_market_parquet(
       refits in-sample on the val rows (reference semantics): the
       overfit bias is ~n_basis/n_val ~= 0.08 at 20k rows and ~0.006 at
       250k, so calibration is stated at 250k.
+    - ``'top'`` -- calibrated to the reference's HIGH-SIGNAL regimes: its
+      curated-feature runs log val R^2 0.3242 (output_result_top.txt:121)
+      and 0.5147 (output_result_tail.txt:114), where "R^2 score" is the
+      weighted zero-mean comp-R^2 of DegreeOptimizer._compute_metrics
+      (original_degree_optimizer/DegreeOptimizer.py:296-308) -- the same
+      statistic ``evaluate_degree`` returns here.  Identical machinery to
+      'hard' (heavy-tailed factors, per-date drift, volatility-aware
+      weights) with the properties curation buys: additive-capturable
+      signal (cubic instead of the interaction term), milder t(8) tails,
+      0.5x pre-normalized scale, slow drift, and signal terms built on
+      clipped features (unclipped polynomial terms of heavy-tailed inputs
+      have barely-finite moments -- the realized R^2 fell with n and
+      swung ~2x across seeds before the clip).  Calibration (r5, measured
+      at 250k, degree-3 search, market_top_calibration.json): signal_frac
+      0.40 -> comp-R^2 0.3547, 0.50 (default) -> 0.4305, 0.60 -> 0.5064,
+      bracketing both reference logs; seed band at sf=0.5 is 0.31-0.43.
+
+    ``signal_frac=None`` resolves to the profile's calibrated default
+    (0.10 for 'hard', 0.50 for 'top').
     """
     rng = np.random.default_rng(seed)
     dates = np.sort(rng.integers(0, n_dates, n_rows))
@@ -152,42 +171,76 @@ def generate_market_parquet(
             + 0.2 * rng.normal(size=n_rows)
         )
         data["weight"] = rng.uniform(0.5, 2.0, n_rows)
-    elif profile == "hard":
+    elif profile in ("hard", "top"):
         if n_features < 6:
             raise ValueError(
-                f"profile='hard' needs n_features >= 6 (its signal uses "
-                f"the first 6 columns, incl. the s4*s5 interaction); got "
-                f"{n_features}"
+                f"profile={profile!r} needs n_features >= 6 (its signal "
+                f"uses the first 6 columns, incl. the s4*s5 interaction); "
+                f"got {n_features}"
+            )
+        # Profile knobs.  'top' models the reference's CURATED-feature
+        # regime, and every knob maps to a property curation buys (the r5
+        # ablation, market_top_calibration.json, measured each one):
+        # curated features are individually predictive (additive signal --
+        # the interaction term alone halves recoverable R^2), cleaner
+        # (t(8) vs t(4) tails: the q05/q95 clamp + tanh mangle fat tails,
+        # the single biggest loss), pre-normalized (0.5x scale keeps them
+        # inside tanh's useful range), and selected for stability (slow
+        # drift).  'hard' keeps the r4-calibrated settings.
+        if profile == "hard":
+            if signal_frac is None:
+                signal_frac = 0.10
+            drift_scale, tail_df, noise_df, feat_scale, interaction = (
+                0.12, 4, 3, 1.0, True
+            )
+        else:
+            if signal_frac is None:
+                signal_frac = 0.50
+            drift_scale, tail_df, noise_df, feat_scale, interaction = (
+                0.02, 8, 5, 0.5, False
             )
         n_factors = 8
         loadings = rng.normal(0, 1, (n_features, n_factors)) * (
             rng.uniform(size=(n_features, n_factors)) < 0.3
         )
-        factors = rng.standard_t(4, size=(n_rows, n_factors))
-        feats = 0.6 * factors @ loadings.T + rng.standard_t(
-            4, size=(n_rows, n_features)
+        factors = rng.standard_t(tail_df, size=(n_rows, n_factors))
+        feats = feat_scale * (
+            0.6 * factors @ loadings.T
+            + rng.standard_t(tail_df, size=(n_rows, n_features))
         )
         # per-date AR(1) random-walk drift on the signal coefficients:
         # the date-based val split therefore scores a shifted regime
         k_sig = 6
         betas = rng.normal(0, 1, k_sig) + np.cumsum(
-            rng.normal(0, 0.12, (n_dates, k_sig)), axis=0
+            rng.normal(0, drift_scale, (n_dates, k_sig)), axis=0
         )
         b = betas[dates]
         s = feats[:, :k_sig]
+        # 'top' builds its terms on CLIPPED features: polynomial terms of
+        # heavy-tailed inputs have barely-finite higher moments, so the
+        # global signal-std normalization is dominated by a handful of
+        # extreme rows -- deflating the fittable signal as n grows and
+        # swinging the realized R^2 ~2x across seeds (r5 diagnosis: 250k
+        # read 0.21/0.34/0.15 across seeds vs 0.41/0.45 at 60k on the
+        # unclipped cubic).  Clipping bounds every term's variance;
+        # 'hard' keeps raw terms (its target regime is noise-dominated,
+        # so term-variance stability is immaterial there).
+        sc = s if interaction else np.clip(s, -2.0, 2.0)
         terms = np.column_stack(
             [
-                s[:, 0],
-                s[:, 1] ** 2 - 1.0,
-                np.tanh(s[:, 2]),
-                s[:, 3],
-                s[:, 4] * s[:, 5],  # interaction: invisible to an
-                s[:, 5],            # additive univariate basis
+                sc[:, 0],
+                sc[:, 1] ** 2 - 1.0,
+                np.tanh(sc[:, 2]),
+                sc[:, 3],
+                # 'hard': interaction, invisible to an additive univariate
+                # basis; 'top': cubic, capturable at degree >= 3
+                sc[:, 4] * sc[:, 5] if interaction else sc[:, 4] ** 3,
+                sc[:, 5],
             ]
         )
         signal = (b * terms).sum(axis=1)
         signal /= signal.std() + 1e-12
-        noise = rng.standard_t(3, size=n_rows)
+        noise = rng.standard_t(noise_df, size=n_rows)
         noise /= noise.std() + 1e-12
         target = np.sqrt(signal_frac) * signal + np.sqrt(
             1.0 - signal_frac
