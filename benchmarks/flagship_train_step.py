@@ -175,6 +175,12 @@ def main():
         # bottleneck), so these rows measure the traffic win directly.
         ("f32_fused", None, "fused"),
         ("bf16_fused", jnp.bfloat16, "fused"),
+        # degree-wise v2 schedule (r5): no basis even in VMEM; 'auto'
+        # precision resolves per layer (bf16x3 at wide fan-in), and the
+        # bf16 row runs the explicit one-pass class that reclaimed the
+        # layer-0 bf16 crown from XLA (fused_retune.json)
+        ("f32_fused_dw", None, "fused_dw"),
+        ("bf16_fused_dw", jnp.bfloat16, "fused_dw"),
     )
     for mode, compute_dtype, backend in modes:
         # the bf16io recipe stores x in bf16 (ops/qkan_layer.py docstring),
