@@ -218,7 +218,12 @@ def main():
         # long chain carries >=400 ms of device work -- well above the
         # tunnel's run-to-run jitter (a 1200x25us chain once read 0.025
         # ms/step, pure noise)
-        dt = slope_time(step, carry, short_n=5 if args.quick else 300)
+        try:
+            dt = slope_time(step, carry, short_n=5 if args.quick else 300)
+        except Exception as e:  # a mode that OOMs must not lose the run
+            results[f"{mode}_error"] = repr(e)[:300]
+            print(f"{mode}: ERROR {repr(e)[:200]}")
+            continue
         results[f"{mode}_step_ms"] = dt * 1e3
         results[f"{mode}_steps_per_sec"] = 1.0 / dt
         results[f"{mode}_achieved_tflops"] = flops / dt / 1e12

@@ -187,7 +187,14 @@ def _pad_batch(x, tile):
 
 
 def _feat_bytes(n, dp1, dtype):
-    return n * dp1 * jnp.dtype(dtype).itemsize
+    """Bytes per basis row as MOSAIC ALLOCATES it, not as numpy counts it:
+    each [tb, n] per-degree temporary is padded to 128 lanes, so a narrow
+    layer (in=10 -> dp1*in=60) costs 12.8x its logical bytes in scoped
+    vmem.  Budgeting logical bytes here let ``_batch_tile`` pick tb=4096
+    on the flagship's narrow layers and the v1 backward blew the 16 MB
+    scoped-vmem limit at 17.69 MB (r5 on-chip, flagship_train_step rerun)."""
+    n_pad = -(-n // 128) * 128
+    return n_pad * dp1 * jnp.dtype(dtype).itemsize
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -491,12 +498,18 @@ def _bwd_kernel_degreewise(
 
 def _batch_tile_degreewise(b: int, n: int, mode: str = "plain") -> int:
     """Rows per tile for the degree-wise schedule: ~7 [TB, in] f32
-    recurrence temporaries live at once, budgeted to ~12 MB VMEM; the
-    'x3' split roughly doubles live operand copies (measured on-chip:
-    tb512 'high' OOMs at in=784 where tb512 plain/bf16 fits,
-    fused_retune.json r5)."""
-    budget = (6 if mode == "x3" else 12) * 2**20
-    cap = max(256, min(4096, budget // (7 * n * 4) // 256 * 256))
+    recurrence temporaries live at once, with ``in`` LANE-PADDED to 128
+    (Mosaic allocates [tb, 10] as [tb, 128] -- the r5 scoped-vmem
+    finding); the 'x3' split roughly doubles live operand copies.
+    Budgets are calibrated to the on-chip sweep (fused_retune.json r5):
+    at in=784 (padded 896) tb512 plain/bf16 fits and tb768 OOMs; tb256
+    'high' fits and tb512 OOMs.  Narrow layers get a hard ceiling (2048
+    plain / 1024 x3) -- grid-overhead amortization is flat past it and
+    the padded live set grows linearly in tb."""
+    n_pad = -(-n // 128) * 128
+    budget = 13 * 2**19 if mode == "x3" else 13 * 2**20
+    ceil_tb = 1024 if mode == "x3" else 2048
+    cap = max(256, min(ceil_tb, budget // (7 * n_pad * 4) // 256 * 256))
     if b >= cap:
         return cap
     return max(8, -(-b // 8) * 8)
