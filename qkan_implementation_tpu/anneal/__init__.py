@@ -19,6 +19,7 @@ from qkan_implementation_tpu.anneal.sa import (
     simulated_annealing,
     simulated_annealing_sharded,
     default_beta_range,
+    default_tempering_beta_range,
     polish_one_hot_blocks,
     solve_qubo,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "simulated_annealing",
     "simulated_annealing_sharded",
     "default_beta_range",
+    "default_tempering_beta_range",
     "polish_one_hot_blocks",
     "solve_qubo",
     "Array",

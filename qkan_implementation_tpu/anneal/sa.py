@@ -47,6 +47,34 @@ def default_beta_range(model: QuboModel) -> tuple[float, float]:
     return (beta_hot, beta_cold)
 
 
+def default_tempering_beta_range(model: QuboModel) -> tuple[float, float]:
+    """Ladder-specific (beta_hot, beta_cold) for parallel tempering.
+
+    SA's geometric SCHEDULE visits ``num_sweeps`` (~1000) temperatures, so
+    anchoring its cold end to the finest energy scale (``min |entry|``,
+    ``default_beta_range``) costs nothing.  A tempering LADDER has only
+    ``num_replicas`` (~16) rungs, and the whole mechanism is
+    adjacent-rung exchange: stretching 16 rungs over the min-scale span
+    (beta_cold ~ 2.3e8 on a dense Gaussian n=2048) spaces neighbors so far
+    apart that exchanges never accept, every rung quenches independently,
+    and PT loses to plain SA (r5 measured: best energy -1136.76 vs SA's
+    -1137.37 on the n=2048 head-to-head).  Anchoring the cold end to the
+    MEDIAN coupling scale (beta_cold ~ 218 on the same instance) restores
+    exchange flow and matches SA's best energy at 8, 16, and 32 replicas
+    on the same chain budget (``anneal_headtohead.json``).  Callers who
+    need the min-scale cold end (fine bias gaps) can pass ``beta_range``
+    explicitly.
+    """
+    beta_hot, _ = default_beta_range(model)
+    entries = np.concatenate(
+        [np.abs(model.h).ravel(), np.abs(model.J).ravel()]
+    )
+    nonzero = entries[entries > 1e-12]
+    med = float(np.median(nonzero)) if nonzero.size else 1.0
+    beta_cold = max(np.log(100.0) / max(med, 1e-9), 20.0 * beta_hot)
+    return (beta_hot, beta_cold)
+
+
 @partial(jax.jit, static_argnames=("num_reads", "num_sweeps"))
 def _anneal_kernel(h, J, betas, key, num_reads: int, num_sweeps: int):
     n = h.shape[0]
@@ -571,7 +599,7 @@ def parallel_tempering(
     ``simulated_annealing``.
     """
     if beta_range is None:
-        beta_range = default_beta_range(model)
+        beta_range = default_tempering_beta_range(model)
     betas = jnp.asarray(
         np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
     )
@@ -639,7 +667,7 @@ def parallel_tempering_sharded(
     n_dev = int(mesh.shape[axis_name])
     chains_local = -(-num_chains // n_dev)
     if beta_range is None:
-        beta_range = default_beta_range(model)
+        beta_range = default_tempering_beta_range(model)
     betas = jnp.asarray(
         np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
     )
@@ -829,7 +857,7 @@ def parallel_tempering_mesh_ladder(
         )
     t_local = num_replicas // n_dev
     if beta_range is None:
-        beta_range = default_beta_range(model)
+        beta_range = default_tempering_beta_range(model)
     betas = jnp.asarray(
         np.geomspace(beta_range[0], beta_range[1], num_replicas), dtype=dtype
     )

@@ -204,6 +204,32 @@ def test_block_structure_falls_back_when_not_block_diagonal():
     np.testing.assert_allclose(e, model.energy(s), atol=1e-4)
 
 
+def test_tempering_beta_range_is_median_anchored():
+    """The tempering LADDER default must not inherit SA's min-scale cold
+    end: one tiny coupling sends ``default_beta_range``'s cold end to
+    log(100)/min (useless ladder span -- adjacent rungs never exchange,
+    the r5 n=2048 head-to-head regression), while the ladder default
+    anchors to the MEDIAN coupling scale."""
+    from qkan_implementation_tpu.anneal import default_tempering_beta_range
+
+    rng = np.random.default_rng(5)
+    n = 64
+    J = rng.normal(0, 1, (n, n))
+    J = J + J.T
+    np.fill_diagonal(J, 0.0)
+    h = rng.normal(0, 1, n)
+    h[0] = 1e-7  # one tiny bias: min-scale cold end explodes to ~4.6e7
+    model = QuboModel(h=h, J=J, offset=0.0)
+    hot_sa, cold_sa = default_beta_range(model)
+    hot_pt, cold_pt = default_tempering_beta_range(model)
+    assert hot_pt == hot_sa  # same hot end (accept the largest |dE|)
+    assert cold_sa > 1e6  # SA's schedule may resolve the finest scale
+    entries = np.concatenate([np.abs(h), np.abs(J).ravel()])
+    med = np.median(entries[entries > 1e-12])  # zero J diagonal excluded
+    assert cold_pt == pytest.approx(np.log(100.0) / med)
+    assert cold_pt < 100.0  # a 16-rung ladder can actually span this
+
+
 class TestParallelTempering:
     def test_finds_ground_state_dense_qubo(self):
         # dense non-separable Gaussian couplings, verified vs brute force
