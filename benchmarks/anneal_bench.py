@@ -53,7 +53,8 @@ def random_dense_qubo(n: int, seed: int) -> QuboModel:
     return QuboModel(h=h, J=J, offset=0.0)
 
 
-def run(n: int, seed: int, sweeps: int, reads: int) -> list[dict]:
+def run(n: int, seed: int, sweeps: int, reads: int,
+        no_native: bool = False) -> list[dict]:
     model = random_dense_qubo(n, seed)
     truth = None
     if n <= 22 and native_available():
@@ -126,7 +127,7 @@ def run(n: int, seed: int, sweeps: int, reads: int) -> list[dict]:
             )
         ),
     )
-    if native_available():
+    if native_available() and not no_native:
         record(
             "native_cpp",
             lambda: simulated_annealing(
@@ -144,11 +145,16 @@ def main():
     ap.add_argument("--sweeps", type=int, default=1000)
     ap.add_argument("--reads", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--no-native", action="store_true",
+                    help="skip the C++ sampler rows (minutes of "
+                    "single-core sweeps per run at n>=2048)")
     args = ap.parse_args()
 
     all_records = []
     for n in args.sizes:
-        all_records.extend(run(n, args.seed, args.sweeps, args.reads))
+        all_records.extend(
+            run(n, args.seed, args.sweeps, args.reads, args.no_native)
+        )
 
     out = pathlib.Path(__file__).resolve().parent / "records"
     out.mkdir(parents=True, exist_ok=True)
