@@ -52,6 +52,7 @@ def main():
     import numpy as np
 
     from qkan_implementation_tpu.data.pipeline import (
+        PROFILE_SIGNAL_FRAC,
         DataPipeline,
         generate_market_parquet,
     )
@@ -135,7 +136,13 @@ def main():
                 f"(generate_market_parquet)"
             ),
             "profile": args.profile,
-            "signal_frac": args.signal_frac,
+            # RESOLVED value: a null here used to mean "the calibrated
+            # default was used" without saying what it was
+            "signal_frac": (
+                args.signal_frac
+                if args.signal_frac is not None
+                else PROFILE_SIGNAL_FRAC.get(args.profile)
+            ),
             "reference_quality": (
                 {"val_mse": 0.2306, "val_comp_r2": 0.0473,
                  "source": "output_result_250k_tail_corrected.txt:522-524"}

@@ -91,6 +91,12 @@ class DataPipeline:
         )
 
 
+# Calibrated per-profile signal fractions (market_top_calibration.json /
+# the r4 hard-profile sweep).  Exposed so benchmark records can state the
+# RESOLVED value when the caller passes signal_frac=None.
+PROFILE_SIGNAL_FRAC = {"hard": 0.10, "top": 0.50}
+
+
 def generate_market_parquet(
     path: str,
     n_rows: int = 5000,
@@ -189,13 +195,13 @@ def generate_market_parquet(
         # drift).  'hard' keeps the r4-calibrated settings.
         if profile == "hard":
             if signal_frac is None:
-                signal_frac = 0.10
+                signal_frac = PROFILE_SIGNAL_FRAC["hard"]
             drift_scale, tail_df, noise_df, feat_scale, interaction = (
                 0.12, 4, 3, 1.0, True
             )
         else:
             if signal_frac is None:
-                signal_frac = 0.50
+                signal_frac = PROFILE_SIGNAL_FRAC["top"]
             drift_scale, tail_df, noise_df, feat_scale, interaction = (
                 0.02, 8, 5, 0.5, False
             )

@@ -425,9 +425,21 @@ def kan_layer_apply(
             prec = _resolve_forward_precision(
                 matmul_precision, w_dm.shape[0]
             ) or "default"
+            # xla-only multi-pass names map to the kernel's nearest mode
+            # (its accuracy ceiling is the manual bf16x3 split = 'high'),
+            # so a config tuned on the xla backend can switch backends
+            # without crashing in the kernel's mode check
+            prec = {
+                "highest": "high", "bf16x2_w": "high", "bf16x2_x": "high",
+            }.get(prec, prec)
+        # the kernel runs tanh + recurrence in x's dtype: bf16 mode feeds
+        # bf16 x directly (halves the dominant [B, in] HBM read -- the
+        # bf16io recipe); other modes need f32 operands
+        xin = xin.astype(
+            jnp.bfloat16 if prec == "bf16" else jnp.float32
+        )
         return kan_layer_fused_dw(
-            xin.astype(jnp.float32), w_dm, max_degree + 1, interpret,
-            True, prec,
+            xin, w_dm, max_degree + 1, interpret, True, prec,
         )
     t = jnp.tanh(x)
     basis = chebyshev_basis(t, max_degree, clip=False)  # [B, in, D+1]
@@ -969,11 +981,18 @@ class FixedKAN:
         Note ``compute_dtype='int8'`` is invalid here (zero gradients).
 
         ``matmul_precision`` pins the multiply precision of every matmul
-        in the training step (forward, cotangents, Adam) via
-        ``jax.default_matmul_precision``.  The default ``'auto'`` resolves
-        to ``'high'`` (bf16x3 MXU passes, ~f32-accurate products) for the
-        xla backend and to ``None`` for the fused backend (its Mosaic
-        kernels control their own numerics, measured healthy).  'high' is
+        in the training step.  On the xla backend it enters
+        ``jax.default_matmul_precision`` around the whole trace (forward,
+        cotangents, Adam); the default ``'auto'`` resolves to ``'high'``
+        (bf16x3 MXU passes, ~f32-accurate products).  ``backend='fused'``
+        ignores it (the v1 kernel unconditionally runs manual-bf16x3
+        split dots; ``last_matmul_precision`` records 'high').
+        ``backend='fused_dw'`` routes the resolved value into the kernel
+        as its precision mode ('auto' -> 'high'; xla-only multipass names
+        map to the kernel ceiling 'high'; ``compute_dtype=bfloat16``
+        selects the one-pass 'bf16' class) -- no ambient context is
+        entered for the fused backends, whose in-kernel dots today's
+        Mosaic would reject with a precision hint attached.  'high' is
         the PRODUCTION default because TPU's f32 default is ONE bf16 pass
         and the r4 on-chip flagship cells measured that single pass
         breaking training convergence -- loss plateaus at 0.62 vs 0.21,
@@ -1037,6 +1056,39 @@ class FixedKAN:
         if compute_dtype is not None:
             x = x.astype(compute_dtype)  # store-once, the bf16io recipe
 
+        # Resolve the training matmul precision up front -- it routes
+        # differently per backend (provenance in last_matmul_precision):
+        # - 'xla': the ambient jax.default_matmul_precision context owns
+        #   EVERY matmul (forward, cotangents, Adam); 'auto' -> 'high'
+        #   (the measured convergence default, docstring above).
+        # - 'fused': the v1 kernel owns its numerics unconditionally
+        #   (manual bf16x3 split dots); no ambient context is entered --
+        #   the current Mosaic rejects precision hints on in-kernel dots
+        #   ("Bad lhs type", CLAUDE.md r4), so wrapping the trace in
+        #   default_matmul_precision would crash the kernel compile.
+        # - 'fused_dw': precision is an explicit kernel mode, so the
+        #   resolved value is passed THROUGH kan_apply (the ambient
+        #   context cannot reach a Pallas kernel's dots); 'auto' -> 'high'
+        #   like xla, xla-only multipass names map to the kernel ceiling
+        #   'high', and compute_dtype=bfloat16 selects the 'bf16' class.
+        if backend == "xla":
+            if matmul_precision == "auto":
+                matmul_precision = "high"
+            fwd_precision = None  # ambient context owns the numerics
+        elif backend == "fused":
+            matmul_precision = "high"  # what the kernel actually runs
+            fwd_precision = None  # ignored by the v1 kernel
+        else:  # fused_dw
+            if matmul_precision in ("auto", "highest", "bf16x2_w",
+                                    "bf16x2_x"):
+                matmul_precision = "high"
+            if compute_dtype is not None and jnp.dtype(compute_dtype) == (
+                jnp.bfloat16
+            ):
+                matmul_precision = "bf16"
+            fwd_precision = matmul_precision
+        self.last_matmul_precision = matmul_precision
+
         if loss == "cross_entropy":
             if y.ndim == 1:
                 y1h = jax.nn.one_hot(y.astype(jnp.int32), self.config.network_shape[-1])
@@ -1044,15 +1096,17 @@ class FixedKAN:
                 y1h = y
 
             def loss_fn(params, xb, yb):
-                # matmul_precision=None: inside train() the ambient
-                # default_matmul_precision context (resolved below) owns
-                # EVERY matmul's numerics.  Letting the forward re-pin its
-                # own 'auto' policy here would make train(None) silently
-                # keep 'high' at wide layers and would DOWNGRADE an
-                # explicit train('highest') to 'high' there.
+                # fwd_precision is None on the xla path: the ambient
+                # default_matmul_precision context (entered below) owns
+                # EVERY matmul's numerics there.  Letting the forward
+                # re-pin its own 'auto' policy would make train(None)
+                # silently keep 'high' at wide layers and DOWNGRADE an
+                # explicit train('highest') to 'high'.  On fused_dw the
+                # resolved kernel mode routes through here instead (the
+                # ambient context cannot reach a Pallas kernel's dots).
                 logits = kan_apply(
                     params, xb, max_degree, compute_dtype, backend,
-                    matmul_precision=None,
+                    matmul_precision=fwd_precision,
                 )
                 return jnp.mean(
                     optax.softmax_cross_entropy(logits, yb)
@@ -1063,10 +1117,10 @@ class FixedKAN:
             y_train = y if y.ndim > 1 else y[:, None]
 
             def loss_fn(params, xb, yb):
-                # ambient precision context governs (see cross_entropy note)
+                # precision routing: see the cross_entropy note
                 pred = kan_apply(
                     params, xb, max_degree, compute_dtype, backend,
-                    matmul_precision=None,
+                    matmul_precision=fwd_precision,
                 )
                 return jnp.mean((pred - yb) ** 2)
         else:
@@ -1254,17 +1308,14 @@ class FixedKAN:
         rng = np.random.default_rng(seed)
         import contextlib
 
-        if matmul_precision == "auto":
-            matmul_precision = "high" if backend == "xla" else None
-        # resolved value exposed for run records (provenance: 'auto' alone
-        # doesn't say what the step actually ran)
-        self.last_matmul_precision = matmul_precision
         # the precision context must wrap the epoch_fn TRACE (first call),
         # and jit keys on the ambient precision config, so wrapping the
-        # whole loop is both necessary and cache-correct
+        # whole loop is both necessary and cache-correct.  xla-only: the
+        # fused backends own their numerics in-kernel (resolution above),
+        # and an ambient hint would crash today's Mosaic on in-kernel dots
         prec_ctx = (
             jax.default_matmul_precision(matmul_precision)
-            if matmul_precision is not None
+            if backend == "xla" and matmul_precision is not None
             else contextlib.nullcontext()
         )
         with prec_ctx:

@@ -341,3 +341,53 @@ def test_fused_dw_rejects_int8():
     x = jnp.asarray(rng.uniform(-1, 1, (8, 6)))
     with pytest.raises(ValueError, match="int8"):
         kan_layer_apply(lp, x, 3, backend="fused_dw", compute_dtype="int8x2")
+
+
+def test_fused_dw_maps_xla_precision_names():
+    """A config tuned on the xla backend (matmul_precision 'highest' /
+    'bf16x2_w' / 'bf16x2_x') must run on backend='fused_dw' by mapping to
+    the kernel's nearest mode ('high', its accuracy ceiling) instead of
+    crashing in the kernel's mode check."""
+    rng = np.random.default_rng(4)
+    D = 4
+    lp = random_layer(rng, 12, 5, 3, D)
+    x = jnp.asarray(rng.uniform(-2, 2, (16, 12)))
+    want = np.asarray(kan_layer_apply(lp, x, D, backend="xla"))
+    for prec in ("highest", "bf16x2_w", "bf16x2_x", "high", "auto", None):
+        got = np.asarray(
+            kan_layer_apply(
+                lp, x, D, backend="fused_dw", matmul_precision=prec
+            )
+        )
+        # interpret mode runs true-f32 dots in every mapped mode
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dw_bf16_class_feeds_bf16_input():
+    """compute_dtype=bfloat16 on fused_dw streams x to the kernel AT bf16
+    (the bf16io recipe: tanh + recurrence in bf16, f32 accumulation) --
+    the dispatch must not silently upcast the input back to f32."""
+    from unittest import mock
+
+    rng = np.random.default_rng(11)
+    D = 3
+    lp = random_layer(rng, 6, 4, 2, D)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 6)))
+    seen = {}
+    from qkan_implementation_tpu.ops import fused_layer
+
+    orig = fused_layer.kan_layer_fused_dw
+
+    def spy(xin, *a, **k):
+        seen["dtype"] = xin.dtype
+        return orig(xin, *a, **k)
+
+    with mock.patch.object(fused_layer, "kan_layer_fused_dw", spy):
+        kan_layer_apply(
+            lp, x, D, backend="fused_dw", compute_dtype=jnp.bfloat16
+        )
+    assert seen["dtype"] == jnp.bfloat16
+    seen.clear()
+    with mock.patch.object(fused_layer, "kan_layer_fused_dw", spy):
+        kan_layer_apply(lp, x, D, backend="fused_dw")
+    assert seen["dtype"] == jnp.float32

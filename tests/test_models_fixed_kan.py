@@ -1193,3 +1193,48 @@ def test_int8_wide_fanin_warns():
         warnings.simplefilter("always")
         kan_layer_apply(layer(16), jnp.ones((4, 16), jnp.float32), D, jnp.int8)
     assert not any("int8 serving" in str(x.message) for x in w)  # narrow: fine
+
+
+def test_train_precision_routing_per_backend():
+    """Per-backend training-precision resolution (r5 review fix): the
+    fused backends own their numerics in-kernel, so no ambient
+    default_matmul_precision context may wrap their trace (today's Mosaic
+    rejects precision hints on in-kernel dots), and last_matmul_precision
+    must record what each kernel actually ran:
+
+    - fused_dw 'auto' -> 'high' (NOT the convergence-stalling device
+      default the pre-fix ambient-context routing silently produced)
+    - fused_dw + compute_dtype=bfloat16 -> 'bf16' (the one-pass class)
+    - fused_dw + xla-only names ('highest') -> kernel ceiling 'high'
+    - fused (v1) -> 'high' unconditionally (kernel-controlled bf16x3)
+    """
+    x, y = quadratic_data(n=120)
+    x = jnp.asarray(np.asarray(x, dtype=np.float32))
+    y = jnp.asarray(np.asarray(y, dtype=np.float32))
+
+    def trained(**kw):
+        kan = FixedKAN(
+            FixedKANConfig(network_shape=[1, 4, 1], max_degree=3)
+        )
+        kan.optimize(x, y, solver="exact")
+        losses = kan.train(
+            x, y, epochs=2, learning_rate=1e-3, batch_size=60,
+            loss="mse", **kw,
+        )
+        assert np.isfinite(np.asarray(losses)).all()
+        return kan
+
+    assert trained(backend="xla").last_matmul_precision == "high"
+    assert trained(
+        backend="fused_dw"
+    ).last_matmul_precision == "high"
+    assert trained(
+        backend="fused_dw", compute_dtype=jnp.bfloat16
+    ).last_matmul_precision == "bf16"
+    assert trained(
+        backend="fused_dw", matmul_precision="highest"
+    ).last_matmul_precision == "high"
+    assert trained(
+        backend="fused_dw", matmul_precision=None
+    ).last_matmul_precision is None
+    assert trained(backend="fused").last_matmul_precision == "high"
