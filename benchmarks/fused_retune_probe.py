@@ -51,54 +51,14 @@ from qkan_implementation_tpu.ops.fused_layer import (
 )
 from qkan_implementation_tpu.ops.qkan_layer import qkan_weight_tensor
 
+try:  # PYTHONPATH=. python benchmarks/fused_retune_probe.py
+    from benchmarks._slope import rotating_grad_chain, slope_time
+except ImportError:  # python fused_retune_probe.py from benchmarks/
+    from _slope import rotating_grad_chain, slope_time
+
 QUICK = os.environ.get("BENCH_QUICK") == "1"
 ITERS = 10 if QUICK else 60
 LONG_MULT = 6 if QUICK else 12
-
-
-def _walltime(thunk) -> float:
-    t0 = time.time()
-    thunk()
-    return time.time() - t0
-
-
-def slope_time(make_chain, args, iters=ITERS, reps=3):
-    """Median per-step slope over two chain lengths (bench.py method)."""
-    long_iters = iters * LONG_MULT
-    c_short, c_long = make_chain(iters), make_chain(long_iters)
-    float(c_short(*args))  # compile
-    float(c_long(*args))
-    per = []
-    for _ in range(1 if QUICK else reps):
-        ts = min(_walltime(lambda: float(c_short(*args))) for _ in range(2))
-        tl = min(_walltime(lambda: float(c_long(*args))) for _ in range(2))
-        slope = tl - ts
-        if slope <= 0.05 * tl:
-            per.append(tl / long_iters)
-        else:
-            per.append(slope / (long_iters - iters))
-    return float(np.median(per))
-
-
-def rotating_grad_chain(grad_fn):
-    """bench.py's honest rotating-pool step as a chain factory."""
-
-    def make(n):
-        @jax.jit
-        def chained(w, pool):
-            def body(w, i):
-                xi = jax.lax.dynamic_index_in_dim(
-                    pool, i % 2, axis=0, keepdims=False
-                )
-                return w - 1e-7 * grad_fn(w, xi), None
-
-            return jnp.sum(
-                jax.lax.scan(body, w, jnp.arange(n, dtype=jnp.int32))[0]
-            )
-
-        return chained
-
-    return make
 
 
 def rotating_step_chain(step_fn):
@@ -126,11 +86,18 @@ def rotating_step_chain(step_fn):
 def run_case(results, name, make_chain, args):
     try:
         t0 = time.time()
-        per = slope_time(make_chain, args)
+        per, _, noise = slope_time(
+            make_chain, args, ITERS, LONG_MULT, reps=1 if QUICK else 3
+        )
         results[name] = round(per * 1e3, 4)
+        if noise:
+            # noise-dominated reps report an upper bound, not a slope --
+            # mark it in the record (VERDICT r4 weak #7)
+            results[f"{name}_noise_fallbacks"] = noise
         print(
             f"{name:28s} {per * 1e3:8.4f} ms/step  "
-            f"[compile+run {time.time() - t0:.0f}s]",
+            f"[compile+run {time.time() - t0:.0f}s]"
+            + (f"  [{noise} noise-fallback reps]" if noise else ""),
             file=sys.stderr,
         )
     except Exception as e:

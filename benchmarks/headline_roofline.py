@@ -41,36 +41,17 @@ from qkan_implementation_tpu.ops import qkan_layer_forward_batched
 from qkan_implementation_tpu.ops.chebyshev import chebyshev_basis
 from qkan_implementation_tpu.ops.qkan_layer import qkan_weight_tensor
 
+try:  # PYTHONPATH=. python benchmarks/headline_roofline.py
+    from benchmarks._slope import slope_time
+except ImportError:  # python headline_roofline.py from benchmarks/
+    from _slope import slope_time
+
 QUICK = os.environ.get("BENCH_QUICK") == "1"
 N = K = 16
 D = 7
 B = 4096 if QUICK else 262144
 ITERS = 20 if QUICK else 100
 LONG_MULT = 6 if QUICK else 12
-
-
-def _walltime(thunk) -> float:
-    t0 = time.time()
-    thunk()
-    return time.time() - t0
-
-
-def slope_time(make_chain, args, iters=ITERS, reps=3):
-    """Median per-step slope over two chain lengths (bench.py method)."""
-    long_iters = iters * LONG_MULT
-    c_short, c_long = make_chain(iters), make_chain(long_iters)
-    float(c_short(*args))  # compile
-    float(c_long(*args))
-    per = []
-    for _ in range(1 if QUICK else reps):
-        ts = min(_walltime(lambda: float(c_short(*args))) for _ in range(2))
-        tl = min(_walltime(lambda: float(c_long(*args))) for _ in range(2))
-        slope = tl - ts
-        if slope <= 0.05 * tl:
-            per.append(tl / long_iters)
-        else:
-            per.append(slope / (long_iters - iters))
-    return float(np.median(per)), [round(p * 1e3, 4) for p in per]
 
 
 def main():
@@ -250,12 +231,17 @@ def main():
     for name, mk, args in cases:
         try:
             t0 = time.time()
-            per, reps = slope_time(mk, args)
+            per, reps, noise = slope_time(
+                mk, args, ITERS, LONG_MULT, reps=1 if QUICK else 3
+            )
             results[name] = {
                 "ms_per_step": round(per * 1e3, 4),
                 "reps_ms": reps,
                 "layers_per_sec": round(B / per, 0),
             }
+            if noise:
+                # upper-bound reps, not slopes (VERDICT r4 weak #7)
+                results[name]["noise_fallbacks"] = noise
             print(
                 f"{name:12s} {per * 1e3:8.4f} ms/step "
                 f"({B / per:,.0f} layers/s)  reps={reps} "
