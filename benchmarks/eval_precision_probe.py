@@ -95,6 +95,11 @@ def main():
     for name, prec, backend, cd in [
         ("default", None, "xla", None), ("high", "high", "xla", None),
         ("highest", "highest", "xla", None), ("fused", None, "fused", None),
+        # fused_dw accuracy rows (r5): 'auto' resolves the same fan-in
+        # policy as serving defaults (bf16x3-class in-kernel splits at
+        # flagship width); the bf16 row is the kernel's one-pass class
+        ("fused_dw", "auto", "fused_dw", None),
+        ("fused_dw_bf16", None, "fused_dw", jnp.bfloat16),
         ("bf16x2_w", "bf16x2_w", "xla", None),
         ("bf16x2_x", "bf16x2_x", "xla", None),
         ("bf16io", None, "xla", jnp.bfloat16),

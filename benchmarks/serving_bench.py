@@ -156,7 +156,10 @@ def main():
     # device-resident throughput of every precision path measured the
     # same way.  The matching ACCURACY column at flagship fan-in comes
     # from benchmarks/eval_precision_probe.py -- read the two records
-    # together.  'fused' = Pallas VMEM-basis kernel; 'bf16x2_*' = manual
+    # together.  'fused' = Pallas VMEM-basis kernel; 'fused_dw' = the
+    # degree-wise v2 kernel under the fan-in precision policy (accurate
+    # class) and 'fused_dw_bf16' its explicit one-pass class; 'bf16x2_*'
+    # = manual
     # two-pass bf16 splits; 'int8x2' = two-level residual int8 (3 int8
     # dots, ~bf16x3 accuracy at flagship fan-in).
     from functools import partial
@@ -166,6 +169,9 @@ def main():
 
     paths = [
         ("fused", dict(backend="fused")),
+        ("fused_dw", dict(backend="fused_dw")),
+        ("fused_dw_bf16", dict(backend="fused_dw",
+                               compute_dtype=jnp.bfloat16)),
         ("default_1pass", dict(matmul_precision=None)),
         ("bf16x2_w", dict(matmul_precision="bf16x2_w")),
         ("bf16x2_x", dict(matmul_precision="bf16x2_x")),
