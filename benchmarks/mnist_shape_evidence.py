@@ -107,6 +107,24 @@ def main():
             weight_grad_clip=1.0, learning_rate=0.002,
             weight_backend="fused",
         ),
+        # r5 degree-wise kernel cells: end-to-end trained accuracy for
+        # backend='fused_dw' in both precision classes (the kernel wins
+        # the whole-model train step in both, flagship_train_step.json --
+        # these rows prove its custom VJP also trains to the band)
+        "improved_trained_fused_dw": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_backend="fused_dw",
+        ),
+        "improved_trained_fused_dw_bf16": dict(
+            degree_objective="penalized_mse", consistent_tanh=True,
+            complexity_weight=0.001, weight_epochs=epochs,
+            weight_trainable="all", weight_lr_scale="fanin",
+            weight_grad_clip=1.0, learning_rate=0.002,
+            weight_backend="fused_dw", weight_compute_dtype="bfloat16",
+        ),
         "improved_trained_bf16": dict(
             degree_objective="penalized_mse", consistent_tanh=True,
             complexity_weight=0.001, weight_epochs=epochs,
